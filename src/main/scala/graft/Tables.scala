@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + shared determinism helpers (SURVEY.md §1, §7.2).
+  *
+  * Conventions enforced across every oracled query:
+  *  - money doubles are cast to DECIMAL before any aggregation (exact,
+  *    order-independent arithmetic; the data is 2dp-exact, verified);
+  *  - aggregate money outputs are pinned DECIMAL(38,s) on BOTH engines;
+  *  - ratio/avg/stat outputs are `round(cast(x as double), 4)`;
+  *  - timestamp-valued outputs are emitted as epoch microseconds BIGINT
+  *    (sidesteps parquet/arrow timestamp-tz schema drift entirely);
+  *  - every query ends in a total ORDER BY reaching a unique key.
+  */
+object Tables {
+  type Q = (SparkSession, String) => DataFrame
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which the Spark 4 vectorized
+    * reader rejects outright. Read the nanos as a raw long (legacy conf) and
+    * floor-truncate to µs TimestampType — bit-identical to DuckDB's own
+    * read-time ns→µs truncation (verified against the oracle engine). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Cast to decimal for exact money math. */
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** Pin an aggregate decimal output to DECIMAL(38,s) — matches DuckDB's
+    * sum(DECIMAL) result width so schemas agree bit-for-bit. */
+  def dec38(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+
+  /** round(cast(x as double), 4) — the §7.2.3 avg/stat output form. */
+  def rnd4(c: Column): Column = round(c.cast(DoubleType), 4)
+
+  /** Timestamp column -> epoch microseconds (BIGINT on both engines). */
+  def epochUs(c: Column): Column = unix_micros(c)
+
+  val bigint: DataType = LongType
+}

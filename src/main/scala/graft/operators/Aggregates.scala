@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.D aggregations. Partial+final HashAggregate comes free from
+  * Catalyst; the determinism work is the DECIMAL money math (§7.2). */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship: TPC-H Q1-shaped pricing summary.
+    "d1_agg_groupby_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dec38(sum(dec(col("l_quantity"), 12, 2)), 2).as("sum_qty"),
+          dec38(sum(dec(col("l_extendedprice"), 18, 2)), 2).as("sum_base_price"),
+          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))), 4).as("sum_disc_price"),
+          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)) *
+            (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2))), 6).as("sum_charge"),
+          round(sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"), 18, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_price"),
+          round(sum(dec(col("l_discount"), 4, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "d2_agg_global" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        count(lit(1)).as("order_cnt"),
+        countDistinct(col("o_custkey")).as("cust_cnt"),
+        dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))),
+
+    "d3_agg_count_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")),
+
+    // Approximate HLL sketch — engine-specific, unoracled (SURVEY §2.D d4).
+    "d4_agg_approx_hll" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")),
+
+    "d5_agg_grouping_sets" -> ((s, d) => {
+      val v = s"lineitem_d5_${Math.abs(d.hashCode)}"
+      t(s, d, "lineitem").createOrReplaceTempView(v)
+      s.sql(s"""
+        SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
+               l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+               count(1) AS cnt
+        FROM $v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "d6_agg_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+        .rollup("o_year", "o_orderpriority")
+        .agg(
+          (grouping(col("o_year")) * 2 + grouping(col("o_orderpriority")))
+            .cast(IntegerType).as("gid"),
+          count(lit(1)).as("cnt"),
+          dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"))
+        .select("gid", "o_year", "o_orderpriority", "cnt", "sum_total")
+        .orderBy(col("gid"), col("o_year").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    "d7_agg_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast(IntegerType).as("gid"),
+          count(lit(1)).as("cnt"))
+        .select("gid", "l_returnflag", "l_linestatus", "cnt")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    "d8_agg_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"))
+        .filter(col("cnt") > 250)
+        .orderBy("o_orderpriority")),
+
+    "d9_agg_distinct_input" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum_distinct(col("l_quantity")).as("sum_distinct_qty"))
+        .orderBy("l_returnflag")),
+
+    "d10_agg_collect_sorted" -> ((s, d) =>
+      t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("supp_cnt"),
+          concat_ws(",", sort_array(collect_list(col("s_name")))).as("supp_names"))
+        .orderBy("n_name")),
+
+    "d11_agg_percentile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          rnd4(percentile(col("o_totalprice"), lit(0.5))).as("med_total"),
+          rnd4(percentile(col("o_totalprice"), lit(0.9))).as("p90_total"))
+        .orderBy("o_orderstatus")),
+
+    "d12_agg_stats" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          rnd4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          rnd4(var_samp(col("l_quantity"))).as("var_qty"),
+          rnd4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"))
+        .orderBy("l_returnflag")),
+
+    "d13_agg_min_max_by" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id"))).as("max_eid"),
+          min_by(col("event_id"), struct(col("value"), col("event_id"))).as("min_eid"))
+        .orderBy("event_type")),
+
+    "d14_agg_pivot" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "error", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("user_id"))
+  )
+
+  private val q1Money =
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4))"""
+
+  val oracle: Map[String, String] = Map(
+    "d1_agg_groupby_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           $q1Money AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "d2_agg_global" ->
+      """SELECT count(*) AS order_cnt, count(DISTINCT o_custkey) AS cust_cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total,
+           min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+         FROM orders""",
+
+    "d3_agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "d5_agg_grouping_sets" ->
+      """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
+           l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "d6_agg_rollup" ->
+      """SELECT CAST(grouping(o_year)*2 + grouping(o_orderpriority) AS INTEGER) AS gid,
+           o_year, o_orderpriority, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+         FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, o_totalprice FROM orders) t
+         GROUP BY ROLLUP (o_year, o_orderpriority)
+         ORDER BY gid, o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "d7_agg_cube" ->
+      """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
+           l_returnflag, l_linestatus, count(*) AS cnt
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "d8_agg_having" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+         FROM orders GROUP BY 1 HAVING count(*) > 250 ORDER BY 1""",
+
+    "d9_agg_distinct_input" ->
+      """SELECT l_returnflag, sum(DISTINCT l_quantity) AS sum_distinct_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "d10_agg_collect_sorted" ->
+      """SELECT n_name, count(*) AS supp_cnt,
+           string_agg(s_name, ',' ORDER BY s_name) AS supp_names
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "d11_agg_percentile" ->
+      """SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS med_total,
+           round(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "d12_agg_stats" ->
+      """SELECT l_returnflag,
+           round(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty,
+           round(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS var_qty,
+           round(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 4) AS corr_qty_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "d13_agg_min_max_by" ->
+      """SELECT event_type,
+           max(CASE WHEN rmax = 1 THEN event_id END) AS max_eid,
+           min(CASE WHEN rmin = 1 THEN event_id END) AS min_eid
+         FROM (SELECT event_type, event_id,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+               FROM events) t
+         GROUP BY 1 ORDER BY 1""",
+
+    "d14_agg_pivot" ->
+      """SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,402 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.A scans/sources/sinks, §2.B projection/filter,
+  * §2.C joins, §2.F sorts/limits, §2.G set ops.
+  *
+  * All equi joins are declared via the DataFrame API and left to Catalyst's
+  * JoinSelection (broadcast for dims under the 10MB threshold, sort-merge for
+  * large-large — pinned with hints where SURVEY §2 requires the plan shape).
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // ---- A. scans / sources / sinks ----
+    "a1_scan_parquet_full" -> ((s, d) =>
+      t(s, d, "nation").orderBy("n_nationkey")),
+
+    "a2_scan_projection" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "a3_scan_filter_pushdown" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast(TimestampType))
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast(LongType).as("ym"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("ym")),
+
+    "a4_source_csv_roundtrip" -> ((s, d) => {
+      val path = s"/tmp/graft_tmp/a4_csv_${d.replaceAll("[^0-9.]", "")}"
+      t(s, d, "region").write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+        .orderBy("r_regionkey")
+    }),
+
+    "a5_sink_partitioned_parquet" -> ((s, d) => {
+      val path = s"/tmp/graft_tmp/a5_part_${d.replaceAll("[^0-9.]", "")}"
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast(LongType).as("o_year"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_year")
+    }),
+
+    "a6_source_json_lines" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
+        .select(col("event_id"), col("j.k").cast(IntegerType).as("k"))
+        .orderBy("event_id")),
+
+    // ---- B. projection / filter / predicates ----
+    "b1_project_derived" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        dec38(dec(col("l_extendedprice"), 18, 2) *
+          (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)), 4).as("revenue"),
+        dec38(dec(col("l_extendedprice"), 18, 2) *
+          (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)) *
+          (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2)), 6).as("charge")
+      ).orderBy("l_orderkey", "l_linenumber")),
+
+    "b2_filter_complex" -> ((s, d) =>
+      t(s, d, "part").filter(
+        col("p_type").isin("PROMO", "ECONOMY") &&
+        col("p_size").between(10, 30) &&
+        (col("p_brand").like("Brand#1%") || col("p_brand").like("Brand#2%")) &&
+        !(col("p_retailprice") > 990.0))
+        .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+        .orderBy("p_partkey")),
+
+    "b3_filter_threevalued" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_nationkey") % 5, lit(0)).as("a"),
+        nullif(col("c_nationkey") % 3, lit(0)).as("b"))
+        .withColumn("eq3vl", col("a") === col("b"))
+        .withColumn("nseq", col("a") <=> col("b"))
+        .orderBy("c_custkey")),
+
+    // ---- C. joins ----
+    "c1_join_broadcast_equi" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("order_cnt"))
+        .orderBy("c_mktsegment")),
+
+    "c2_join_shuffle_equi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))), 4).as("revenue"),
+          count(lit(1)).as("item_cnt"))
+        .orderBy("o_orderpriority")),
+
+    "c3_join_left_outer" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    "c4_join_right_outer" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy("c_custkey")),
+
+    "c5_join_full_outer" -> ((s, d) => {
+      val cn = t(s, d, "customer").filter(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("c_cnt"))
+      val sn = t(s, d, "supplier").filter(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, col("ck") === col("sk"), "full_outer")
+        .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+          col("c_cnt"), col("s_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    "c6_join_left_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "c7_join_left_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") >= lit("2001-01-01").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
+    "c8_join_cross" -> ((s, d) => {
+      val r1 = t(s, d, "region").select(col("r_name").as("r1_name"))
+      val r2 = t(s, d, "region").select(col("r_name").as("r2_name"))
+      r1.crossJoin(r2).orderBy("r1_name", "r2_name")
+    }),
+
+    "c9_join_theta_band" -> ((s, d) => {
+      val a = t(s, d, "part").select(col("p_partkey").as("p1"),
+        col("p_brand").as("brand1"), col("p_retailprice").as("price1"))
+      val b = t(s, d, "part").select(col("p_partkey").as("p2"),
+        col("p_brand").as("brand2"), col("p_retailprice").as("price2"))
+      a.join(b, col("brand1") === col("brand2") && col("p1") < col("p2") &&
+          abs(col("price1") - col("price2")) <= 1.0)
+        .select("p1", "p2", "brand1", "price1", "price2")
+        .orderBy("p1", "p2")
+    }),
+
+    "c10_join_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select("event_id", "ts", "user_id")
+      val ord = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      ev.join(ord, col("user_id") === col("o_custkey") &&
+          col("o_orderdate") <= col("ts"), "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }),
+
+    "c11_join_interval_self" -> ((s, d) => {
+      val a = t(s, d, "events").select(col("event_id").as("a_id"),
+        col("user_id").as("a_user"), col("ts").as("a_ts"))
+      val b = t(s, d, "events").select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b, col("a_user") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "a_user")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ---- F. sorts / limits / top-k ----
+    "f1_sort_multikey_nulls" -> ((s, d) =>
+      t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_name"),
+          when(col("s_acctbal") < 0, lit(null)).otherwise(col("s_acctbal")).as("bal"))
+        .orderBy(col("bal").desc_nulls_last, col("s_suppkey"))),
+
+    "f2_limit_offset" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(20).limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "f3_topk_global" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          dec38(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)),
+
+    // ---- G. set operations ----
+    "g1_union_all" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+        .unionByName(
+          o.filter(col("o_orderdate") >= lit("2001-01-01").cast(TimestampType))
+            .select("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "g2_union_distinct" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, d, "supplier").select(col("s_nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    "g3_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    "g4_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+          .select(col("s_nationkey")))
+        .orderBy("nationkey")),
+
+    "g5_intersect_except_all" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.filter(col("user_id") % 3 === 0).select("event_type")
+      val b = ev.filter(col("user_id") % 3 === 1).select("event_type")
+      a.intersectAll(b).withColumn("tag", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("except_all")))
+        .select("tag", "event_type")
+        .orderBy("tag", "event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_scan_parquet_full" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "a2_scan_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "a3_scan_filter_pushdown" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym, count(*) AS cnt
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
+    "a4_source_csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+
+    "a5_sink_partitioned_parquet" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a6_source_json_lines" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+
+    "b1_project_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS charge
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "b2_filter_complex" ->
+      """SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part
+         WHERE p_type IN ('PROMO','ECONOMY') AND p_size BETWEEN 10 AND 30
+           AND (p_brand LIKE 'Brand#1%' OR p_brand LIKE 'Brand#2%')
+           AND NOT (p_retailprice > 990.0)
+         ORDER BY p_partkey""",
+
+    "b3_filter_threevalued" ->
+      """SELECT c_custkey, a, b, (a = b) AS eq3vl, (a IS NOT DISTINCT FROM b) AS nseq
+         FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS a, nullif(c_nationkey % 3, 0) AS b FROM customer) t
+         ORDER BY c_custkey""",
+
+    "c1_join_broadcast_equi" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "c2_join_shuffle_equi" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+           count(*) AS item_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "c3_join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+         FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "c4_join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+         FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "c5_join_full_outer" ->
+      """SELECT coalesce(c.ck, s.sk) AS nationkey, c.c_cnt, s.s_cnt
+         FROM (SELECT c_nationkey AS ck, count(*) AS c_cnt FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey AS sk, count(*) AS s_cnt FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s
+         ON c.ck = s.sk
+         ORDER BY 1""",
+
+    "c6_join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+
+    "c7_join_left_anti" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT' AND o_orderdate >= TIMESTAMP '2001-01-01')
+         ORDER BY c_custkey""",
+
+    "c8_join_cross" ->
+      """SELECT a.r_name AS r1_name, b.r_name AS r2_name
+         FROM region a CROSS JOIN region b ORDER BY 1, 2""",
+
+    "c9_join_theta_band" ->
+      """SELECT a.p_partkey AS p1, b.p_partkey AS p2, a.p_brand AS brand1,
+           a.p_retailprice AS price1, b.p_retailprice AS price2
+         FROM part a JOIN part b ON a.p_brand = b.p_brand
+           AND a.p_partkey < b.p_partkey
+           AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+         ORDER BY 1, 2""",
+
+    "c10_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
+
+    "c11_join_interval_self" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS a_user
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+           AND a.event_id < b.event_id
+         ORDER BY 1, 2""",
+
+    "f1_sort_multikey_nulls" ->
+      """SELECT s_suppkey, s_name, CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal
+         FROM supplier ORDER BY bal DESC NULLS LAST, s_suppkey""",
+
+    "f2_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 10 OFFSET 20""",
+
+    "f3_topk_global" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""",
+
+    "g1_union_all" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         UNION ALL
+         SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+         ORDER BY o_orderkey""",
+
+    "g2_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY 1""",
+
+    "g3_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""",
+
+    "g4_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000 ORDER BY 1""",
+
+    "g5_intersect_except_all" ->
+      """SELECT 'intersect_all' AS tag, event_type FROM (
+           (SELECT event_type FROM events WHERE user_id % 3 = 0)
+           INTERSECT ALL
+           (SELECT event_type FROM events WHERE user_id % 3 = 1)) ia
+         UNION ALL
+         SELECT 'except_all' AS tag, event_type FROM (
+           (SELECT event_type FROM events WHERE user_id % 3 = 0)
+           EXCEPT ALL
+           (SELECT event_type FROM events WHERE user_id % 3 = 1)) ea
+         ORDER BY tag, event_type"""
+  )
+}
