@@ -41,6 +41,13 @@ def compare(name, spark_tbl: pa.Table, ora_tbl: pa.Table):
         ot = norm_type(ora_tbl.schema.field(c).type)
         if st != ot:
             errs.append(f"type[{c}] spark={st} oracle={ot}")
+        # POLICY: decimal output columns are banned. The driver's hash
+        # stringifies values; fixed-scale Decimal ('152936.00') vs float
+        # ('152936.0') hash-differ despite numeric equality — the exact
+        # r01 failure mode (b1/d1/d5/d6/f3). Compute in DECIMAL, emit DOUBLE.
+        for side, t in (("spark", spark_tbl), ("oracle", ora_tbl)):
+            if pa.types.is_decimal(t.schema.field(c).type):
+                errs.append(f"policy[{c}] {side} emits DECIMAL — cast final output to DOUBLE/BIGINT")
     if errs:
         return errs
     for c in sc:
@@ -51,6 +58,11 @@ def compare(name, spark_tbl: pa.Table, ora_tbl: pa.Table):
         for i, (x, y) in enumerate(zip(a, b)):
             eq = (x == y) or (x is None and y is None) or (
                 isinstance(x, float) and isinstance(y, float) and np.isnan(x) and np.isnan(y))
+            # driver-hash proxy: the string representations must ALSO agree
+            # (catches Decimal-vs-float scale drift, -0.0 vs 0.0, int vs bool).
+            if eq and x is not None and str(x) != str(y):
+                errs.append(f"repr[{c}] row {i}: spark={x!r} vs oracle={y!r} (equal but str-differ)")
+                break
             if not eq:
                 errs.append(f"value[{c}] row {i}: spark={x!r} oracle={y!r}")
                 break

@@ -25,19 +25,28 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which the Spark 4 vectorized
     * reader rejects outright. Read the nanos as a raw long (legacy conf) and
     * floor-truncate to µs TimestampType — bit-identical to DuckDB's own
-    * read-time ns→µs truncation (verified against the oracle engine). */
+    * read-time ns→µs truncation (verified against the oracle engine).
+    * The conf is also pinned at session build time in Verify/Bench; the set
+    * here is a defensive no-op there but keeps this loader usable from any
+    * session (e.g. the driver's own t1 harness calling queries directly). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Cast to decimal for exact money math. */
+  /** Cast to decimal for exact money math (internal only — see dbl). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
-  /** Pin an aggregate decimal output to DECIMAL(38,s) — matches DuckDB's
-    * sum(DECIMAL) result width so schemas agree bit-for-bit. */
-  def dec38(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+  /** Final-output cast for money expressions: compute exactly in DECIMAL,
+    * emit as DOUBLE. DECIMAL output columns are banned from oracled results:
+    * the driver's hash stringifies values, and a fixed-scale Decimal
+    * ('152936.00') vs a float ('152936.0') hash-differ despite being equal —
+    * exactly the r01 failure signature (b1/d1/d5/d6/f3 all had decimal
+    * outputs with trailing-zero values; every pure-double query passed).
+    * decimal→double is a single correctly-rounded IEEE conversion, identical
+    * on Spark and DuckDB, so determinism is preserved. */
+  def dbl(c: Column): Column = c.cast(DoubleType)
 
   /** round(cast(x as double), 4) — the §7.2.3 avg/stat output form. */
   def rnd4(c: Column): Column = round(c.cast(DoubleType), 4)

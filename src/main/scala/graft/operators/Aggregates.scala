@@ -15,13 +15,13 @@ object Aggregates {
         .filter(col("l_shipdate") <= lit("2001-09-01").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dec38(sum(dec(col("l_quantity"), 12, 2)), 2).as("sum_qty"),
-          dec38(sum(dec(col("l_extendedprice"), 18, 2)), 2).as("sum_base_price"),
-          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
-            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))), 4).as("sum_disc_price"),
-          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
+          dbl(sum(dec(col("l_quantity"), 12, 2))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)))).as("sum_disc_price"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2) *
             (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)) *
-            (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2))), 6).as("sum_charge"),
+            (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2)))).as("sum_charge"),
           round(sum(dec(col("l_quantity"), 12, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_qty"),
           round(sum(dec(col("l_extendedprice"), 18, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_price"),
           round(sum(dec(col("l_discount"), 4, 2)).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
@@ -32,7 +32,7 @@ object Aggregates {
       t(s, d, "orders").agg(
         count(lit(1)).as("order_cnt"),
         countDistinct(col("o_custkey")).as("cust_cnt"),
-        dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"),
+        dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"),
         min(col("o_totalprice")).as("min_total"),
         max(col("o_totalprice")).as("max_total"))),
 
@@ -49,18 +49,17 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .orderBy("event_type")),
 
-    "d5_agg_grouping_sets" -> ((s, d) => {
-      val v = s"lineitem_d5_${Math.abs(d.hashCode)}"
-      t(s, d, "lineitem").createOrReplaceTempView(v)
+    // GROUPING SETS has no DataFrame-API form; scan the parquet file inline
+    // (no temp view — nothing leaks into the shared session catalog).
+    "d5_agg_grouping_sets" -> ((s, d) =>
       s.sql(s"""
         SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
                l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                count(1) AS cnt
-        FROM $v
+        FROM parquet.`$d/lineitem.parquet`
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
-    }),
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
     "d6_agg_rollup" -> ((s, d) =>
       t(s, d, "orders")
@@ -70,7 +69,7 @@ object Aggregates {
           (grouping(col("o_year")) * 2 + grouping(col("o_orderpriority")))
             .cast(IntegerType).as("gid"),
           count(lit(1)).as("cnt"),
-          dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"))
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
         .select("gid", "o_year", "o_orderpriority", "cnt", "sum_total")
         .orderBy(col("gid"), col("o_year").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
@@ -90,7 +89,7 @@ object Aggregates {
       t(s, d, "orders")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
-          dec38(sum(dec(col("o_totalprice"), 18, 2)), 2).as("sum_total"))
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
         .filter(col("cnt") > 250)
         .orderBy("o_orderpriority")),
 
@@ -148,15 +147,15 @@ object Aggregates {
   )
 
   private val q1Money =
-    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4))"""
+    """CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"""
 
   val oracle: Map[String, String] = Map(
     "d1_agg_groupby_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            $q1Money AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
            round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
@@ -166,7 +165,7 @@ object Aggregates {
 
     "d2_agg_global" ->
       """SELECT count(*) AS order_cnt, count(DISTINCT o_custkey) AS cust_cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
            min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
          FROM orders""",
 
@@ -177,7 +176,7 @@ object Aggregates {
     "d5_agg_grouping_sets" ->
       """SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INTEGER) AS gid,
            l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
            count(*) AS cnt
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -186,7 +185,7 @@ object Aggregates {
     "d6_agg_rollup" ->
       """SELECT CAST(grouping(o_year)*2 + grouping(o_orderpriority) AS INTEGER) AS gid,
            o_year, o_orderpriority, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority, o_totalprice FROM orders) t
          GROUP BY ROLLUP (o_year, o_orderpriority)
          ORDER BY gid, o_year ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
@@ -200,7 +199,7 @@ object Aggregates {
 
     "d8_agg_having" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_total
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 HAVING count(*) > 250 ORDER BY 1""",
 
     "d9_agg_distinct_input" ->

@@ -13,6 +13,13 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
+  /** Per-run scratch dir for sink round-trip ops: keyed on the Spark
+    * applicationId (unique per session) + the full data-dir hash, so two
+    * concurrent Verify/Bench runs never clobber each other's intermediates. */
+  private def scratch(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): String =
+    s"/tmp/graft_tmp/${s.sparkContext.applicationId}/${tag}_${Integer.toHexString(d.hashCode)}"
+
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>
@@ -32,14 +39,14 @@ object Relational {
         .orderBy("ym")),
 
     "a4_source_csv_roundtrip" -> ((s, d) => {
-      val path = s"/tmp/graft_tmp/a4_csv_${d.replaceAll("[^0-9.]", "")}"
+      val path = scratch(s, d, "a4_csv")
       t(s, d, "region").write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true").option("inferSchema", "true").csv(path)
         .orderBy("r_regionkey")
     }),
 
     "a5_sink_partitioned_parquet" -> ((s, d) => {
-      val path = s"/tmp/graft_tmp/a5_part_${d.replaceAll("[^0-9.]", "")}"
+      val path = scratch(s, d, "a5_part")
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
@@ -59,11 +66,11 @@ object Relational {
     "b1_project_derived" -> ((s, d) =>
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        dec38(dec(col("l_extendedprice"), 18, 2) *
-          (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)), 4).as("revenue"),
-        dec38(dec(col("l_extendedprice"), 18, 2) *
+        dbl(dec(col("l_extendedprice"), 18, 2) *
+          (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))).as("revenue"),
+        dbl(dec(col("l_extendedprice"), 18, 2) *
           (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)) *
-          (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2)), 6).as("charge")
+          (dec(lit(1), 3, 2) + dec(col("l_tax"), 4, 2))).as("charge")
       ).orderBy("l_orderkey", "l_linenumber")),
 
     "b2_filter_complex" -> ((s, d) =>
@@ -98,8 +105,8 @@ object Relational {
           col("l_orderkey") === col("o_orderkey"), "inner")
         .groupBy("o_orderpriority")
         .agg(
-          dec38(sum(dec(col("l_extendedprice"), 18, 2) *
-            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))), 4).as("revenue"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)))).as("revenue"),
           count(lit(1)).as("item_cnt"))
         .orderBy("o_orderpriority")),
 
@@ -203,8 +210,8 @@ object Relational {
     "f3_topk_global" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec38(dec(col("l_extendedprice"), 18, 2) *
-            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)), 4).as("revenue"))
+          dbl(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(10)),
 
@@ -272,8 +279,8 @@ object Relational {
 
     "b1_project_derived" ->
       """SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6)) AS charge
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE) AS charge
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "b2_filter_complex" ->
@@ -295,7 +302,7 @@ object Relational {
 
     "c2_join_shuffle_equi" ->
       """SELECT o_orderpriority,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            count(*) AS item_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY 1""",
@@ -366,7 +373,7 @@ object Relational {
 
     "f3_topk_global" ->
       """SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
          FROM lineitem ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10""",
 
     "g1_union_all" ->
