@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.E window functions (ranking / analytic / frames).
+  *
+  * Scale notes: every window here partitions by a real key (user_id,
+  * p_brand, c-less global windows are avoided) so the WindowExec shuffles
+  * once on the partition key and sorts within partitions — no global
+  * single-partition sort. Timestamp outputs are emitted as epoch
+  * microseconds BIGINT (unix_micros / DuckDB epoch_us) per §7.2, and
+  * range frames are defined over epoch-µs longs so both engines use the
+  * identical integer frame arithmetic.
+  */
+object Windows {
+
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+    // top-3 events per user by value (tie -> event_id)
+    "e1_win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "value")
+        .orderBy("user_id", "rn")
+    }),
+
+    "e2_win_rank_dense" -> ((s, d) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+      t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("p_brand", "rnk", "p_partkey")
+    }),
+
+    // per-user inter-event gap (µs) + next event_type
+    "e3_win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"),
+          (epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w)).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    // 4-row moving average of value per user
+    "e4_win_moving_avg_rows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, 0)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          rnd4(avg(col("value")).over(w)).as("mavg"))
+        .orderBy("event_id")
+    }),
+
+    // per-user sum of value over trailing 10 minutes (range frame on epoch-µs)
+    "e5_win_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-600000000L, 0)
+      events(s, d)
+        .withColumn("ts_us", epochUs(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          rnd4(sum(col("value")).over(w)).as("win_sum"))
+        .orderBy("event_id")
+    }),
+
+    // running revenue per customer over order dates (rows frame, unique key)
+    "e6_win_cumulative" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2)).over(w)).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ntile / percent_rank / cume_dist over customer acctbal (tie -> custkey)
+    "e7_win_distribution" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          rnd4(percent_rank().over(w)).as("pr"),
+          rnd4(cume_dist().over(w)).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
+    // first/last event_type per user by time (explicit full frame)
+    "e8_win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    // 30-min-gap batch sessionization: gap flag -> running sum -> session id
+    "e9_win_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(epochUs(col("ts")), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            epochUs(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(epochUs(col("ts"))).as("sess_start_us"),
+          max(epochUs(col("ts"))).as("sess_end_us"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_win_topk_per_group" ->
+      """SELECT user_id, rn, event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rn
+           FROM events) WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "e2_win_rank_dense" ->
+      """SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk
+         FROM part
+         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+         ORDER BY p_brand, rnk, p_partkey""",
+
+    "e3_win_lag_lead" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+           lead(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+
+    "e4_win_moving_avg_rows" ->
+      """SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+         FROM events ORDER BY event_id""",
+
+    "e5_win_range_frame" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4) AS win_sum
+         FROM events ORDER BY event_id""",
+
+    "e6_win_cumulative" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "e7_win_distribution" ->
+      """SELECT c_custkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 4) AS pr,
+           round(cume_dist() OVER w, 4) AS cd
+         FROM customer
+         WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
+
+    "e8_win_first_last" ->
+      """SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id""",
+
+    "e9_win_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessioned AS (
+           SELECT user_id, ts_us,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
+         FROM sessioned GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
+  )
+}
