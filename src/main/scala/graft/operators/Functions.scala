@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.H scalar function surface — one themed query per family,
+  * every function stays inside whole-stage codegen (no UDFs here).
+  *
+  * Dialect notes baked into the oracles (verified against DuckDB 1.0):
+  * DuckDB length/instr/year/... return BIGINT where Spark returns INT
+  * (cast oracle side); DuckDB regexp_replace needs the 'g' flag to match
+  * Spark's replace-all; both engines return '' for a non-matching
+  * regexp_extract; DuckDB list positions are 1-based (Spark posexplode is
+  * 0-based — we emit pos+1); floating outputs of libm functions are
+  * round(…,4)-pinned on both sides.
+  */
+object Functions {
+
+  private val ebd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  val queries: Map[String, Q] = Map(
+    "h1_str_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        concat_ws("-", lower(col("p_name")), upper(col("p_brand"))).as("cw"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        length(col("p_name")).as("len"),
+        regexp_replace(col("p_name"), lit(" "), lit("_")).as("repl"),
+        instr(col("p_name"), "a").as("ia"),
+        col("p_name").like("%ol%").as("has_ol"),
+        col("p_name").startsWith("s").as("sw"))
+        .orderBy("p_partkey")),
+
+    "h2_regex_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+        col("p_name").rlike("an").as("m"),
+        element_at(split(col("p_name"), " "), 1).as("w0"))
+        .orderBy("p_partkey")),
+
+    // o_orderdate is parquet timestamp[ms] w/o tz -> TIMESTAMP_NTZ in Spark 4;
+    // cast once to TIMESTAMP (session tz is pinned UTC, so same instant).
+    "h3_date_funcs" -> ((s, d) => {
+      val od = col("o_orderdate").cast(TimestampType)
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        epochUs(date_trunc("month", od)).as("month_us"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        hour(col("o_orderdate")).as("hh"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType)).as("dd_since"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("d30"),
+        last_day(col("o_orderdate")).as("eom"),
+        make_date(lit(2024), lit(1), lit(15)).as("md"),
+        unix_millis(od).as("ms"))
+        .orderBy("o_orderkey")
+    }),
+
+    "h4_math_funcs" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        rnd4(abs(col("l_discount") - 0.05)).as("a"),
+        ceil(col("l_extendedprice") / 1000).as("c"),
+        floor(col("l_extendedprice") / 1000).as("f"),
+        rnd4(sqrt(col("l_quantity"))).as("sq"),
+        rnd4(exp(col("l_discount"))).as("ex"),
+        rnd4(log(col("l_extendedprice"))).as("lnp"),
+        rnd4(log10(col("l_extendedprice"))).as("l10"),
+        rnd4(pow(col("l_quantity"), 2)).as("p2"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "h5_conditional" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") < 100000, "S")
+          .when(col("o_totalprice") < 300000, "M")
+          .otherwise("L").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+        least(col("o_totalprice"), lit(200000.0)).as("lo"),
+        greatest(col("o_totalprice"), lit(200000.0)).as("hi"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("urgent"))
+        .orderBy("o_orderkey")),
+
+    "h6_json_funcs" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k_int"))
+        .withColumn("k_bucket", floor(col("k_int") / 10).cast(IntegerType))
+        .orderBy("event_id")),
+
+    "h7_array_explode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).cast(IntegerType).as("pos"),
+          col("col").as("word"))
+        .orderBy("doc_id", "pos")),
+
+    "h8_array_hof" -> ((s, d) => {
+      val e = transform(col("embedding"), x => x.cast(DoubleType))
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("n"),
+        rnd4(aggregate(e, lit(0.0), (acc, x) => acc + x)).as("sum_all"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        rnd4(element_at(transform(col("embedding"),
+          x => x.cast(DoubleType) * 2), 1)).as("doubled_first"),
+        rnd4(element_at(array_sort(e), 1)).as("min_sorted"),
+        rnd4(aggregate(slice(e, 1, 8), lit(0.0), (acc, x) => acc + x)).as("sum_first8"))
+        .orderBy("vec_id")
+    }),
+
+    "h9_map_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k_int", from_json(col("props"), lit("k INT")).getField("k"))
+        .withColumn("m", map(lit("k"), col("k_int")))
+        .select(col("event_id"),
+          element_at(map_keys(col("m")), 1).as("key0"),
+          element_at(col("m"), lit("k")).as("k_val"),
+          size(map_values(col("m"))).as("n_vals"))
+        .orderBy("event_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "h1_str_funcs" ->
+      """SELECT p_partkey,
+           concat_ws('-', lower(p_name), upper(p_brand)) AS cw,
+           substring(p_name, 1, 5) AS sub5,
+           trim('  ' || p_name || '  ') AS trimmed,
+           lpad(p_brand, 12, '*') AS padded,
+           CAST(length(p_name) AS INTEGER) AS len,
+           replace(p_name, ' ', '_') AS repl,
+           CAST(instr(p_name, 'a') AS INTEGER) AS ia,
+           p_name LIKE '%ol%' AS has_ol,
+           starts_with(p_name, 's') AS sw
+         FROM part ORDER BY p_partkey""",
+
+    "h2_regex_funcs" ->
+      """SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           regexp_matches(p_name, 'an') AS m,
+           string_split(p_name, ' ')[1] AS w0
+         FROM part ORDER BY p_partkey""",
+
+    "h3_date_funcs" ->
+      """SELECT o_orderkey,
+           epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(day(o_orderdate) AS INTEGER) AS dd,
+           CAST(hour(o_orderdate) AS INTEGER) AS hh,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS dd_since,
+           CAST(o_orderdate AS DATE) + 30 AS d30,
+           last_day(o_orderdate) AS eom,
+           make_date(2024, 1, 15) AS md,
+           epoch_ms(o_orderdate) AS ms
+         FROM orders ORDER BY o_orderkey""",
+
+    "h4_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4) AS a,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS c,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS f,
+           round(sqrt(l_quantity), 4) AS sq,
+           round(exp(l_discount), 4) AS ex,
+           round(ln(l_extendedprice), 4) AS lnp,
+           round(log10(l_extendedprice), 4) AS l10,
+           round(pow(l_quantity, 2), 4) AS p2,
+           l_orderkey % 7 AS pm,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS sg
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "h5_conditional" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'S'
+                WHEN o_totalprice < 300000 THEN 'M' ELSE 'L' END AS band,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+           least(o_totalprice, 200000.0) AS lo,
+           greatest(o_totalprice, 200000.0) AS hi,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+         FROM orders ORDER BY o_orderkey""",
+
+    "h6_json_funcs" ->
+      """SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS INTEGER) AS k_bucket
+         FROM events ORDER BY event_id""",
+
+    "h7_array_explode" ->
+      """SELECT doc_id, CAST(generate_subscripts(w, 1) AS INTEGER) AS pos, unnest(w) AS word
+         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         ORDER BY doc_id, pos""",
+
+    "h8_array_hof" ->
+      s"""SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n,
+           round(list_aggregate($ebd, 'sum'), 4) AS sum_all,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 4) AS doubled_first,
+           round(list_sort($ebd)[1], 4) AS min_sorted,
+           round(list_aggregate(list_slice($ebd, 1, 8), 'sum'), 4) AS sum_first8
+         FROM embeddings ORDER BY vec_id""",
+
+    "h9_map_funcs" ->
+      """SELECT event_id, 'k' AS key0,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           1 AS n_vals
+         FROM events ORDER BY event_id"""
+  )
+}
