@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product over two `array<float>` columns (SURVEY.md §7.4).
+  *
+  * The similarity kernels (j3/j4) originally used interpreted higher-order
+  * functions (`aggregate(zip_with(...))`) — a closure call per element per
+  * pair, outside whole-stage codegen. This native Catalyst expression emits
+  * a tight primitive loop inside WholeStageCodegen instead: each float is
+  * widened to double and the products are summed left-to-right, which is
+  * bit-identical to the double-cast HOF formulation (and to the DuckDB
+  * oracle's `list_dot_product` over double-cast lists), so results are
+  * unchanged — only ~100× faster on the 2M-pair exact-baseline join.
+  */
+case class FloatDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Internal-use expression: callers guarantee array<float> inputs
+  // (ExpectsInputTypes is private[sql] in Spark 4, so no declared contract).
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** `float_dot(a, b)` as a Column — double-precision dot product of two
+    * float vectors, evaluated inside whole-stage codegen. */
+  def floatDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      FloatDotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

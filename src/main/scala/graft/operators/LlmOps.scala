@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.VectorFunctions.floatDot
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,17 +33,19 @@ object LlmOps {
         explode(split(lower(col("text")), "[^a-z]+")).as("term"))
       .filter(col("term") =!= "")
 
-  /** embeddings with the float vector promoted to double + L2 norm. */
+  /** embeddings with a precomputed L2 norm. The dot/norm kernel is the
+    * codegen'd [[graft.functions.FloatDotProduct]] expression — a primitive
+    * loop inside WholeStageCodegen (bit-identical to widening each float to
+    * double and summing left-to-right, which is what the DuckDB oracle
+    * does), replacing the interpreted HOF kernel that was ~160× slower. */
   private def embs(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast(DoubleType)).as("emb"))
-      .withColumn("norm",
-        sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("norm", sqrt(floatDot(col("embedding"), col("embedding"))))
 
   private def cosine(a: String, b: String) =
-    aggregate(zip_with(col(s"$a.emb"), col(s"$b.emb"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x) / (col(s"$a.norm") * col(s"$b.norm"))
+    floatDot(col(s"$a.embedding"), col(s"$b.embedding")) /
+      (col(s"$a.norm") * col(s"$b.norm"))
 
   val queries: Map[String, Q] = Map(
     // exact dedup: keep min doc_id per sha256(text)
@@ -53,25 +56,45 @@ object LlmOps {
         .select("doc_id", "digest")
         .orderBy("doc_id")),
 
-    // near-dup candidates via MinHash LSH (seeded; no SQL oracle — validated
-    // against exact Jaccard in LlmOpsSpec)
+    // near-duplicate clustering: word-3-gram shingles -> MinHash LSH ->
+    // exact-Jaccard filter at >= 0.8 (distance <= 0.2, SURVEY §2.J) ->
+    // per-doc cluster assignment. Seeded but engine-internal hash family,
+    // so no SQL oracle — validated against exact shingle-Jaccard pairs in
+    // LlmOpsSpec (recall >= 0.9 at sf0.001).
+    //
+    // Scale story: shingling makes the feature sets sparse (random text
+    // shares almost no 3-grams), so LSH buckets only group genuinely
+    // similar docs — candidate pairs come from equi-joins on minhash
+    // values, never an all-pairs scan. Output is one row per doc (doc_id,
+    // cluster representative, neighbour count), not the raw pair list.
     "j2_dedup_near_minhash" -> ((s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, RegexTokenizer}
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
       val docs = t(s, d, "documents").select("doc_id", "text")
       val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
         .setPattern("[^a-z]+").setToLowercase(true)
-      val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-        .setNumFeatures(1 << 18).setBinary(true)
-      val featured = tf.transform(tok.transform(docs))
+      val ng = new NGram().setN(3).setInputCol("toks").setOutputCol("shingles")
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 20).setBinary(true)
+      val featured = tf.transform(ng.transform(tok.transform(docs)))
+        .filter(size(col("shingles")) >= 1) // MinHashLSH rejects empty sets
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(featured)
-      model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+      val pairs = model
+        .approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
         .select(col("datasetA.doc_id").as("a_id"),
-          col("datasetB.doc_id").as("b_id"),
-          rnd4(col("jaccard_dist")).as("dist"))
-        .filter(col("a_id") < col("b_id"))
-        .orderBy("a_id", "b_id")
+          col("datasetB.doc_id").as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()
+      // one-hop cluster representative: min doc_id among {self} ∪ neighbours
+      // (near-dup clusters are effectively cliques, so this is the cluster min)
+      val nbr = pairs.groupBy(col("a_id").as("doc_id"))
+        .agg(min(col("b_id")).as("min_nbr"), count(lit(1)).as("n_dups"))
+      docs.select("doc_id").join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+        .orderBy("doc_id")
     }),
 
     // exact top-20 cosine pairs (correctness baseline for ANN)
@@ -89,12 +112,11 @@ object LlmOps {
     "j4_sim_knn_query" -> ((s, d) => {
       val e = embs(s, d)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("emb").as("q_emb"), col("norm").as("q_norm"))
+        .select(col("embedding").as("q_embedding"), col("norm").as("q_norm"))
       e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
         .select(col("vec_id"),
-          rnd4(aggregate(zip_with(col("emb"), col("q_emb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("norm") * col("q_norm")))
-            .as("sim"))
+          rnd4(floatDot(col("embedding"), col("q_embedding")) /
+            (col("norm") * col("q_norm"))).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -192,33 +214,51 @@ object LlmOps {
         .orderBy("user_id", "event_type")
     }),
 
-    // per-column data-quality profile of orders: one aggregate pass + stack
-    // (single scan at scale, vs one scan per column)
+    // per-column data-quality profile of orders. Two scalable passes:
+    //  (1) min/max/null counts in ONE agg (no distinct -> no Expand);
+    //  (2) exact distinct counts via melt -> two-stage aggregation:
+    //      explode to (col, value) pairs, partial-agg collapses duplicates
+    //      map-side BEFORE the shuffle, then count per column.
+    // The previous single-pass form put six exact countDistinct in one agg,
+    // which Catalyst plans as an Expand that multiplies every shuffled row
+    // 6x — the thing that does not survive a 100-TB fact table. Melt keys
+    // the shuffle on (col, distinct value) with map-side combine instead.
     "j13_data_quality_profile" -> ((s, d) => {
       val o = t(s, d, "orders")
-      def prof(c: String, minS: org.apache.spark.sql.Column,
-               maxS: org.apache.spark.sql.Column) = Seq(
-        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
-        minS.as(s"${c}_min"), maxS.as(s"${c}_max"))
-      val aggs =
-        prof("o_orderkey", min(col("o_orderkey")).cast(StringType),
-          max(col("o_orderkey")).cast(StringType)) ++
-        prof("o_custkey", min(col("o_custkey")).cast(StringType),
-          max(col("o_custkey")).cast(StringType)) ++
-        prof("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))) ++
-        prof("o_totalprice", min(col("o_totalprice")).cast(StringType),
-          max(col("o_totalprice")).cast(StringType)) ++
-        prof("o_orderdate", unix_millis(min(col("o_orderdate")).cast(TimestampType))
-            .cast(StringType),
-          unix_millis(max(col("o_orderdate")).cast(TimestampType)).cast(StringType)) ++
-        prof("o_orderpriority", min(col("o_orderpriority")), max(col("o_orderpriority")))
-      val one = o.agg(aggs.head, aggs.tail: _*)
-      val stackExpr = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      val colNames = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")
-        .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-        .mkString("stack(6, ", ", ", ") as (col_name, null_cnt, distinct_cnt, min_s, max_s)")
-      one.selectExpr(stackExpr).orderBy("col_name")
+      // pass 1: null counts + typed min/max, stringified AFTER the agg so
+      // numeric/timestamp min-max stay typed (lexicographic would be wrong)
+      def mm(c: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = c match {
+        case "o_orderdate" =>
+          (unix_millis(min(col(c)).cast(TimestampType)).cast(StringType),
+            unix_millis(max(col(c)).cast(TimestampType)).cast(StringType))
+        case _ => (min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+      }
+      val aggs = colNames.flatMap { c =>
+        val (mn, mx) = mm(c)
+        Seq((count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+          mn.as(s"${c}_min"), mx.as(s"${c}_max"))
+      }
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val stackExpr = colNames
+        .map(c => s"'$c', ${c}_nulls, ${c}_min, ${c}_max")
+        .mkString(s"stack(${colNames.size}, ", ", ",
+          ") as (col_name, null_cnt, min_s, max_s)")
+      val minmax = one.selectExpr(stackExpr)
+      // pass 2: melt to (col_name, value-as-string) — injective for these
+      // types, so string-distinct == typed-distinct — then 2-stage agg
+      val kvs = colNames.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v")))
+      val distincts = o
+        .select(explode(array(kvs: _*)).as("kv"))
+        .groupBy(col("kv.c").as("col_name"), col("kv.v").as("v"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy("col_name")
+        .agg(count(col("v")).as("distinct_cnt")) // count() skips null values
+      minmax.join(distincts, Seq("col_name"))
+        .select("col_name", "null_cnt", "distinct_cnt", "min_s", "max_s")
+        .orderBy("col_name")
     })
   )
 

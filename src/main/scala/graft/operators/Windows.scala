@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.E window functions (ranking / analytic / frames).
   *
-  * Scale notes: every window here partitions by a real key (user_id,
-  * p_brand, c-less global windows are avoided) so the WindowExec shuffles
-  * once on the partition key and sorts within partitions — no global
-  * single-partition sort. Timestamp outputs are emitted as epoch
+  * Scale notes: every window over a fact table partitions by a real key
+  * (user_id, p_brand) so the WindowExec shuffles once on the partition key
+  * and sorts within partitions — no global single-partition sort. The one
+  * globally-ordered computation (e7) uses a distributed two-pass rank; its
+  * only unpartitioned window runs over the ~32-row partition-count table. Timestamp outputs are emitted as epoch
   * microseconds BIGINT (unix_micros / DuckDB epoch_us) per §7.2, and
   * range frames are defined over epoch-µs longs so both engines use the
   * identical integer frame arithmetic.
@@ -81,14 +82,43 @@ object Windows {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ntile / percent_rank / cume_dist over customer acctbal (tie -> custkey)
+    // ntile / percent_rank / cume_dist over customer acctbal (tie -> custkey).
+    // Distributed two-pass global rank instead of an unpartitioned Window
+    // (which would funnel the whole table through ONE task): range-partition
+    // on the sort key, rank locally per partition, then offset each
+    // partition's ranks by the cumulative counts of the partitions before
+    // it. The only unpartitioned window left runs over the ~32-row
+    // per-partition count table. The ordering key (c_acctbal, c_custkey)
+    // is tie-free (custkey unique), so rank == row_number and the
+    // distribution stats reduce to closed-form expressions of (rank, n).
     "e7_win_distribution" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer")
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"),
-          rnd4(percent_rank().over(w)).as("pr"),
-          rnd4(cume_dist().over(w)).as("cd"))
+      val parts = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val local = parts.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      val offsets = local.groupBy("pid").agg(count(lit(1)).as("pn"))
+        .withColumn("off", coalesce(
+          sum(col("pn")).over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "off")
+      val n = local.groupBy().agg(count(lit(1)).as("n"))
+      val ranked = local
+        .join(broadcast(offsets), "pid")
+        .crossJoin(broadcast(n))
+        .withColumn("rnk", col("off") + col("lrn"))
+        // ntile(4): first (n % 4) buckets get ceil(n/4) rows, rest floor(n/4)
+        .withColumn("q", expr("n div 4"))
+        .withColumn("r", col("n") % 4)
+      val quartile = when(col("rnk") <= (col("q") + 1) * col("r"),
+          expr("(rnk - 1) div (q + 1) + 1"))
+        .otherwise(expr("r + (rnk - (q + 1) * r - 1) div q + 1"))
+      ranked.select(col("c_custkey"), col("c_acctbal"),
+          quartile.cast("int").as("quartile"),
+          rnd4((col("rnk") - 1).cast("double") / (col("n") - 1)).as("pr"),
+          rnd4(col("rnk").cast("double") / col("n")).as("cd"))
         .orderBy("c_custkey")
     }),
 

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters.
+  *
+  * Spark 4's public `Column` wraps a `ColumnNode` rather than a catalyst
+  * `Expression`; the conversion lives in `classic.ExpressionUtils`, which is
+  * `private[sql]`. This one-file shim (in the `org.apache.spark.sql`
+  * package, the standard pattern for first-party extensions) re-exports the
+  * two converters so graft's native codegen expressions (e.g.
+  * `graft.functions.FloatDotProduct`) can be used as Columns.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
