@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** SURVEY.md §2.K — the engine's user-extension surface: scalar UDF, typed
+  * UDAF (`Aggregator`), table-generating function, and a typed `Dataset[T]`
+  * pipeline.
+  *
+  * Scale notes: a Scala UDF is a codegen black box (no pushdown through it,
+  * per-row serialization) — acceptable for the API demo here; hot-path
+  * scalar logic should become a native Catalyst expression instead (see
+  * [[graft.functions.FloatDotProduct]], §7.4). The `Aggregator` is
+  * partial-merge correct by construction (`merge` is exercised across
+  * shuffle partitions), so it map-side combines exactly like a built-in
+  * aggregate. The generator and typed pipeline run inside Tungsten encoders
+  * — no Python/serialization wall.
+  */
+object Extensions {
+
+  /** k2: weighted mean of price by quantity, accumulated in exact decimals
+    * (order-independent — double summation would make the result depend on
+    * partition merge order; BigDecimal sums are associative and exact on
+    * 2dp inputs, matching the oracle's DECIMAL sums bit-for-bit). */
+  case class PriceQty(l_extendedprice: Double, l_quantity: Double)
+  case class WSums(wsum: BigDecimal, qsum: BigDecimal)
+
+  object WeightedMean extends Aggregator[PriceQty, WSums, Double] {
+    override def zero: WSums = WSums(BigDecimal(0), BigDecimal(0))
+    override def reduce(b: WSums, a: PriceQty): WSums =
+      WSums(b.wsum + BigDecimal(a.l_extendedprice) * BigDecimal(a.l_quantity),
+        b.qsum + BigDecimal(a.l_quantity))
+    override def merge(b1: WSums, b2: WSums): WSums =
+      WSums(b1.wsum + b2.wsum, b1.qsum + b2.qsum)
+    override def finish(b: WSums): Double =
+      if (b.qsum.signum == 0) Double.NaN else b.wsum.toDouble / b.qsum.toDouble
+    override def bufferEncoder: Encoder[WSums] = Encoders.product[WSums]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  case class Doc(doc_id: Long, text: String)
+  case class Order(o_orderkey: Long, o_orderstatus: String, o_totalprice: Double)
+
+  val queries: Map[String, Q] = Map(
+    // k1: scalar UDF discountClass(l_discount) used as a grouping key.
+    // Band edges compare exactly: l_discount is 2dp-exact, and the same
+    // IEEE literals appear in the oracle's CASE WHEN.
+    "k1_udf_scalar" -> ((s, d) => {
+      val discountClass = udf((dsc: Double) =>
+        if (dsc < 0.03) "low" else if (dsc < 0.07) "mid" else "high")
+      t(s, d, "lineitem")
+        .groupBy(discountClass(col("l_discount")).as("band"))
+        .agg(count(lit(1)).as("item_cnt"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)))).as("revenue"))
+        .orderBy("band")
+    }),
+
+    // k2: typed Aggregator UDAF registered via functions.udaf
+    "k2_udaf_aggregator" -> ((s, d) => {
+      val wm = udaf(WeightedMean)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // k3: table-generating function — each doc explodes to its first 5
+    // words with 1-based positions, via a typed flatMap (Tungsten-encoded)
+    "k3_udtf_generator" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select("doc_id", "text").as[Doc]
+        .flatMap { dc =>
+          dc.text.toLowerCase.split("[^a-z]+").iterator
+            .filter(_.nonEmpty).take(5).zipWithIndex
+            .map { case (w, i) => (dc.doc_id, w, (i + 1).toLong) }
+        }
+        .toDF("doc_id", "word", "position")
+        .orderBy("doc_id", "position")
+    }),
+
+    // k4: typed Dataset pipeline: filter -> groupByKey -> mapGroups
+    "k4_typed_dataset" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").as[Order]
+        .filter(_.o_totalprice > 100000.0)
+        .groupByKey(_.o_orderstatus)
+        .mapGroups { (k, it) =>
+          var n = 0L
+          var mx = Double.MinValue
+          it.foreach { o => n += 1; if (o.o_totalprice > mx) mx = o.o_totalprice }
+          (k, n, mx)
+        }
+        .toDF("o_orderstatus", "n_orders", "max_price")
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k1_udf_scalar" ->
+      """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                     WHEN l_discount < 0.07 THEN 'mid'
+                     ELSE 'high' END AS band,
+           count(*) AS item_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY band""",
+
+    "k2_udaf_aggregator" ->
+      """SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS wavg_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+
+    "k3_udtf_generator" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS word,
+                  generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos0
+           FROM documents),
+         renum AS (
+           SELECT doc_id, word,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS position
+           FROM toks WHERE word <> '')
+         SELECT doc_id, word, position FROM renum
+         WHERE position <= 5 ORDER BY doc_id, position""",
+
+    "k4_typed_dataset" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, max(o_totalprice) AS max_price
+         FROM orders WHERE o_totalprice > 100000.0
+         GROUP BY 1 ORDER BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicLong
+
+/** SURVEY.md §2.I — Structured Streaming over the `events` stream table.
+  *
+  * Execution pattern (§2.I preamble): `readStream.schema(...).parquet(dir)`
+  * → transform → `writeStream.format("memory")` with
+  * `Trigger.AvailableNow()` → `awaitTermination()` → return the memory
+  * table. This runs the REAL micro-batch engine (stateful operators, state
+  * store, watermarks) yet yields a deterministic batch-comparable result,
+  * so i1–i6 are oracled with plain batch SQL. Multi-batch / late-data
+  * semantics are additionally unit-tested with `MemoryStream` (§5), since
+  * AvailableNow over a single parquet file is one data batch (plus the
+  * no-data batch that advances the watermark).
+  *
+  * Output-mode choices: windowed aggregations (i1/i2/i3/i6) run in
+  * Complete mode — Append would hold back every window newer than
+  * `max(ts) - watermark`, which can never match a batch oracle over the
+  * full table. Complete keeps all windows in the state store, fine for
+  * aggregate-sized state; the Append/watermark eviction path is exercised
+  * by i7 (unoracled, engine-internal by design) and the MemoryStream specs.
+  *
+  * Scale notes: streaming aggregation state is hash-partitioned by the
+  * grouping key across `spark.sql.shuffle.partitions` state stores —
+  * the same shuffle layout the batch groupBy uses. The stream-static join
+  * (i6) broadcasts the dim side, so the stream never shuffles. i5's
+  * per-user state is a 16-byte struct per key — the flatMapGroupsWithState
+  * pattern that replaces the reference's imperative incremental loaders.
+  */
+object Streaming {
+
+  /** memory-sink table names must be unique per started query within a
+    * session (Verify and Bench both invoke each op in one session). */
+  private val runSeq = new AtomicLong(0)
+
+  /** events.parquet carries TIMESTAMP(NANOS); with the session conf
+    * `spark.sql.legacy.parquet.nanosAsLong` (pinned in Verify/Bench) the
+    * column arrives as a raw nanos LongType, declared so here (streaming
+    * sources require an explicit schema). Floor-truncated to µs
+    * TimestampType exactly like the batch loader in [[graft.Tables]]. */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(eventsRawSchema)
+      // events.parquet is a single FILE: a non-glob path makes
+      // FileStreamSource force basePath to the file itself (then reject it
+      // as "must be a directory"), so address it via a glob and anchor
+      // basePath at the table dir
+      .option("basePath", d)
+      .parquet(s"$d/events.parquet*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run a streaming DataFrame to completion through the memory sink and
+    * return the result table. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // i1: 1-hour tumbling windows per event_type
+    "i1_stream_tumbling" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, agg, "complete")
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
+    // i2: 1-hour windows sliding every 30 minutes (each event in 2 windows)
+    "i2_stream_sliding" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, agg, "complete")
+        .select(epochUs(col("window.start")).as("w_start_us"), col("cnt"))
+        .orderBy("w_start_us")
+    }),
+
+    // i3: per-user session windows with a 30-minute gap — the native
+    // streaming successor of the batch sessionization idiom (e9)
+    "i3_stream_session_window" -> ((s, d) => {
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(epochUs(col("ts"))).as("sess_start_us"),
+          max(epochUs(col("ts"))).as("sess_end_us"))
+      runToTable(s, agg, "complete")
+        .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+        .orderBy("user_id", "sess_start_us")
+    }),
+
+    // i4: streaming dedup on (event_id, ts) with watermarked state eviction
+    "i4_stream_dedup" -> ((s, d) => {
+      val deduped = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          epochUs(col("ts")).as("ts_us"), col("value"))
+      runToTable(s, deduped, "append")
+        .orderBy("event_id")
+    }),
+
+    // i5: arbitrary stateful processing — final per-user (count, max value)
+    // via the explicit GroupState API
+    "i5_stream_stateful_running" -> ((s, d) => {
+      import s.implicits._
+      val updated = eventsStream(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (uid: Long, it: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+            var (cnt, mx) = state.getOption.getOrElse((0L, Double.MinValue))
+            it.foreach { case (_, v) => cnt += 1; if (v > mx) mx = v }
+            state.update((cnt, mx))
+            Iterator((uid, cnt, mx))
+        }
+        .toDF("user_id", "cnt", "max_value")
+      // one update row per key per batch; cnt/max are monotone, so the
+      // final state is the per-user max of each (robust to multi-batch runs)
+      runToTable(s, updated, "update")
+        .groupBy("user_id")
+        .agg(max(col("cnt")).as("cnt"), max(col("max_value")).as("max_value"))
+        .orderBy("user_id")
+    }),
+
+    // i6: stream-static enrichment join (broadcast dim), per-segment counts
+    "i6_stream_static_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, agg, "complete")
+        .orderBy("c_mktsegment")
+    }),
+
+    // i7: watermark / late-data semantics demo (unoracled by design —
+    // which rows count as late depends on micro-batch boundaries). The
+    // events table is split into two files processed as ORDERED micro
+    // batches (maxFilesPerTrigger=1): batch 2 replays rows older than the
+    // watermark established by batch 1, so its too-late rows are dropped
+    // and only watermark-finalized windows are emitted (Append mode).
+    "i7_stream_late_data" -> ((s, d) => {
+      val base = s"/tmp/graft_tmp/${s.sparkContext.applicationId}/i7_${Integer.toHexString(d.hashCode)}"
+      val ev = t(s, d, "events")
+      // batch 1: the bulk of the stream; batch 2: a 5% "straggler" slice
+      // whose timestamps span the whole range — genuinely late data
+      // plain subdir names (no '=': keep partition inference out of play);
+      // coalesce(1) so each slice is exactly one file = one micro-batch
+      ev.filter(col("event_id") % 20 =!= 0).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/in/b0")
+      ev.filter(col("event_id") % 20 === 0).coalesce(1).write.mode("overwrite")
+        .parquet(s"$base/in/b1")
+      val stream = s.readStream
+        .schema(new StructType()
+          .add("event_id", LongType).add("ts", TimestampType)
+          .add("user_id", LongType).add("event_type", StringType)
+          .add("value", DoubleType).add("props", StringType))
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", s"$base/in")
+        .parquet(s"$base/in/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+      runToTable(s, stream, "append")
+        .select(epochUs(col("window.start")).as("w_start_us"), col("cnt"))
+        .orderBy("w_start_us")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "i1_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // every event belongs to exactly two sliding windows: the one starting
+    // at its :00 hour boundary and the one starting at the :30 boundary
+    "i2_stream_sliding" ->
+      """SELECT w_start_us, count(*) AS cnt FROM (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us FROM events
+           UNION ALL
+           SELECT epoch_us(date_trunc('hour', ts - INTERVAL 30 MINUTE)
+                           + INTERVAL 30 MINUTE) FROM events)
+         GROUP BY 1 ORDER BY 1""",
+
+    // batch-equivalent sessionization (same idiom as e9's oracle),
+    // aggregated to (user, session bounds, count)
+    "i3_stream_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessioned AS (
+           SELECT user_id, ts_us,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, count(*) AS n_events,
+                min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
+         FROM sessioned GROUP BY user_id, session_id
+         ORDER BY user_id, sess_start_us""",
+
+    "i4_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+         FROM events ORDER BY event_id""",
+
+    "i5_stream_stateful_running" ->
+      """SELECT user_id, count(*) AS cnt, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "i6_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1"""
+  )
+}
