@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5 layer-4 plan-shape guards: pin the physical-plan properties
+  * the 100-TB story depends on, so a future edit can't silently lose
+  * pushdown, broadcast, or top-k pushdown. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(spark, sfTiny).queryExecution.executedPlan.toString
+
+  test("a3: shipdate filter is pushed into the parquet scan") {
+    val p = plan("a3_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("a2: projection prunes the scan to the 3 selected columns") {
+    val p = plan("a2_scan_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"scan not pruned:\n$p")
+  }
+
+  test("c1: dim join is a broadcast hash join") {
+    assert(plan("c1_join_broadcast_equi").contains("BroadcastHashJoin"))
+  }
+
+  test("c2: fact-fact join is a shuffle sort-merge join") {
+    assert(plan("c2_join_shuffle_equi").contains("SortMergeJoin"))
+  }
+
+  test("f3: global top-k is TakeOrderedAndProject (no full sort)") {
+    assert(plan("f3_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("j3: cosine kernel is the native codegen float_dot expression") {
+    assert(plan("j3_sim_cosine_pairs").contains("float_dot"))
+  }
+
+  test("e7: global rank is range-partitioned, not a single-task window") {
+    val p = plan("e7_win_distribution").toLowerCase
+    assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
+    // the only acceptable unpartitioned window input is the tiny
+    // per-partition count table, never the customer scan directly
+    assert(!p.contains("window [ntile"), s"ntile window crept back:\n$p")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5 layer-3: multi-batch watermark semantics with MemoryStream
+  * (controlled batch boundaries — the part AvailableNow over one file
+  * can't exercise), plus streaming-vs-batch equivalence for the stateful
+  * operators. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late rows across micro-batches (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Timestamp]
+    val windowed = input.toDF().withColumnRenamed("value", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = windowed.writeStream.format("memory").queryName("wm_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: three rows, two windows; nothing finalized yet
+      input.addData(ts("2024-01-01 10:05:00"), ts("2024-01-01 10:20:00"),
+        ts("2024-01-01 11:10:00"))
+      q.processAllAvailable()
+      assert(spark.table("wm_spec").count() == 0)
+      // batch 2: event at 13:00 -> watermark 12:00 -> 10:00/11:00 finalize
+      input.addData(ts("2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      // batch 3: 10:30 is older than the 12:00 watermark -> dropped
+      input.addData(ts("2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      val out = spark.table("wm_spec")
+        .select(col("window.start").cast("string"), col("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map(
+        "2024-01-01 10:00:00" -> 2L, // late 10:30 NOT counted
+        "2024-01-01 11:00:00" -> 1L)) // 13:00 window not finalized yet
+    } finally q.stop()
+  }
+
+  test("i3 streaming session windows == e9 batch sessionization") {
+    val stream = SparkEntry.queries("i3_stream_session_window")(spark, sfTiny)
+      .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("e9_win_sessionize")(spark, sfTiny)
+      .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("i5 final flatMapGroupsWithState state == batch groupBy") {
+    val stream = SparkEntry.queries("i5_stream_stateful_running")(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.t(spark, sfTiny, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), max(col("value")).as("max_value"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("i7 late-data demo runs and emits only finalized windows") {
+    val out = SparkEntry.queries("i7_stream_late_data")(spark, sfTiny)
+    assert(out.count() > 0)
+  }
+}
