@@ -165,7 +165,10 @@ object LlmOps {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("docs"),
           rnd4(avg(col("n_chars"))).as("avg_chars"),
-          countDistinct(col("text")).as("distinct_docs"))
+          // distinct-count the 32-byte digest, not the document body: at
+          // scale the distinct key is what gets shuffled, and SHA-256
+          // collisions are beyond negligible, so the count is identical
+          countDistinct(sha2(col("text"), 256)).as("distinct_docs"))
         .orderBy("lang", "source")),
 
     // lexicon sentiment: fixed word -> {-1,+1} map, sum per doc, histogram per lang

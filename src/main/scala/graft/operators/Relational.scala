@@ -165,18 +165,41 @@ object Relational {
         .orderBy("p1", "p2")
     }),
 
+    // as-of join via union + last-value carry-forward (SURVEY §7.5): merge
+    // both tables into one per-user timeline and carry the latest order
+    // struct forward to each event row. ONE shuffle on user_id and a
+    // per-partition sort — no |orders-per-user| × |events-per-user| join
+    // fan-out, which is the classic as-of blow-up under skewed users.
+    // Sort key (t, is_order desc, okey): orders sort before events at
+    // equal t (the join is inclusive, o_orderdate <= ts) and the last
+    // order carried at the max date is the max o_orderkey — identical
+    // tie-break to the join+row_number formulation.
     "c10_join_asof" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = t(s, d, "events").select("event_id", "ts", "user_id")
-      val ord = t(s, d, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-      ev.join(ord, col("user_id") === col("o_custkey") &&
-          col("o_orderdate") <= col("ts"), "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      val ordRecType = "struct<o_orderkey:bigint,o_totalprice:double>"
+      val ord = t(s, d, "orders").select(
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(1).as("is_order"),
+        struct(col("o_orderkey"), col("o_totalprice")).as("ordrec"),
+        col("o_orderkey").as("okey"),
+        lit(null).cast(LongType).as("event_id"))
+      val ev = t(s, d, "events").select(
+        col("user_id"),
+        col("ts").as("t"),
+        lit(0).as("is_order"),
+        lit(null).cast(ordRecType).as("ordrec"),
+        lit(null).cast(LongType).as("okey"),
+        col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("is_order").desc, col("okey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord.unionByName(ev)
+        .withColumn("carried", last(col("ordrec"), ignoreNulls = true).over(w))
+        .filter(col("is_order") === 0)
+        .select(col("event_id"), col("user_id"),
+          col("carried.o_orderkey").as("o_orderkey"),
+          col("carried.o_totalprice").as("o_totalprice"))
         .orderBy("event_id")
     }),
 
