@@ -11,11 +11,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Windows.queries ++
-      Functions.queries ++ LlmOps.queries ++ Extensions.queries ++ Streaming.queries
+      Functions.queries ++ LlmOps.queries ++ Extensions.queries ++
+      Streaming.queries ++ TrainOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Windows.oracle ++
-      Functions.oracle ++ LlmOps.oracle ++ Extensions.oracle ++ Streaming.oracle
+      Functions.oracle ++ LlmOps.oracle ++ Extensions.oracle ++
+      Streaming.oracle ++ TrainOps.oracle
 }

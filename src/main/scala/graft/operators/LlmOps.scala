@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
 object LlmOps {
 
   /** lower + split on non-letter runs; drops empty tokens. */
-  private def tokens(s: SparkSession, d: String): DataFrame =
+  private[operators] def tokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), "[^a-z]+")).as("term"))
@@ -38,7 +38,7 @@ object LlmOps {
     * loop inside WholeStageCodegen (bit-identical to widening each float to
     * double and summing left-to-right, which is what the DuckDB oracle
     * does), replacing the interpreted HOF kernel that was ~160× slower. */
-  private def embs(s: SparkSession, d: String): DataFrame =
+  private[operators] def embs(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("norm", sqrt(floatDot(col("embedding"), col("embedding"))))

@@ -1,0 +1,321 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.VectorFunctions.floatDot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.L — the rest of the large-scale training-data pipeline:
+  * SimHash near-dedup, embedding-space near-dup + IVF ANN, language ID,
+  * quality scoring, document fingerprinting, and multimodal binary-column
+  * plumbing.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - SimHash (l1) reduces each doc to ONE 64-bit signature; candidate
+  *    pairs come from equi-joins on 16-bit bands (4 bands ⇒ any pair with
+  *    Hamming distance ≤ 3 shares an intact band by pigeonhole), so the
+  *    dedup join shuffles 8-byte signatures, never text;
+  *  - the embedding ops split correctness baseline (l2, exact all-pairs
+  *    argmax — only for dims that fit a broadcast) from the scale path
+  *    (l3, IVF: one pass to assign vectors to coarse centroids, query
+  *    probes a few cells — the shuffle is per-cell, not all-pairs);
+  *  - langid/quality/fingerprint (l4/l5/l6) are single-scan explode →
+  *    groupBy(doc_id) pipelines, map-side combinable, one shuffle each;
+  *  - multimodal (l7) treats media as opaque binary + typed metadata and
+  *    runs feature extraction per-partition over the iterator (the real
+  *    decoder would replace ONE clearly-marked function; the schema,
+  *    partitioning, and batch shape are the production plumbing).
+  */
+object TrainOps {
+
+  /** exact-dup + planted-near-dup signature: 64-bit SimHash over unigram
+    * token hashes (xxhash64 — engine-internal, hence unoracled). */
+  private def simhashed(s: SparkSession, d: String): DataFrame = {
+    val toks = LlmOps.tokens(s, d).select(col("doc_id"), xxhash64(col("term")).as("h"))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when((shiftright(col("h"), i).bitwiseAND(lit(1L))) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sig = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)): Column
+    }.reduce(_ + _) // bits are disjoint, so the sum assembles the signature
+    toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // l1: SimHash near-dedup — banded candidate join + Hamming <= 3 filter,
+    // one-hop cluster rep like j2. Unoracled (xxhash64 is engine-internal);
+    // validated in TrainOpsSpec against exact duplicates + pair sanity.
+    "l1_dedup_simhash" -> ((s, d) => {
+      val sigs = simhashed(s, d)
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(k =>
+          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
+            * 4 + k): _*)).as("band"))
+      val pairs = banded.as("a")
+        .join(banded.as("b"), col("a.band") === col("b.band") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"),
+          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        .distinct()
+        .filter(expr("bit_count(ha ^ hb) <= 3"))
+      val nbrs = pairs.groupBy("doc_id")
+        .agg(min(col("nbr")).as("min_nbr"), count(lit(1)).as("n_dups"))
+      sigs.join(nbrs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+        .orderBy("doc_id")
+    }),
+
+    // l2: embedding-space near-dup — per-vector nearest neighbour by
+    // cosine + dup flag at 0.95. Exact all-pairs argmax is the correctness
+    // baseline (broadcast one side); l3 is the scale path.
+    "l2_sim_embedding_nn" -> ((s, d) => {
+      val e = LlmOps.embs(s, d)
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+          rnd4(floatDot(col("a.embedding"), col("b.embedding")) /
+            (col("a.norm") * col("b.norm"))).as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), col("sim"),
+          (col("sim") >= 0.95).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
+    // l3: IVF-style ANN — coarse quantization with the first 16 vectors as
+    // centroids (deterministic one-pass assignment), query probes its 4
+    // nearest cells, brute-force only within probed cells. At scale the
+    // per-cell inverted lists are the partitioning: a query touches
+    // nprobe/ncells of the data instead of all of it.
+    "l3_ann_ivf_topk" -> ((s, d) => {
+      val e = LlmOps.embs(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
+          col("norm").as("c_norm"))
+      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+          rnd4(floatDot(col("embedding"), col("c_emb")) /
+            (col("norm") * col("c_norm"))).as("csim"))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+      val q = assigned.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val probed = cents.crossJoin(broadcast(q))
+        .select(col("cid"),
+          rnd4(floatDot(col("c_emb"), col("q_emb")) /
+            (col("c_norm") * col("q_norm"))).as("qsim"))
+        .orderBy(col("qsim").desc, col("cid")).limit(4)
+        .select("cid")
+      assigned.join(broadcast(probed), "cid")
+        .filter(col("vec_id") > 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cid"),
+          rnd4(floatDot(col("embedding"), col("q_emb")) /
+            (col("norm") * col("q_norm"))).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    // l4: marker-word language ID (n-gram/stopword heuristic): score each
+    // candidate language by marker hits, argmax with lexicographic
+    // tie-break, compare against the labelled lang
+    "l4_text_langid" -> ((s, d) => {
+      val en = Seq("the", "a", "of")
+      val xx = Seq("der", "le", "la")
+      val scored = LlmOps.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(sum(when(col("term").isin(en: _*), 1).otherwise(0)).as("en_hits"),
+          sum(when(col("term").isin(xx: _*), 1).otherwise(0)).as("xx_hits"),
+          count(lit(1)).as("n_toks"))
+      val pred = when(col("xx_hits") > col("en_hits"), lit("xx")).otherwise(lit("en"))
+      t(s, d, "documents").select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .select(col("doc_id"), pred.as("pred_lang"),
+          rnd4(greatest(col("en_hits"), col("xx_hits")).cast(DoubleType) /
+            col("n_toks")).as("confidence"),
+          (pred === col("lang")).as("matches_label"))
+        .orderBy("doc_id")
+    }),
+
+    // l5: document quality scoring — token count, stopword ratio, mean
+    // token length, composited into a pinned formula
+    "l5_text_quality" -> ((s, d) => {
+      val stop = Seq("the", "a", "of", "and")
+      val perDoc = LlmOps.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin(stop: _*), 1).otherwise(0)).as("stop_cnt"),
+          // exact long sum ÷ count, not avg(): double accumulation order
+          // differs across partitions and flips .xxxx5 rounding boundaries
+          sum(length(col("term"))).as("len_sum"))
+      perDoc
+        .withColumn("avg_len", col("len_sum").cast(DoubleType) / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+        // floor(x*1e4+0.5)/1e4 instead of round(): the composite lands on
+        // .xxxx5 boundaries where Spark (shortest-repr HALF_UP) and DuckDB
+        // disagree; this formula is pure IEEE ops, identical on both
+        .withColumn("raw_q", lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * least(lit(1.0), col("avg_len") / 8.0))
+        .select(col("doc_id"), col("n_tokens"), rnd4(col("stop_ratio")).as("stop_ratio"),
+          (floor(col("raw_q") * 1e4 + 0.5) / 1e4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // l6: document fingerprint — min-sampled rolling 4-gram digest
+    // (winnowing-lite): md5 of each consecutive 4-token window, keep the
+    // lexicographic min per doc. md5 hex is identical on both engines, so
+    // this content-defined fingerprint is fully oracled.
+    "l6_fingerprint_minhash" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z]+")))
+        .withColumnRenamed("col", "term")
+        .filter(col("term") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      toks
+        .withColumn("t1", lead(col("term"), 1).over(w))
+        .withColumn("t2", lead(col("term"), 2).over(w))
+        .withColumn("t3", lead(col("term"), 3).over(w))
+        .filter(col("t3").isNotNull)
+        .withColumn("gram",
+          concat_ws(" ", col("term"), col("t1"), col("t2"), col("t3")))
+        .groupBy("doc_id")
+        .agg(min(md5(col("gram"))).as("fingerprint"),
+          count(lit(1)).as("n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // l7: multimodal binary-column plumbing — media payload as opaque
+    // binary + typed metadata struct, feature extraction per PARTITION over
+    // the raw iterator. decodeStub is where a real image/audio decoder
+    // would go (not available in this environment, SURVEY §2.L); the
+    // surrounding schema/partition/batch shape is the production path.
+    "l7_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+          struct(length(col("text")).as("size_chars"),
+            lit("utf8-text").as("format")).as("meta"))
+      // STUB: stands in for image decode / feature extraction; everything
+      // it computes is deterministic over the payload bytes
+      def decodeStub(payload: Array[Byte]): (Long, Long, Long) =
+        (payload.length.toLong,
+          payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L,
+          (payload.head & 0xff).toLong)
+      media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val (sz, checksum, head) = decodeStub(bytes)
+          (id, sz, checksum, head)
+        })
+        .toDF("doc_id", "size_bytes", "checksum", "head_byte")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l2_sim_embedding_nn" ->
+      """WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             FROM embeddings),
+           sims AS (
+             SELECT a.vec_id, b.vec_id AS nn_id,
+                    round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+             FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+         SELECT vec_id, nn_id, sim, sim >= 0.95 AS is_dup FROM (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY sim DESC, nn_id) AS rn FROM sims)
+         WHERE rn = 1 ORDER BY vec_id""",
+
+    "l3_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             FROM embeddings),
+           c AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 16),
+           assigned AS (
+             SELECT vec_id, emb, cid FROM (
+               SELECT e.vec_id, e.emb, c.cid,
+                      round(list_cosine_similarity(e.emb, c.c_emb), 4) AS csim,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 4) DESC,
+                                 c.cid) AS rn
+               FROM e CROSS JOIN c)
+             WHERE rn = 1),
+           q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+           probed AS (
+             SELECT cid FROM c CROSS JOIN q
+             ORDER BY round(list_cosine_similarity(c.c_emb, q.q_emb), 4) DESC, cid
+             LIMIT 4)
+         SELECT a.vec_id, a.cid,
+                round(list_cosine_similarity(a.emb, q.q_emb), 4) AS sim
+         FROM assigned a JOIN probed USING (cid) CROSS JOIN q
+         WHERE a.vec_id > 0
+         ORDER BY sim DESC, a.vec_id LIMIT 10""",
+
+    "l4_text_langid" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         scored AS (
+           SELECT doc_id,
+                  sum(CASE WHEN term IN ('the','a','of') THEN 1 ELSE 0 END) AS en_hits,
+                  sum(CASE WHEN term IN ('der','le','la') THEN 1 ELSE 0 END) AS xx_hits,
+                  count(*) AS n_toks
+           FROM toks WHERE term <> '' GROUP BY 1)
+         SELECT d.doc_id,
+                CASE WHEN xx_hits > en_hits THEN 'xx' ELSE 'en' END AS pred_lang,
+                round(CAST(greatest(en_hits, xx_hits) AS DOUBLE) / n_toks, 4) AS confidence,
+                (CASE WHEN xx_hits > en_hits THEN 'xx' ELSE 'en' END) = d.lang AS matches_label
+         FROM documents d JOIN scored USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "l5_text_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END) AS stop_cnt,
+                  CAST(sum(length(term)) AS DOUBLE) / count(*) AS avg_len
+           FROM toks WHERE term <> '' GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                round(CAST(stop_cnt AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+                -- scientific literals force DOUBLE (plain 0.4 is DECIMAL);
+                -- floor(x*1e4+5e-1)/1e4 is the portable boundary-safe round
+                floor((4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                     + 3e-1 * least(1e0, n_tokens / 1e2)
+                     + 3e-1 * least(1e0, avg_len / 8e0)) * 1e4 + 5e-1) / 1e4 AS quality
+         FROM per_doc ORDER BY doc_id""",
+
+    "l6_fingerprint_minhash" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         seq AS (
+           SELECT doc_id, pos, term,
+                  lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2,
+                  lead(term, 3) OVER w AS t3
+           FROM toks WHERE term <> ''
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         SELECT doc_id,
+                min(md5(term || ' ' || t1 || ' ' || t2 || ' ' || t3)) AS fingerprint,
+                count(*) AS n_grams
+         FROM seq WHERE t3 IS NOT NULL
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // the corpus is pure ASCII, so chars == UTF-8 bytes and ascii() == byte
+    "l7_multimodal_features" ->
+      """WITH chars AS (
+           SELECT doc_id, generate_subscripts(cs, 1) AS pos, unnest(cs) AS ch
+           FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents))
+         SELECT doc_id, count(*) AS size_bytes,
+                CAST(sum(ascii(ch)) % 997 AS BIGINT) AS checksum,
+                CAST(min(CASE pos WHEN 1 THEN ascii(ch) END) AS BIGINT) AS head_byte
+         FROM chars GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Validation for the unoracled SimHash near-dedup (l1): xxhash64 is
+  * engine-internal, so correctness is pinned behaviourally — identical
+  * texts get identical signatures (Hamming 0), exact-duplicate pairs land
+  * in one cluster, and the banded join must not degenerate to all-pairs. */
+class TrainOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sfDup = "/root/testdata/sf0.1" // only tier with exact text dups
+
+  test("l1: exact-duplicate texts share a simhash cluster") {
+    val out = SparkEntry.queries("l1_dedup_simhash")(spark, sfDup)
+    val docs = spark.read.parquet(s"$sfDup/documents.parquet")
+      .select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+    val dupPairs = docs.as("a").join(docs.as("b"),
+        col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty, "sf0.1 should contain exact dup texts")
+
+    val rows = out.collect()
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val sig = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dupPairs.foreach { case (x, y) =>
+      assert(sig(x) == sig(y), s"identical texts $x/$y differ in simhash")
+      assert(cluster(x) == cluster(y), s"identical texts $x/$y not clustered")
+    }
+    val merged = rows.count(r => r.getLong(0) != r.getLong(2))
+    assert(merged < rows.length / 10,
+      s"$merged of ${rows.length} docs marked near-dup — degenerate banding")
+  }
+}
