@@ -76,14 +76,18 @@ object TrainOps {
     // baseline (broadcast one side); l3 is the scale path.
     "l2_sim_embedding_nn" -> ((s, d) => {
       val e = LlmOps.embs(s, d)
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+      // argmax via max_by on (sim, -nn_id) — partial-aggregates map-side,
+      // so the all-pairs sims never shuffle (vs sorting them in a window);
+      // lexicographic max == (sim desc, nn_id asc), the oracle's tie-break
       e.as("a").join(broadcast(e.as("b")), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
           rnd4(floatDot(col("a.embedding"), col("b.embedding")) /
             (col("a.norm") * col("b.norm"))).as("sim"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn_id"), col("sim"),
-          (col("sim") >= 0.95).as("is_dup"))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("nn_id"), col("sim")),
+          struct(col("sim"), (-col("nn_id")).as("neg"))).as("nn"))
+        .select(col("vec_id"), col("nn.nn_id").as("nn_id"), col("nn.sim").as("sim"),
+          (col("nn.sim") >= 0.95).as("is_dup"))
         .orderBy("vec_id")
     }),
 
