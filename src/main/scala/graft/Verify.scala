@@ -16,6 +16,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); pin the legacy long-read
       // once at build time so every query/path sees the same session state.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill on tmpfs (see Bench.scala)
+      .config("spark.local.dir", "/dev/shm/graft_spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,7 +143,24 @@ object Aggregates {
           coalesce(col("error"), lit(0L)).as("error"),
           coalesce(col("signup"), lit(0L)).as("signup"),
           coalesce(col("view"), lit(0L)).as("view"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // skew-mitigated aggregation: two-stage salted groupBy. Stage 1 groups
+    // on (key, salt) so one hot key spreads over 16 reducers; stage 2
+    // merges the 16 partials. The result is salt-independent (counts and
+    // exact decimal sums are associative), so the plain-GROUP-BY oracle
+    // still applies. This is the manual skew idiom for when AQE's runtime
+    // skew handling can't apply (first-stage aggregations).
+    "d15_agg_salted_skew" -> ((s, d) => {
+      val partial = t(s, d, "events")
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pc"),
+          sum(dec(col("value"), 25, 10)).as("ps"))
+      partial.groupBy("event_type")
+        .agg(sum(col("pc")).as("cnt"), dbl(sum(col("ps"))).as("sum_value"))
+        .orderBy("event_type")
+    })
   )
 
   private val q1Money =
@@ -242,6 +259,11 @@ object Aggregates {
            count(*) FILTER (WHERE event_type = 'error') AS error,
            count(*) FILTER (WHERE event_type = 'signup') AS signup,
            count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "d15_agg_salted_skew" ->
+      """SELECT event_type, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -56,36 +56,63 @@ object LlmOps {
         .select("doc_id", "digest")
         .orderBy("doc_id")),
 
-    // near-duplicate clustering: word-3-gram shingles -> MinHash LSH ->
-    // exact-Jaccard filter at >= 0.8 (distance <= 0.2, SURVEY §2.J) ->
-    // per-doc cluster assignment. Seeded but engine-internal hash family,
-    // so no SQL oracle — validated against exact shingle-Jaccard pairs in
-    // LlmOpsSpec (recall >= 0.9 at sf0.001).
+    // near-duplicate clustering: the explicit shingle → minhash → band →
+    // bucket-join pipeline, Jaccard >= 0.8 (SURVEY §2.J), per-doc cluster
+    // assignment. Engine-internal hash family (xxhash64), so no SQL
+    // oracle — validated against exact shingle-Jaccard pairs in LshSpec
+    // (recall >= 0.9 at sf0.001).
     //
-    // Scale story: shingling makes the feature sets sparse (random text
-    // shares almost no 3-grams), so LSH buckets only group genuinely
-    // similar docs — candidate pairs come from equi-joins on minhash
-    // values, never an all-pairs scan. Output is one row per doc (doc_id,
-    // cluster representative, neighbour count), not the raw pair list.
+    // Built entirely from codegen'd columnar primitives (no ML-pipeline
+    // per-row UDFs): 8 minhashes per doc in ONE aggregation pass, band
+    // equi-join for candidates (a pair with true J >= 0.8 shares a band
+    // with p = 1-(1-J)^8 > 0.999), then an EXACT Jaccard filter via
+    // array_intersect on the hashed shingle sets of candidates only.
+    // Scale story: candidates come from the equi-join on (band, value) —
+    // hash-partitioned, never an all-pairs scan; full shingle sets are
+    // only materialized for the few candidate docs, and the output is one
+    // row per doc, not the raw pair list.
     "j2_dedup_near_minhash" -> ((s, d) => {
-      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
       val docs = t(s, d, "documents").select("doc_id", "text")
-      val tok = new RegexTokenizer().setInputCol("text").setOutputCol("toks")
-        .setPattern("[^a-z]+").setToLowercase(true)
-      val ng = new NGram().setN(3).setInputCol("toks").setOutputCol("shingles")
-      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-        .setNumFeatures(1 << 20).setBinary(true)
-      val featured = tf.transform(ng.transform(tok.transform(docs)))
-        .filter(size(col("shingles")) >= 1) // MinHashLSH rejects empty sets
-      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
-      val model = lsh.fit(featured)
-      val pairs = model
-        .approxSimilarityJoin(featured, featured, 0.2, "jaccard_dist")
-        .select(col("datasetA.doc_id").as("a_id"),
-          col("datasetB.doc_id").as("b_id"))
-        .filter(col("a_id") =!= col("b_id"))
+      // shingle inside the row (array expr, no explode-then-window): the
+      // token stream never leaves its doc, so shingling costs ZERO shuffle
+      // — vs sorting every token row under a per-doc window
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      val shingles = docs
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ws")) - 3),
+            i => xxhash64(concat_ws(" ",
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3))))).as("sh"))
         .distinct()
+      val nBands = 8
+      // persisted: consumed 4× below (both sides of the band self-join +
+      // the two candidate set lookups) — without it the whole shingle
+      // pipeline re-executes per consumer. At cluster scale this is the
+      // signature table you'd materialize once per corpus snapshot.
+      val sigs = shingles.groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("set"),
+          (0 until nBands).map(b => min(xxhash64(lit(b), col("sh"))).as(s"m$b")): _*)
+        .persist()
+      // the band join shuffles only (doc_id, band, value) — 24 bytes/row;
+      // shingle sets attach to the (few) candidates afterwards
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b => col(s"m$b")): _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val pairs = cand
+        .join(sigs.select(col("doc_id").as("a_id"), col("set").as("sa")), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("set").as("sb")), "b_id")
+        // exact Jaccard on the hashed shingle sets, candidates only
+        .filter(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))) >= 0.8)
       // one-hop cluster representative: min doc_id among {self} ∪ neighbours
       // (near-dup clusters are effectively cliques, so this is the cluster min)
       val nbr = pairs.groupBy(col("a_id").as("doc_id"))

@@ -18,7 +18,9 @@ object Relational {
     * concurrent Verify/Bench runs never clobber each other's intermediates. */
   private def scratch(s: org.apache.spark.sql.SparkSession, d: String,
       tag: String): String =
-    s"/tmp/graft_tmp/${s.sparkContext.applicationId}/${tag}_${Integer.toHexString(d.hashCode)}"
+    // tmpfs, not /tmp: the sink round-trips should measure the operator,
+    // not the VM's throttled virtio disk
+    s"/dev/shm/graft_tmp/${s.sparkContext.applicationId}/${tag}_${Integer.toHexString(d.hashCode)}"
 
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
@@ -40,8 +42,11 @@ object Relational {
 
     "a4_source_csv_roundtrip" -> ((s, d) => {
       val path = scratch(s, d, "a4_csv")
-      t(s, d, "region").write.mode("overwrite").option("header", "true").csv(path)
-      s.read.option("header", "true").option("inferSchema", "true").csv(path)
+      val src = t(s, d, "region")
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      // schema pass-through, not inferSchema: inference re-reads the whole
+      // CSV once just to guess types — a full extra scan at 100 TB
+      s.read.schema(src.schema).option("header", "true").csv(path)
         .orderBy("r_regionkey")
     }),
 
@@ -61,6 +66,12 @@ object Relational {
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
         .select(col("event_id"), col("j.k").cast(IntegerType).as("k"))
         .orderBy("event_id")),
+
+    "a7_source_orc_roundtrip" -> ((s, d) => {
+      val path = scratch(s, d, "a7_orc")
+      t(s, d, "nation").write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy("n_nationkey")
+    }),
 
     // ---- B. projection / filter / predicates ----
     "b1_project_derived" -> ((s, d) =>
@@ -203,6 +214,37 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // co-located (bucketed) join: both sides pre-bucketed+sorted on the
+    // join key into catalog tables, so the sort-merge join reads bucket i
+    // against bucket i directly — NO Exchange on either side (pinned by
+    // PlanShapeSpec: strictly fewer shuffles than the equivalent c2).
+    // This is THE 100-TB pattern for repeated fact-fact joins: pay the
+    // shuffle once at write time, never per query.
+    "c12_join_bucketed" -> ((s, d) => {
+      val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(d.hashCode)
+      val base = scratch(s, d, "c12_bkt")
+      val ordT = s"graft_ord_$tag"
+      val liT = s"graft_li_$tag"
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/ord").saveAsTable(ordT)
+      t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").saveAsTable(liT)
+      s.table(liT)
+        .join(s.table(ordT).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+          dbl(sum(dec(col("l_extendedprice"), 18, 2) *
+            (dec(lit(1), 3, 2) - dec(col("l_discount"), 4, 2)))).as("revenue"),
+          count(lit(1)).as("item_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
     "c11_join_interval_self" -> ((s, d) => {
       val a = t(s, d, "events").select(col("event_id").as("a_id"),
         col("user_id").as("a_user"), col("ts").as("a_ts"))
@@ -292,6 +334,9 @@ object Relational {
     "a4_source_csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
 
+    "a7_source_orc_roundtrip" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
          FROM orders GROUP BY 1 ORDER BY 1""",
@@ -324,6 +369,13 @@ object Relational {
          GROUP BY 1 ORDER BY 1""",
 
     "c2_join_shuffle_equi" ->
+      """SELECT o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS item_cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "c12_join_bucketed" ->
       """SELECT o_orderpriority,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            count(*) AS item_cnt

@@ -39,6 +39,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("j3_sim_cosine_pairs").contains("float_dot"))
   }
 
+  test("c12: bucketed join shuffles strictly less than the shuffle join c2") {
+    def exchanges(key: String): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(plan(key)).length
+    val bucketed = exchanges("c12_join_bucketed")
+    val shuffled = exchanges("c2_join_shuffle_equi")
+    assert(bucketed < shuffled,
+      s"bucketed=$bucketed vs shuffled=$shuffled — bucket co-location lost")
+    assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
