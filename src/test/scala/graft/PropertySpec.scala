@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** SURVEY §5 layer-2 property tests (seeded-random, no framework bridge in
+  * the offline cache): the custom kernels must agree with straightforward
+  * reference implementations on arbitrary inputs. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("FloatDotProduct == sequential double dot product on random vectors") {
+    val rnd = new Random(42)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(16)
+      val a = List.fill(n)(rnd.nextFloat() * 20f - 10f)
+      val b = List.fill(n)(rnd.nextFloat() * 20f - 10f)
+      val expected = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + x.toDouble * y.toDouble
+      }
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(a, b)),
+        StructType(Seq(
+          StructField("a", ArrayType(FloatType)),
+          StructField("b", ArrayType(FloatType)))))
+      val got = df.select(
+        graft.functions.VectorFunctions.floatDot(col("a"), col("b")).as("d"))
+        .head().getDouble(0)
+      assert(got == expected, s"a=$a b=$b")
+    }
+  }
+
+  test("e7's closed-form ntile/percent_rank/cume_dist == Spark's window fns") {
+    val rnd = new Random(7)
+    (1 to 6).foreach { _ =>
+      val n = 4 + rnd.nextInt(40)
+      import spark.implicits._
+      val df = (1 to n).map(i => (i.toLong, rnd.nextInt(n).toDouble))
+        .toDF("c_custkey", "c_acctbal")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val builtin = df.select(col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      // drive the e7 operator over the same data via a scratch table dir
+      val dir = s"/dev/shm/graft_tmp/proptest_${spark.sparkContext.applicationId}_$n"
+      df.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      val ours = SparkEntry.queries("e7_win_distribution")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(ours == builtin, s"n=$n")
+    }
+  }
+}
