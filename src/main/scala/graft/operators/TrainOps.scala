@@ -194,6 +194,20 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // l8: token counting — whitespace tokens vs a BPE-ish regex tokenizer
+    // (letter runs / digit runs / single punctuation, the GPT-2-style
+    // pre-tokenization shape) vs raw chars. Single scan, per-row exprs.
+    "l8_text_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast(LongType).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast(LongType).as("re_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_out"))
+        .orderBy("doc_id")),
+
     // l7: multimodal binary-column plumbing — media payload as opaque
     // binary + typed metadata struct, feature extraction per PARTITION over
     // the raw iterator. decodeStub is where a real image/audio decoder
@@ -311,6 +325,13 @@ object TrainOps {
                 count(*) AS n_grams
          FROM seq WHERE t3 IS NOT NULL
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "l8_text_token_count" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_out
+         FROM documents ORDER BY doc_id""",
 
     // the corpus is pure ASCII, so chars == UTF-8 bytes and ascii() == byte
     "l7_multimodal_features" ->
