@@ -81,6 +81,22 @@ object Extensions {
         .orderBy("doc_id", "position")
     }),
 
+    // k5: native SQL function registration — the codegen FloatDotProduct
+    // expression exposed to SQL text through the session FunctionRegistry
+    // (the production path for hot scalar kernels: no UDF serialization,
+    // participates in whole-stage codegen). Registration is idempotent and
+    // self-contained, so the query works in any session.
+    "k5_sql_function" -> ((s, d) => {
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(s, "float_dot",
+        exprs => graft.functions.FloatDotProduct(exprs(0), exprs(1)))
+      t(s, d, "embeddings").createOrReplaceTempView(
+        s"graft_emb_${Integer.toHexString(d.hashCode)}")
+      s.sql(
+        s"""SELECT vec_id, round(sqrt(float_dot(embedding, embedding)), 4) AS l2_norm
+            FROM graft_emb_${Integer.toHexString(d.hashCode)}
+            ORDER BY vec_id""")
+    }),
+
     // k4: typed Dataset pipeline: filter -> groupByKey -> mapGroups
     "k4_typed_dataset" -> ((s, d) => {
       import s.implicits._
@@ -132,6 +148,12 @@ object Extensions {
     "k4_typed_dataset" ->
       """SELECT o_orderstatus, count(*) AS n_orders, max(o_totalprice) AS max_price
          FROM orders WHERE o_totalprice > 100000.0
-         GROUP BY 1 ORDER BY o_orderstatus"""
+         GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "k5_sql_function" ->
+      """SELECT vec_id,
+           round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS l2_norm
+         FROM embeddings ORDER BY vec_id"""
   )
 }
