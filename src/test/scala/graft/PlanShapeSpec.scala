@@ -49,6 +49,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
+  test("j2/l1: near-dedup candidate joins are equi-joins, never all-pairs") {
+    Seq("j2_dedup_near_minhash", "l1_dedup_simhash").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k degenerated to an all-pairs join:\n$p")
+    }
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
