@@ -33,4 +33,13 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(merged < rows.length / 10,
       s"$merged of ${rows.length} docs marked near-dup — degenerate banding")
   }
+
+  test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
+    val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
+      .collect().map(_.getLong(0)).toSet
+    val exact = SparkEntry.queries("j4_sim_knn_query")(spark, sfTiny)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall (probing 4/16 cells)")
+  }
 }
