@@ -245,6 +245,22 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // the same as-of semantics as c10, through the NATIVE custom operator
+    // (graft.plans.AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): a
+    // streaming merge over co-partitioned sorted runs with one carried
+    // row of state — no join fan-out, no window materialization. The
+    // planner strategy is injected at runtime (spark.experimental), so
+    // the operator works in any session.
+    "c13_join_asof_native" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.AsOfJoin
+        .asOf(s, ev, ord, "user_id", "ts", "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("event_id")
+    }),
+
     "c11_join_interval_self" -> ((s, d) => {
       val a = t(s, d, "events").select(col("event_id").as("a_id"),
         col("user_id").as("a_user"), col("ts").as("a_ts"))
@@ -423,6 +439,15 @@ object Relational {
          ORDER BY 1, 2""",
 
     "c10_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+           FROM events e LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+         WHERE rn = 1 ORDER BY event_id""",
+
+    "c13_join_asof_native" ->
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
              row_number() OVER (PARTITION BY e.event_id

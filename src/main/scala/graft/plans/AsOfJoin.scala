@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** A native as-of join operator — the full custom-operator rung of the
+  * extension ladder (logical node → planner strategy → physical exec),
+  * complementing the composed union+carry-forward formulation (c10).
+  *
+  * Semantics: for every left row, attach the LAST right row (in
+  * `(key, time, tie)` ascending order) with the same key and
+  * `rightTime <= leftTime`; nulls if none — i.e. a left-outer as-of join
+  * with inclusive matching and max-(time, tie) tie-breaking, exactly c10's
+  * semantics.
+  *
+  * Scale design: the exec DECLARES `ClusteredDistribution(key)` and
+  * per-partition `(key, time)` ordering for both children and lets
+  * Spark's `EnsureRequirements` insert the minimal exchanges/sorts — the
+  * operator itself is a zero-allocation streaming merge over co-partitioned
+  * sorted runs (one carried right row of state), never materializing the
+  * per-key cross product that a join+filter+window formulation builds.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute, rightTie: Attribute)
+  extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, leftTime: Attribute,
+    rightKey: Attribute, rightTime: Attribute, rightTie: Attribute)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    // long-backed key/time columns (bigint keys, timestamps-as-micros)
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0,
+      "as-of join columns must come from the respective child outputs")
+    val nRight = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lit, rit) =>
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      // downstream exchanges/sorts expect UnsafeRow
+      val resultProj = UnsafeProjection.create(output, output)
+      val it = new Iterator[InternalRow] {
+        private var carried: InternalRow = _  // last right row <= current left time
+        private var carriedKey = 0L
+        private var pending: InternalRow = _  // head of the right iterator
+        private def advanceRight(): Unit =
+          pending = if (rit.hasNext) rit.next() else null
+        advanceRight()
+        override def hasNext: Boolean = lit.hasNext
+        override def next(): InternalRow = {
+          val l = lit.next()
+          val k = l.getLong(lKeyIdx)
+          val t = l.getLong(lTimeIdx)
+          // consume right rows with key < k, or (key == k, time <= t);
+          // the LAST one consumed for key k is the as-of match (inputs are
+          // sorted by (key, time, tie), so later == larger (time, tie))
+          while (pending != null && {
+            val rk = pending.getLong(rKeyIdx)
+            rk < k || (rk == k && pending.getLong(rTimeIdx) <= t)
+          }) {
+            if (pending.getLong(rKeyIdx) == k) {
+              carried = pending.copy() // pending may be a reused UnsafeRow
+              carriedKey = k
+            }
+            advanceRight()
+          }
+          if (carried != null && carriedKey == k) joined(l, carried)
+          else joined(l, nullRight)
+        }
+      }
+      it.map(resultProj)
+    }
+  }
+}
+
+object AsOfJoin {
+  /** Left-outer as-of join of `leftDf` to `rightDf`: for each left row,
+    * the last right row with equal `key` and `rightTime <= leftTime`
+    * (ties on time broken by max `rightTie`). Column names must be
+    * distinct across the two sides; key/time/tie columns must be
+    * long-backed (bigint / timestamp). */
+  def asOf(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String, rightTie: String): DataFrame = {
+    // runtime-injected strategy: works in ANY session, no extensions conf
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        AsOfJoinStrategy +: spark.experimental.extraStrategies
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    GraftColumnBridge.dataFrame(spark,
+      AsOfJoinPlan(lp, rp,
+        attr(lp, leftKey), attr(lp, leftTime),
+        attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))
+  }
+}

@@ -15,6 +15,12 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]`; graft's custom operators (e.g. the native as-of join
+    * plan in `graft.plans`) need it to re-enter the public API. */
+  def dataFrame(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a graft expression under a SQL-callable name (idempotent).
     * Goes through the session FunctionRegistry, so the function is usable
     * from `spark.sql(...)` text exactly like a built-in — no UDF wrapper,

@@ -57,6 +57,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c13: native as-of join plans AsOfJoinExec and matches composed c10") {
+    val p = plan("c13_join_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom exec not planned:\n$p")
+    val native = SparkEntry.queries("c13_join_asof_native")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    val composed = SparkEntry.queries("c10_join_asof")(spark, sfTiny)
+      .collect().map(_.toSeq).toSeq
+    assert(native == composed)
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
