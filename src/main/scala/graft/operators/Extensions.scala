@@ -81,6 +81,16 @@ object Extensions {
         .orderBy("doc_id", "position")
     }),
 
+    // k6: the same weighted mean as k2, but as a native DeclarativeAggregate
+    // — pure init/update/merge/eval expressions, whole-stage-codegen'd,
+    // exact decimal buffers (order-independent partial merge)
+    "k6_udaf_declarative" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(graft.functions.WeightedMeanDecl.weightedMean(
+          col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"))
+        .orderBy("l_returnflag")),
+
     // k5: native SQL function registration — the codegen FloatDotProduct
     // expression exposed to SQL text through the session FunctionRegistry
     // (the production path for hot scalar kernels: no UDF serialization,
@@ -149,6 +159,13 @@ object Extensions {
       """SELECT o_orderstatus, count(*) AS n_orders, max(o_totalprice) AS max_price
          FROM orders WHERE o_totalprice > 100000.0
          GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "k6_udaf_declarative" ->
+      """SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS wavg_price
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
 
     "k5_sql_function" ->
       """SELECT vec_id,
