@@ -37,6 +37,19 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom operator: the as-of join emits exactly
+  * one output row per left row, so a `LocalLimit` above it can run below
+  * it on the left side — at scale that turns "join everything, keep n"
+  * into "read n left rows, join n". Registered alongside the strategy via
+  * `spark.experimental.extraOptimizations`. */
+object PushLimitThroughAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case ll @ LocalLimit(_, j: AsOfJoinPlan) if !j.left.isInstanceOf[LocalLimit] =>
+      ll.copy(child = j.copy(left = LocalLimit(ll.limitExpr, j.left)))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, lt, rk, rt, tie) =>
@@ -128,10 +141,14 @@ object AsOfJoin {
   def asOf(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String, rightTie: String): DataFrame = {
-    // runtime-injected strategy: works in ANY session, no extensions conf
+    // runtime-injected strategy + optimizer rule: works in ANY session,
+    // no extensions conf needed
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         AsOfJoinStrategy +: spark.experimental.extraStrategies
+    if (!spark.experimental.extraOptimizations.contains(PushLimitThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        PushLimitThroughAsOfJoin +: spark.experimental.extraOptimizations
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =

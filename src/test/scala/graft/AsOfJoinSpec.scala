@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom as-of operator's optimizer rule: a limit above the join
+  * must be pushed below it on the left side (the join is 1:1 per left
+  * row), and the limited result must agree with limiting the full join. */
+class AsOfJoinSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def asOfDf = {
+    val ev = Tables.t(spark, sfTiny, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy("user_id", "ts")
+    val ord = Tables.t(spark, sfTiny, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.AsOfJoin.asOf(spark, ev, ord,
+      "user_id", "ts", "o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  test("PushLimitThroughAsOfJoin fires and preserves results") {
+    val limited = asOfDf.limit(7)
+    val optimized = limited.queryExecution.optimizedPlan
+    val pushed = optimized.collect {
+      case j: graft.plans.AsOfJoinPlan if j.left.collectFirst {
+        case _: LocalLimit => true }.nonEmpty => j
+    }
+    assert(pushed.nonEmpty, s"limit not pushed below the as-of join:\n$optimized")
+    assert(limited.count() == 7)
+  }
+}
