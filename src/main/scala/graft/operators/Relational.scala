@@ -73,6 +73,17 @@ object Relational {
       s.read.orc(path).orderBy("n_nationkey")
     }),
 
+    // custom DataSource V2 connector (graft.sources.RangeSource): a
+    // deterministic synthetic table read through the full V2 path —
+    // partition planning (8 splits) + column-pruning pushdown. Exact long
+    // sums keep the aggregate order-independent.
+    "a8_source_custom_dsv2" -> ((s, d) =>
+      s.read.format("graft.sources.RangeSource")
+        .option("start", 0).option("end", 100000).option("slices", 8).load()
+        .groupBy((col("id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("sq")).as("sum_sq"))
+        .orderBy("bucket")),
+
     // ---- B. projection / filter / predicates ----
     "b1_project_derived" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -352,6 +363,11 @@ object Relational {
 
     "a7_source_orc_roundtrip" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "a8_source_custom_dsv2" ->
+      """SELECT CAST(range % 7 AS BIGINT) AS bucket, count(*) AS cnt,
+           CAST(sum(range * range) AS BIGINT) AS sum_sq
+         FROM range(0, 100000) GROUP BY 1 ORDER BY 1""",
 
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt

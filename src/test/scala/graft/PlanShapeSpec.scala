@@ -39,6 +39,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("j3_sim_cosine_pairs").contains("float_dot"))
   }
 
+  test("a8: DSv2 connector prunes columns and plans the requested splits") {
+    val df = spark.read.format("graft.sources.RangeSource")
+      .option("start", 0).option("end", 1000).option("slices", 8).load()
+      .select("sq")
+    val scanOutput = df.queryExecution.executedPlan.collectLeaves().head.output.map(_.name)
+    assert(scanOutput == Seq("sq"), s"column pruning not pushed: $scanOutput")
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+  }
+
   test("c12: bucketed join shuffles strictly less than the shuffle join c2") {
     def exchanges(key: String): Int =
       "(?<!Broadcast)Exchange".r.findAllIn(plan(key)).length
