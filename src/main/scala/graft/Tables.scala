@@ -26,13 +26,39 @@ object Tables {
     * reader rejects outright. Read the nanos as a raw long (legacy conf) and
     * floor-truncate to µs TimestampType — bit-identical to DuckDB's own
     * read-time ns→µs truncation (verified against the oracle engine).
-    * The conf is also pinned at session build time in Verify/Bench; the set
-    * here is a defensive no-op there but keeps this loader usable from any
-    * session (e.g. the driver's own t1 harness calling queries directly). */
+    * The conf is pinned at session build time by every entry point
+    * (Verify, Bench, TestSpark); this loader is pure — it only verifies
+    * the invariant instead of mutating the session behind the caller. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (as Verify/Bench do)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Per-run scratch dir for sink round-trips and streaming inputs: keyed
+    * on the applicationId (unique per session) + the data-dir hash, so
+    * concurrent runs never clobber each other. Lives on tmpfs (the VM's
+    * /tmp sits on a throttled virtio disk whose stalls would dominate
+    * sink timings) — and tmpfs is RAM, so the whole app-keyed tree is
+    * deleted by a JVM shutdown hook instead of accumulating until reboot. */
+  def scratch(spark: SparkSession, dir: String, tag: String): String = {
+    val base = s"/dev/shm/graft_tmp/${spark.sparkContext.applicationId}"
+    if (cleanupHooked.add(base)) {
+      val root = new java.io.File(base)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    }
+    s"$base/${tag}_${Integer.toHexString(dir.hashCode)}"
+  }
+
+  private val cleanupHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
   }
 
   /** Cast to decimal for exact money math (internal only — see dbl). */

@@ -59,6 +59,18 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+object FloatDotProduct {
+  /** SQL-registration builder with a proper arity error (a bare
+    * `exprs(0)`/`exprs(1)` index would surface `float_dot(a)` as an
+    * IndexOutOfBoundsException instead of naming the function). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"float_dot expects exactly 2 arguments (array<float>, array<float>), got ${exprs.length}")
+    FloatDotProduct(exprs.head, exprs(1))
+  }
+}
+
 object VectorFunctions {
 
   /** `float_dot(a, b)` as a Column — double-precision dot product of two

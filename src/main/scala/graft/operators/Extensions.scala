@@ -95,15 +95,15 @@ object Extensions {
     // expression exposed to SQL text through the session FunctionRegistry
     // (the production path for hot scalar kernels: no UDF serialization,
     // participates in whole-stage codegen). Registration is idempotent and
-    // self-contained, so the query works in any session.
+    // self-contained, so the query works in any session; the table is
+    // addressed through the inline parquet.`path` FROM-clause form, so
+    // nothing leaks into the shared session catalog.
     "k5_sql_function" -> ((s, d) => {
       org.apache.spark.sql.GraftColumnBridge.registerFunction(s, "float_dot",
-        exprs => graft.functions.FloatDotProduct(exprs(0), exprs(1)))
-      t(s, d, "embeddings").createOrReplaceTempView(
-        s"graft_emb_${Integer.toHexString(d.hashCode)}")
+        graft.functions.FloatDotProduct.builder)
       s.sql(
         s"""SELECT vec_id, round(sqrt(float_dot(embedding, embedding)), 4) AS l2_norm
-            FROM graft_emb_${Integer.toHexString(d.hashCode)}
+            FROM parquet.`$d/embeddings.parquet`
             ORDER BY vec_id""")
     }),
 

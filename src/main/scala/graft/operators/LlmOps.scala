@@ -88,14 +88,19 @@ object LlmOps {
               element_at(col("ws"), i + 3))))).as("sh"))
         .distinct()
       val nBands = 8
-      // persisted: consumed 4× below (both sides of the band self-join +
-      // the two candidate set lookups) — without it the whole shingle
-      // pipeline re-executes per consumer. At cluster scale this is the
-      // signature table you'd materialize once per corpus snapshot.
+      // materialized once, consumed 4× below (both sides of the band
+      // self-join + the two candidate set lookups) — without it the whole
+      // shingle pipeline re-executes per consumer. localCheckpoint, NOT
+      // persist: persist registers the plan in the session CacheManager,
+      // which pins the blocks in executor memory for the life of the
+      // session (BASELINE.md's "each query must stand alone" rule);
+      // localCheckpoint blocks are released by the ContextCleaner as soon
+      // as the query's RDD is unreachable. At cluster scale this is the
+      // signature table you'd write once per corpus snapshot.
       val sigs = shingles.groupBy("doc_id")
         .agg(collect_set(col("sh")).as("set"),
           (0 until nBands).map(b => min(xxhash64(lit(b), col("sh"))).as(s"m$b")): _*)
-        .persist()
+        .localCheckpoint(eager = false)
       // the band join shuffles only (doc_id, band, value) — 24 bytes/row;
       // shingle sets attach to the (few) candidates afterwards
       val banded = sigs.select(col("doc_id"),

@@ -13,15 +13,6 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
-  /** Per-run scratch dir for sink round-trip ops: keyed on the Spark
-    * applicationId (unique per session) + the full data-dir hash, so two
-    * concurrent Verify/Bench runs never clobber each other's intermediates. */
-  private def scratch(s: org.apache.spark.sql.SparkSession, d: String,
-      tag: String): String =
-    // tmpfs, not /tmp: the sink round-trips should measure the operator,
-    // not the VM's throttled virtio disk
-    s"/dev/shm/graft_tmp/${s.sparkContext.applicationId}/${tag}_${Integer.toHexString(d.hashCode)}"
-
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>
@@ -176,12 +167,25 @@ object Relational {
       r1.crossJoin(r2).orderBy("r1_name", "r2_name")
     }),
 
+    // band join |price1-price2| <= 1.0 within brand, as a BUCKETED
+    // equi-join: bucket each price into floor(price) units, explode one
+    // side to its own bucket ± 1 (|a-b| <= 1 implies |floor(a)-floor(b)|
+    // <= 1, so the 3 buckets cover every qualifying pair exactly once —
+    // floor(price2) hits at most one of the 3 distinct values), then apply
+    // the exact band predicate on the (near-output-sized) candidates.
+    // The naive brand-only equi key explodes every within-brand pair
+    // before the filter — quadratic in rows-per-brand, the one plan shape
+    // that cannot survive a 100× scale-up. The bucket key collapses the
+    // fan-out to ~3 × matching-bucket pairs.
     "c9_join_theta_band" -> ((s, d) => {
       val a = t(s, d, "part").select(col("p_partkey").as("p1"),
         col("p_brand").as("brand1"), col("p_retailprice").as("price1"))
       val b = t(s, d, "part").select(col("p_partkey").as("p2"),
         col("p_brand").as("brand2"), col("p_retailprice").as("price2"))
-      a.join(b, col("brand1") === col("brand2") && col("p1") < col("p2") &&
+      val aB = a.withColumn("bkt", explode(array(
+        floor(col("price1")) - 1, floor(col("price1")), floor(col("price1")) + 1)))
+      aB.join(b, col("brand1") === col("brand2") &&
+          col("bkt") === floor(col("price2")) && col("p1") < col("p2") &&
           abs(col("price1") - col("price2")) <= 1.0)
         .select("p1", "p2", "brand1", "price1", "price2")
         .orderBy("p1", "p2")

@@ -162,7 +162,7 @@ object Streaming {
     // watermark established by batch 1, so its too-late rows are dropped
     // and only watermark-finalized windows are emitted (Append mode).
     "i7_stream_late_data" -> ((s, d) => {
-      val base = s"/dev/shm/graft_tmp/${s.sparkContext.applicationId}/i7_${Integer.toHexString(d.hashCode)}"
+      val base = scratch(s, d, "i7")
       val ev = t(s, d, "events")
       // batch 1: the bulk of the stream; batch 2: a 5% "straggler" slice
       // whose timestamps span the whole range — genuinely late data

@@ -98,6 +98,13 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       // downstream exchanges/sorts expect UnsafeRow
       val resultProj = UnsafeProjection.create(output, output)
+      def nonNull(r: InternalRow, idx: Int, what: String): Long = {
+        // getLong on a null slot reads the raw word (0L) on UnsafeRow and
+        // would silently match a real key 0 — fail loudly instead
+        if (r.isNullAt(idx)) throw new IllegalStateException(
+          s"as-of join $what is NULL; filter nulls out before joining")
+        r.getLong(idx)
+      }
       val it = new Iterator[InternalRow] {
         private var carried: InternalRow = _  // last right row <= current left time
         private var carriedKey = 0L
@@ -108,14 +115,15 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lit.hasNext
         override def next(): InternalRow = {
           val l = lit.next()
-          val k = l.getLong(lKeyIdx)
-          val t = l.getLong(lTimeIdx)
+          val k = nonNull(l, lKeyIdx, s"left key '${leftKey.name}'")
+          val t = nonNull(l, lTimeIdx, s"left time '${leftTime.name}'")
           // consume right rows with key < k, or (key == k, time <= t);
           // the LAST one consumed for key k is the as-of match (inputs are
           // sorted by (key, time, tie), so later == larger (time, tie))
           while (pending != null && {
-            val rk = pending.getLong(rKeyIdx)
-            rk < k || (rk == k && pending.getLong(rTimeIdx) <= t)
+            val rk = nonNull(pending, rKeyIdx, s"right key '${rightKey.name}'")
+            rk < k || (rk == k && nonNull(pending, rTimeIdx,
+              s"right time '${rightTime.name}'") <= t)
           }) {
             if (pending.getLong(rKeyIdx) == k) {
               carried = pending.copy() // pending may be a reused UnsafeRow
@@ -150,13 +158,33 @@ object AsOfJoin {
       spark.experimental.extraOptimizations =
         PushLimitThroughAsOfJoin +: spark.experimental.extraOptimizations
     val lp = leftDf.queryExecution.analyzed
-    val rp = rightDf.queryExecution.analyzed
+    // a self as-of join (same DataFrame on both sides) would carry the same
+    // exprIds on both sides, making the exprId-based column binding in
+    // doExecute ambiguous — re-alias the right side with fresh exprIds
+    val rp0 = rightDf.queryExecution.analyzed
+    val rp =
+      if (lp.output.map(_.exprId).toSet.intersect(rp0.output.map(_.exprId).toSet).isEmpty) rp0
+      else rightDf.select(rightDf.columns.map(c => rightDf.col(c).as(c)): _*)
+        .queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    // the exec reads key/time/tie via getLong: only long-backed types are
+    // sound (Timestamp[NTZ]Type are micros-backed; DateType is int-backed
+    // and would read garbage words from UnsafeRow)
+    def longBacked(a: Attribute, role: String): Attribute = a.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => a
+      case dt => throw new IllegalArgumentException(
+        s"as-of join $role column '${a.name}' must be BIGINT or TIMESTAMP, got $dt")
+    }
     GraftColumnBridge.dataFrame(spark,
       AsOfJoinPlan(lp, rp,
-        attr(lp, leftKey), attr(lp, leftTime),
-        attr(rp, rightKey), attr(rp, rightTime), attr(rp, rightTie)))
+        longBacked(attr(lp, leftKey), "left key"),
+        longBacked(attr(lp, leftTime), "left time"),
+        longBacked(attr(rp, rightKey), "right key"),
+        longBacked(attr(rp, rightTime), "right time"),
+        longBacked(attr(rp, rightTie), "right tie-break")))
   }
 }

@@ -67,6 +67,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("c9: band join is a bucketed equi-join on (brand, floor(price))") {
+    val p = plan("c9_join_theta_band")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n$p")
+    // the join's equi keys must include the price bucket, not brand alone —
+    // brand-only keys explode every within-brand pair before the filter
+    val joinLine = p.linesIterator
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse(fail(s"no equi join planned:\n$p"))
+    assert(joinLine.contains("bkt"), s"bucket column not a join key: $joinLine")
+  }
+
   test("c13: native as-of join plans AsOfJoinExec and matches composed c10") {
     val p = plan("c13_join_asof_native")
     assert(p.contains("AsOfJoin"), s"custom exec not planned:\n$p")
