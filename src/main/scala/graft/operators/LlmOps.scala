@@ -47,6 +47,48 @@ object LlmOps {
     floatDot(col(s"$a.embedding"), col(s"$b.embedding")) /
       (col(s"$a.norm") * col(s"$b.norm"))
 
+  /** Connected components over a SYMMETRIC edge list `(a_id, b_id)` by
+    * iterated min-label propagation: every node starts labelled with its own
+    * id; each round every node adopts the min label among itself and its
+    * neighbours; fixpoint = each component labelled by its min member.
+    *
+    * One-hop min-neighbour (the previous formulation) is wrong for
+    * chain-shaped clusters: A~B~C with A≁C left C labelled B while B was
+    * labelled A. Propagation closes the chain in O(component diameter)
+    * rounds — near-dup components are cliques or short chains, so 1–2
+    * rounds in practice; each round is ONE shuffle (join + min-agg on id).
+    * Labels are localCheckpoint'd per round: iterative lineage would
+    * otherwise grow exponentially, and the blocks release on GC. The
+    * per-round convergence test is an aggregate action (a count), never a
+    * driver-side collect of the labels themselves. At 100 TB you would
+    * checkpoint rounds to durable storage and switch to large-star/
+    * small-star [CC in MapReduce, Kiveris et al.] past ~10 rounds; the
+    * capped loop + fail-loud guard keeps that boundary explicit. */
+  private[operators] def minLabelClosure(ids: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(eager = false)
+    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 30 // 30 rounds of chain diameter — unreachable in practice
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = e.join(labels, e("b_id") === labels("doc_id"))
+        .groupBy(e("a_id").as("doc_id")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry both old and new label through ONE checkpoint; the
+      // convergence count doubles as the materializing action (one Spark
+      // job per round), and later rounds read the cached blocks
+      val step = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(eager = false)
+      changed = step.filter(col("cluster_id") < col("old_id")).count()
+      labels = step.select("doc_id", "cluster_id")
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: keep min doc_id per sha256(text)
     "j1_dedup_exact" -> ((s, d) =>
@@ -118,13 +160,15 @@ object LlmOps {
         // exact Jaccard on the hashed shingle sets, candidates only
         .filter(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           size(array_union(col("sa"), col("sb"))) >= 0.8)
-      // one-hop cluster representative: min doc_id among {self} ∪ neighbours
-      // (near-dup clusters are effectively cliques, so this is the cluster min)
-      val nbr = pairs.groupBy(col("a_id").as("doc_id"))
-        .agg(min(col("b_id")).as("min_nbr"), count(lit(1)).as("n_dups"))
-      docs.select("doc_id").join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
+        .select("a_id", "b_id")
+        .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
+      val nDups = pairs.groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      // transitive cluster id: min doc_id of the CONNECTED COMPONENT, so
+      // chain-shaped clusters (A~B~C with A≁C) get one consistent id
+      val clusters = minLabelClosure(docs.select("doc_id"), pairs)
+      clusters.join(nDups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
         .orderBy("doc_id")
     }),

@@ -50,7 +50,10 @@ object TrainOps {
     // one-hop cluster rep like j2. Unoracled (xxhash64 is engine-internal);
     // validated in TrainOpsSpec against exact duplicates + pair sanity.
     "l1_dedup_simhash" -> ((s, d) => {
-      val sigs = simhashed(s, d)
+      // materialized once: consumed by the band join, the closure seed,
+      // and the final output join — the 64-bit-vote aggregation over every
+      // token is the expensive part and must not re-run per consumer
+      val sigs = simhashed(s, d).localCheckpoint(eager = false)
       val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(k =>
           shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
@@ -58,15 +61,20 @@ object TrainOps {
       val pairs = banded.as("a")
         .join(banded.as("b"), col("a.band") === col("b.band") &&
           col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("nbr"),
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.simhash").as("ha"), col("b.simhash").as("hb"))
         .distinct()
         .filter(expr("bit_count(ha ^ hb) <= 3"))
-      val nbrs = pairs.groupBy("doc_id")
-        .agg(min(col("nbr")).as("min_nbr"), count(lit(1)).as("n_dups"))
-      sigs.join(nbrs, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"),
-          least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("cluster_id"),
+        .select("a_id", "b_id")
+        .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
+      val nDups = pairs.groupBy(col("a_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"))
+      // transitive component id via min-label propagation (shared with j2):
+      // one-hop min-neighbour mislabels chain-shaped clusters
+      val clusters = LlmOps.minLabelClosure(sigs.select("doc_id"), pairs)
+      sigs.join(clusters, Seq("doc_id"))
+        .join(nDups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"), col("cluster_id"),
           coalesce(col("n_dups"), lit(0L)).as("n_dups"))
         .orderBy("doc_id")
     }),

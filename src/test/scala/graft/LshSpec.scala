@@ -34,15 +34,44 @@ class LshSpec extends AnyFunSuite {
     val recall = recalled.toDouble / exactPairs.size
     assert(recall >= 0.9, s"recall $recall over ${exactPairs.size} exact pairs")
 
-    // precision sanity: docs put in the same non-trivial cluster must
-    // really be similar (no all-pairs degeneration as in the unigram bug)
+    // precision sanity: clusters are transitive closures over exact
+    // Jaccard >= 0.8 edges, so every doc in a non-trivial cluster must
+    // have at least one TRUE near-dup partner inside its cluster (no
+    // all-pairs degeneration as in the unigram bug)
     val merged = cluster.toSeq.filter { case (d, c) => d != c }
+    val pairSet = exactPairs.toSet
     merged.foreach { case (d, c) =>
-      val a = docs(d); val b = docs(c)
-      val jac = (a & b).size.toDouble / (a | b).size
-      assert(jac >= 0.5, s"docs $d and $c clustered but Jaccard only $jac")
+      val partner = cluster.exists { case (e, ce) =>
+        e != d && ce == c &&
+          (pairSet((d min e, d max e)) || {
+            val a = docs(d); val b = docs(e)
+            a.nonEmpty && b.nonEmpty && (a & b).size.toDouble / (a | b).size >= 0.8
+          })
+      }
+      assert(partner, s"doc $d in cluster $c has no true near-dup in the cluster")
     }
     assert(merged.size < docs.size / 2,
       s"${merged.size} of ${docs.size} docs marked near-dup — degenerate LSH")
+  }
+
+  test("j2: chain-shaped clusters close transitively (A~B~C, A≁C)") {
+    import spark.implicits._
+    // planted chain: 50-token docs shifted by 5 — J(A,B)=J(B,C)=43/53≈0.81
+    // (>= 0.8), J(A,C)=38/58≈0.66 (< 0.8); D shares nothing. Tokens must be
+    // PURELY alphabetic — the tokenizer splits on [^a-z]+
+    def tok(i: Int): String =
+      "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    def text(from: Int): String = (from until from + 50).map(tok).mkString(" ")
+    val dir = Tables.scratch(spark, "lsh_chain_fixture", "docs")
+    Seq((0L, text(0)), (1L, text(5)), (2L, text(10)),
+      (99L, (100 until 150).map(tok).mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("j2_dedup_near_minhash")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0) == (0L, 1L), s"A: ${rows(0)}")     // A~B only
+    assert(rows(1) == (0L, 2L), s"B: ${rows(1)}")     // B~A, B~C
+    assert(rows(2) == (0L, 1L), s"C: ${rows(2)}")     // C~B, but cluster id = A
+    assert(rows(99L) == (99L, 0L), s"D: ${rows(99L)}") // unrelated stays alone
   }
 }
