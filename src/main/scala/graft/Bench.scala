@@ -18,12 +18,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional args: restrict to these keys (local iteration); the driver
     // invokes with no args = full suite. SPARK_GRAFT_REPEAT reruns each
-    // query N times and keeps the minimum — steady-state timing. Default 2:
+    // query N times and keeps the minimum — steady-state timing. Default 3:
     // the host VM freezes for 30-60s every few minutes (observed across
-    // runs as a random query spiking 40x), and min-of-2 keeps one stall
-    // from masquerading as a slow operator.
+    // runs as a random query spiking 40x), and min-of-2 let one r3 stall
+    // leak through (d4's phantom 7.89 s); all per-run times are emitted
+    // under "runs" so a stall is visible as one outlier among steady runs
+    // instead of masquerading as a slow operator.
     val only = args.toSet
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -36,12 +38,14 @@ object Bench {
           catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        name -> times
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val runs = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

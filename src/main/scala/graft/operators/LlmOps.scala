@@ -47,6 +47,22 @@ object LlmOps {
     floatDot(col(s"$a.embedding"), col(s"$b.embedding")) /
       (col(s"$a.norm") * col(s"$b.norm"))
 
+  /** Row cap for the exact all-pairs baselines that `broadcast()` a whole
+    * embedding table (j3, l2). ~200k × ≈300 B/row (64-float vector + norm)
+    * ≈ 60 MB — the most a hinted broadcast should pin per executor. Beyond
+    * it the exact baseline would OOM executors SILENTLY at scale-up, so we
+    * fail loudly and point at the bucketed/IVF scale paths instead. The
+    * check early-stops at cap+1 rows (limit-then-count), not a full count. */
+  private[graft] val MaxBroadcastRows = 200000L
+  private[graft] def requireBroadcastable(df: DataFrame, what: String,
+      scalePath: String): DataFrame = {
+    val n = df.limit(MaxBroadcastRows.toInt + 1).count()
+    require(n <= MaxBroadcastRows,
+      s"$what exceeds $MaxBroadcastRows rows — the exact broadcast baseline " +
+        s"would OOM at this scale; use $scalePath")
+    df
+  }
+
   /** Connected components over a SYMMETRIC edge list `(a_id, b_id)` by
     * iterated min-label propagation: every node starts labelled with its own
     * id; each round every node adopts the min label among itself and its
@@ -66,7 +82,13 @@ object LlmOps {
     * capped loop + fail-loud guard keeps that boundary explicit. */
   private[operators] def minLabelClosure(ids: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint(eager = false)
-    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // loop state is restricted to nodes that HAVE an edge (a_id covers all
+    // of them — the edge list is symmetric): at corpus scale the duplicate
+    // subgraph is orders of magnitude smaller than the corpus, so each
+    // round shuffles O(dup docs), not O(corpus); everything else is a
+    // singleton component handled by the final left join
+    var labels = e.select(col("a_id").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var rounds = 0
     val maxRounds = 30 // 30 rounds of chain diameter — unreachable in practice
@@ -86,7 +108,10 @@ object LlmOps {
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
-    labels
+    ids.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -175,7 +200,8 @@ object LlmOps {
 
     // exact top-20 cosine pairs (correctness baseline for ANN)
     "j3_sim_cosine_pairs" -> ((s, d) => {
-      val e = embs(s, d)
+      val e = requireBroadcastable(embs(s, d), "j3's embedding table",
+        "l3_ann_ivf_topk (IVF cells) for the approximate scale path")
       e.as("a").join(broadcast(e.as("b")),
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -184,7 +210,9 @@ object LlmOps {
         .limit(20)
     }),
 
-    // top-10 nearest neighbours of vec_id=0 (broadcast query side)
+    // top-10 nearest neighbours of vec_id=0 (broadcast query side — a
+    // single row by construction of the vec_id filter, so no row-cap
+    // guard is needed; the linear scan side is never broadcast)
     "j4_sim_knn_query" -> ((s, d) => {
       val e = embs(s, d)
       val q = e.filter(col("vec_id") === 0)

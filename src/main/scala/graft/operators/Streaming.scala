@@ -72,14 +72,37 @@ object Streaming {
     s.table(name)
   }
 
+  /** The i1 tumbling aggregation as a pure stream transform: 1-hour
+    * watermark + 1-hour tumbling windows per event_type. The oracled i1
+    * runs it in Complete mode (the only output mode whose result matches a
+    * batch oracle over the whole table); the PRODUCTION path for an
+    * unbounded stream is the same transform in **Append** mode, where each
+    * window is emitted once when the watermark passes its end and then
+    * EVICTED from the state store — state stays bounded by the watermark
+    * horizon regardless of stream length, and the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) keeps it off-heap. Both the
+    * Append eviction behaviour and the RocksDB provider are pinned by
+    * StreamingSpec with MemoryStream-controlled batches. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The i3 session aggregation as a pure stream transform (30-minute gap
+    * + 30-minute watermark). Same Complete-for-oracle / Append-for-
+    * production split as [[tumblingAgg]]. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochUs(col("ts"))).as("sess_start_us"),
+        max(epochUs(col("ts"))).as("sess_end_us"))
+
   val queries: Map[String, Q] = Map(
     // i1: 1-hour tumbling windows per event_type
     "i1_stream_tumbling" -> ((s, d) => {
-      val agg = eventsStream(s, d)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      runToTable(s, agg, "complete")
+      runToTable(s, tumblingAgg(eventsStream(s, d)), "complete")
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
         .orderBy("w_start_us", "event_type")
@@ -99,13 +122,7 @@ object Streaming {
     // i3: per-user session windows with a 30-minute gap — the native
     // streaming successor of the batch sessionization idiom (e9)
     "i3_stream_session_window" -> ((s, d) => {
-      val agg = eventsStream(s, d)
-        .withWatermark("ts", "30 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          min(epochUs(col("ts"))).as("sess_start_us"),
-          max(epochUs(col("ts"))).as("sess_end_us"))
-      runToTable(s, agg, "complete")
+      runToTable(s, sessionAgg(eventsStream(s, d)), "complete")
         .select("user_id", "n_events", "sess_start_us", "sess_end_us")
         .orderBy("user_id", "sess_start_us")
     }),

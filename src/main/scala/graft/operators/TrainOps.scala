@@ -83,7 +83,8 @@ object TrainOps {
     // cosine + dup flag at 0.95. Exact all-pairs argmax is the correctness
     // baseline (broadcast one side); l3 is the scale path.
     "l2_sim_embedding_nn" -> ((s, d) => {
-      val e = LlmOps.embs(s, d)
+      val e = LlmOps.requireBroadcastable(LlmOps.embs(s, d),
+        "l2's embedding table", "l3_ann_ivf_topk (IVF cells) for ANN at scale")
       // argmax via max_by on (sim, -nn_id) — partial-aggregates map-side,
       // so the all-pairs sims never shuffle (vs sorting them in a window);
       // lexicographic max == (sim desc, nn_id asc), the oracle's tie-break
@@ -106,6 +107,8 @@ object TrainOps {
     // nprobe/ncells of the data instead of all of it.
     "l3_ann_ivf_topk" -> ((s, d) => {
       val e = LlmOps.embs(s, d)
+      // centroid table is ≤ 16 rows by construction of the vec_id filter —
+      // broadcast-safe at any corpus size without a row-cap guard
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
           col("norm").as("c_norm"))

@@ -34,6 +34,18 @@ class TrainOpsSpec extends AnyFunSuite {
       s"$merged of ${rows.length} docs marked near-dup — degenerate banding")
   }
 
+  test("broadcast guard fails loudly past MaxBroadcastRows, passes under it") {
+    val big = spark.range(operators.LlmOps.MaxBroadcastRows + 1).toDF("vec_id")
+    val ex = intercept[IllegalArgumentException] {
+      operators.LlmOps.requireBroadcastable(big, "test table", "the-scale-path")
+    }
+    assert(ex.getMessage.contains("the-scale-path"),
+      s"guard message must point at the scale path: ${ex.getMessage}")
+    val ok = spark.range(10).toDF("vec_id")
+    assert(operators.LlmOps.requireBroadcastable(ok, "t", "p") eq ok,
+      "in-cap side must pass through unchanged")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
