@@ -26,7 +26,11 @@ import org.apache.spark.sql.types._
   *  - multimodal (l7) treats media as opaque binary + typed metadata and
   *    runs feature extraction per-partition over the iterator (the real
   *    decoder would replace ONE clearly-marked function; the schema,
-  *    partitioning, and batch shape are the production plumbing).
+  *    partitioning, and batch shape are the production plumbing);
+  *  - exact n-gram Jaccard join (l9) is prefix-filtered (AllPairs/PPJoin):
+  *    the inverted index holds only each doc's rarest n−⌈0.8n⌉+1 shingles
+  *    — provably lossless for J ≥ 0.8 — so hub shingles never fan out and
+  *    full shingle sets materialize for candidate docs only.
   */
 object TrainOps {
 
@@ -243,10 +247,104 @@ object TrainOps {
         })
         .toDF("doc_id", "size_bytes", "checksum", "head_byte")
         .orderBy("doc_id")
+    }),
+
+    // l9: EXACT n-gram Jaccard similarity join — the deterministic
+    // complement of j2's MinHash LSH: every doc pair with word-3-gram-
+    // shingle Jaccard >= 0.8, exactly, via AllPairs/PPJoin-style prefix
+    // filtering [Bayardo et al., WWW'07] instead of an all-pairs scan.
+    //
+    // Prefix principle: order every doc's shingle set by ONE global
+    // canonical order (document frequency asc, shingle asc). A pair with
+    // J >= 0.8 shares >= ceil(0.8·n) shingles, so its smallest common
+    // shingle cannot sit past position n - ceil(0.8·n) + 1 in either doc —
+    // index ONLY those prefix shingles (the rarest ones) and every
+    // qualifying pair still collides. That kills the hub-shingle fan-out
+    // AND shrinks the inverted index ~5x; the exact Jaccard check then
+    // materializes full shingle sets for candidate docs only (near-dups
+    // are rare at corpus scale). Threshold compares as integers
+    // (5·common >= 4·union) so no float boundary can flip membership.
+    "l9_dedup_ngram_jaccard" -> ((s, d) => {
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      val shing = t(s, d, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ",
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2),
+              element_at(col("ws"), i + 3))))).as("shingle"))
+        .localCheckpoint(eager = false) // consumed by df, prefixes, verification
+      val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id")
+      // ceil(0.8·n) in exact integer form: (4n+4) div 5 — float ceil(n*0.8)
+      // can land on 4.000000001 and silently shrink the prefix (lost pairs)
+      val pref = shing.join(dfreq, "shingle")
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "shingle")
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
+      val sets = shing.join(
+          cand.select(col("a_id").as("doc_id"))
+            .union(cand.select(col("b_id"))).distinct(),
+          Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("common"))
+        .filter(col("common") * 5 >= col("uni") * 4)
+        // floor(x·1e4+0.5)/1e4: the portable boundary-safe round (§7.2)
+        .select(col("a_id"), col("b_id"),
+          (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
+            .as("jaccard"))
+        .orderBy("a_id", "b_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle needs no prefix filter: the full inverted-index join is
+    // provably the same pair set (prefix filtering is lossless), and the
+    // t2 tier is small enough to brute-force. Thresholding is the same
+    // exact-integer 5·common >= 4·union on both sides.
+    "l9_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+                floor(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 1e4 + 5e-1) / 1e4
+                  AS jaccard
+         FROM common
+         JOIN sz sa ON sa.doc_id = a_id
+         JOIN sz sb ON sb.doc_id = b_id
+         WHERE 5 * c >= 4 * (sa.n + sb.n - c)
+         ORDER BY a_id, b_id""",
+
     "l2_sim_embedding_nn" ->
       """WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -54,6 +54,31 @@ class LshSpec extends AnyFunSuite {
       s"${merged.size} of ${docs.size} docs marked near-dup — degenerate LSH")
   }
 
+  test("l9: prefix-filtered exact Jaccard join == brute-force all-pairs (lossless)") {
+    // the AllPairs prefix filter must lose NOTHING: l9's output pair set
+    // must equal the brute-force exact >= 0.8 pair set, with the exact
+    // Jaccard value, at sf0.001 (500 docs, planted near-dups)
+    val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    val ids = docs.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices
+      j <- (i + 1) until ids.size
+      a = docs(ids(i)); b = docs(ids(j))
+      common = (a & b).size
+      uni = (a | b).size
+      if a.nonEmpty && b.nonEmpty && 5L * common >= 4L * uni
+    } yield (ids(i), ids(j)) ->
+        math.floor(common.toDouble / uni * 1e4 + 0.5) / 1e4).toMap
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    val l9 = SparkEntry.queries("l9_dedup_ngram_jaccard")(spark, sfTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(l9 == brute,
+      s"missing=${(brute.keySet -- l9.keySet).take(5)} " +
+        s"extra=${(l9.keySet -- brute.keySet).take(5)}")
+  }
+
   test("j2: chain-shaped clusters close transitively (A~B~C, A≁C)") {
     import spark.implicits._
     // planted chain: 50-token docs shifted by 5 — J(A,B)=J(B,C)=43/53≈0.81

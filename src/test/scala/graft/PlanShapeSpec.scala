@@ -59,12 +59,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
-  test("j2/l1: near-dedup candidate joins are equi-joins, never all-pairs") {
-    Seq("j2_dedup_near_minhash", "l1_dedup_simhash").foreach { k =>
-      val p = plan(k)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$k degenerated to an all-pairs join:\n$p")
-    }
+  test("j2/l1/l9: near-dedup candidate joins are equi-joins, never all-pairs") {
+    Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard")
+      .foreach { k =>
+        val p = plan(k)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$k degenerated to an all-pairs join:\n$p")
+      }
   }
 
   test("c9: band join is a bucketed equi-join on (brand, floor(price))") {
