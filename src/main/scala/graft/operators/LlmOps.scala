@@ -80,7 +80,7 @@ object LlmOps {
     * checkpoint rounds to durable storage and switch to large-star/
     * small-star [CC in MapReduce, Kiveris et al.] past ~10 rounds; the
     * capped loop + fail-loud guard keeps that boundary explicit. */
-  private[operators] def minLabelClosure(ids: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def minLabelClosure(ids: DataFrame, edges: DataFrame): DataFrame = {
     val e = edges.localCheckpoint(eager = false)
     // loop state is restricted to nodes that HAVE an edge (a_id covers all
     // of them — the edge list is symmetric): at corpus scale the duplicate

@@ -33,6 +33,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minLabelClosure == union-find connected components on random graphs") {
+    val rnd = new Random(13)
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(30)
+      val ids = (0L until n).toSeq
+      // sparse random edges, including the occasional long chain
+      val edges = (Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (0 until rnd.nextInt(4)).map(i => (i.toLong, (i + 1).toLong)))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = scala.collection.mutable.ArrayBuffer.range(0L, n)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r.toInt) != r) r = parent(r.toInt)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent((ra max rb).toInt) = ra min rb
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      // closure operates on a SYMMETRIC edge list, like j2/l1 feed it
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val got = operators.LlmOps.minLabelClosure(
+          ids.toDF("doc_id"), sym.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // min-label closure labels every component by its min member, which
+      // is exactly what path-compressed union-find with min-root merging gives
+      assert(got == expected, s"n=$n edges=$sym")
+    }
+  }
+
   test("e7's closed-form ntile/percent_rank/cume_dist == Spark's window fns") {
     val rnd = new Random(7)
     (1 to 6).foreach { _ =>
