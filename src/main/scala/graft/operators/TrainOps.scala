@@ -295,6 +295,10 @@ object TrainOps {
             .union(cand.select(col("b_id"))).distinct(),
           Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+        // materialized once: joined below under TWO aliases (a-side and
+        // b-side), which Spark otherwise plans as two full rebuilds of the
+        // semi-join + collect_set subtree
+        .localCheckpoint(eager = false)
       cand
         .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
