@@ -138,4 +138,42 @@ class StreamingSpec extends AnyFunSuite {
     val out = SparkEntry.queries("i7_stream_late_data")(spark, sfTiny)
     assert(out.count() > 0)
   }
+
+  test("checkpointed incremental ETL: file sink resumes exactly-once after restart") {
+    // the reference's core loop (SURVEY §0.1): extract new rows, dedup,
+    // load, persist the checkpoint, repeat — in Spark-native form this is
+    // readStream -> dropDuplicates -> parquet sink + checkpointLocation.
+    // Restarting the query against the SAME checkpoint must not re-emit
+    // rows already committed to the sink, even though the input directory
+    // still contains every file.
+    import spark.implicits._
+    val base = Tables.scratch(spark, "etl_restart_fixture", "ckpt_etl")
+    val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def addBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, ts(s"2024-01-01 10:${"%02d".format(i % 60)}:00")))
+        .toDF("event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(new org.apache.spark.sql.types.StructType()
+          .add("event_id", org.apache.spark.sql.types.LongType)
+          .add("ts", org.apache.spark.sql.types.TimestampType))
+        .parquet(in)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addBatch(0 until 10)
+    runOnce() // run 1 commits ids 0-9 and records progress in the checkpoint
+    assert(spark.read.parquet(outDir).count() == 10)
+    addBatch(10 until 15)
+    runOnce() // run 2 must process ONLY the new file
+    val out = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == (0L until 15L),
+      s"restart re-emitted or dropped rows: ${out.mkString(",")}")
+  }
 }
