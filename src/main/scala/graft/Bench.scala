@@ -29,23 +29,36 @@ object Bench {
     val results = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
+        var failed = 0
+        // only SUCCESSFUL runs are timed: a throwing run is near-instant,
+        // and folding it into min-of-N would report a broken query as the
+        // fastest in the suite
+        val times = (1 to repeat).flatMap { _ =>
           val t0 = System.nanoTime()
           // materialize the FULL physical plan (queryExecution.toRdd): a
           // plain Dataset.count() lets Catalyst prune computed columns,
           // silently under-measuring projection-heavy queries
-          try { fn(spark, sfDir).queryExecution.toRdd.count() }
-          catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              failed += 1; None
+          }
         }
-        name -> times
+        (name, times, failed)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    val qs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + (if (v.nonEmpty) v.min else -1.0)
+    }.mkString("{", ",", "}")
+    val runs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, f) if f > 0 => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
-    val runs = results.map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,6 +47,26 @@ object LlmOps {
     floatDot(col(s"$a.embedding"), col(s"$b.embedding")) /
       (col(s"$a.norm") * col(s"$b.norm"))
 
+  /** DISTINCT word-3-gram shingles per document as `(doc_id, shingle)`
+    * rows: lowercase, split on non-letters, 3-token windows joined by one
+    * space. The tokenizer and shingle arity are pinned by SURVEY §2.J and
+    * shared by j2 (which hashes the strings) and l9 (which joins them
+    * raw) — change it HERE only, and keep LshSpec.shingles in sync.
+    * Shingling happens inside the row (array expr, no explode-then-window):
+    * the token stream never leaves its doc, so it costs ZERO shuffle. */
+  private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+    t(s, d, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ",
+            element_at(col("ws"), i + 1),
+            element_at(col("ws"), i + 2),
+            element_at(col("ws"), i + 3))))).as("shingle"))
+  }
+
   /** Row cap for the exact all-pairs baselines that `broadcast()` a whole
     * embedding table (j3, l2). ~200k × ≈300 B/row (64-float vector + norm)
     * ≈ 60 MB — the most a hinted broadcast should pin per executor. Beyond
@@ -81,7 +101,10 @@ object LlmOps {
     * small-star [CC in MapReduce, Kiveris et al.] past ~10 rounds; the
     * capped loop + fail-loud guard keeps that boundary explicit. */
   private[graft] def minLabelClosure(ids: DataFrame, edges: DataFrame): DataFrame = {
-    val e = edges.localCheckpoint(eager = false)
+    // the CALLER owns edge materialization (j2/l1 pass an already-
+    // localCheckpoint'd pair list); checkpointing again here would cache a
+    // second copy of the same blocks and run a redundant materialization
+    val e = edges
     // loop state is restricted to nodes that HAVE an edge (a_id covers all
     // of them — the edge list is symmetric): at corpus scale the duplicate
     // subgraph is orders of magnitude smaller than the corpus, so each
@@ -140,20 +163,10 @@ object LlmOps {
     // row per doc, not the raw pair list.
     "j2_dedup_near_minhash" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
-      // shingle inside the row (array expr, no explode-then-window): the
-      // token stream never leaves its doc, so shingling costs ZERO shuffle
-      // — vs sorting every token row under a per-doc window
-      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-      val shingles = docs
-        .select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(0), size(col("ws")) - 3),
-            i => xxhash64(concat_ws(" ",
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3))))).as("sh"))
-        .distinct()
+      // shared shingler (see shingleRows), hashed to 8-byte tokens so sets
+      // and minhashes never carry text
+      val shingles = shingleRows(s, d)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       val nBands = 8
       // materialized once, consumed 4× below (both sides of the band
       // self-join + the two candidate set lookups) — without it the whole

@@ -265,16 +265,7 @@ object TrainOps {
     // are rare at corpus scale). Threshold compares as integers
     // (5·common >= 4·union) so no float boundary can flip membership.
     "l9_dedup_ngram_jaccard" -> ((s, d) => {
-      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-      val shing = t(s, d, "documents")
-        .select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          explode(array_distinct(transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ",
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2),
-              element_at(col("ws"), i + 3))))).as("shingle"))
+      val shing = LlmOps.shingleRows(s, d) // shared with j2 — one tokenizer
         .localCheckpoint(eager = false) // consumed by df, prefixes, verification
       val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy("doc_id")

@@ -98,6 +98,12 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       // downstream exchanges/sorts expect UnsafeRow
       val resultProj = UnsafeProjection.create(output, output)
+      // loop-invariant error labels, hoisted: interpolating them per call
+      // would allocate per-row garbage in the merge's hot loop
+      val lKeyWhat = s"left key '${leftKey.name}'"
+      val lTimeWhat = s"left time '${leftTime.name}'"
+      val rKeyWhat = s"right key '${rightKey.name}'"
+      val rTimeWhat = s"right time '${rightTime.name}'"
       def nonNull(r: InternalRow, idx: Int, what: String): Long = {
         // getLong on a null slot reads the raw word (0L) on UnsafeRow and
         // would silently match a real key 0 — fail loudly instead
@@ -115,15 +121,14 @@ case class AsOfJoinExec(
         override def hasNext: Boolean = lit.hasNext
         override def next(): InternalRow = {
           val l = lit.next()
-          val k = nonNull(l, lKeyIdx, s"left key '${leftKey.name}'")
-          val t = nonNull(l, lTimeIdx, s"left time '${leftTime.name}'")
+          val k = nonNull(l, lKeyIdx, lKeyWhat)
+          val t = nonNull(l, lTimeIdx, lTimeWhat)
           // consume right rows with key < k, or (key == k, time <= t);
           // the LAST one consumed for key k is the as-of match (inputs are
           // sorted by (key, time, tie), so later == larger (time, tie))
           while (pending != null && {
-            val rk = nonNull(pending, rKeyIdx, s"right key '${rightKey.name}'")
-            rk < k || (rk == k && nonNull(pending, rTimeIdx,
-              s"right time '${rightTime.name}'") <= t)
+            val rk = nonNull(pending, rKeyIdx, rKeyWhat)
+            rk < k || (rk == k && nonNull(pending, rTimeIdx, rTimeWhat) <= t)
           }) {
             if (pending.getLong(rKeyIdx) == k) {
               carried = pending.copy() // pending may be a reused UnsafeRow
@@ -144,7 +149,9 @@ object AsOfJoin {
   /** Left-outer as-of join of `leftDf` to `rightDf`: for each left row,
     * the last right row with equal `key` and `rightTime <= leftTime`
     * (ties on time broken by max `rightTie`). Column names must be
-    * distinct across the two sides; key/time/tie columns must be
+    * distinct across the two sides — on a self join (both sides sharing
+    * exprIds) the right side's columns are automatically renamed with an
+    * `__asof_r` suffix to preserve that. Key/time/tie columns must be
     * long-backed (bigint / timestamp). */
   def asOf(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
@@ -160,12 +167,21 @@ object AsOfJoin {
     val lp = leftDf.queryExecution.analyzed
     // a self as-of join (same DataFrame on both sides) would carry the same
     // exprIds on both sides, making the exprId-based column binding in
-    // doExecute ambiguous — re-alias the right side with fresh exprIds
+    // doExecute ambiguous — re-alias the right side with fresh exprIds AND
+    // fresh names ("<col>__asof_r"). The names must change: a same-name
+    // re-alias (`a AS a`) is stripped by RemoveRedundantAliases, whose
+    // duplicate-exprId exclusion only protects real Join nodes, not custom
+    // BinaryNodes — the stripped plan would bind right columns to the left
+    // row and silently mirror left values. Renaming also keeps the
+    // distinct-names contract above: self-join outputs carry the suffix.
     val rp0 = rightDf.queryExecution.analyzed
+    val selfJoin =
+      lp.output.map(_.exprId).toSet.intersect(rp0.output.map(_.exprId).toSet).nonEmpty
+    val rSuffix = if (selfJoin) "__asof_r" else ""
     val rp =
-      if (lp.output.map(_.exprId).toSet.intersect(rp0.output.map(_.exprId).toSet).isEmpty) rp0
-      else rightDf.select(rightDf.columns.map(c => rightDf.col(c).as(c)): _*)
-        .queryExecution.analyzed
+      if (!selfJoin) rp0
+      else rightDf.select(rightDf.columns.map(c =>
+        rightDf.col(c).as(c + rSuffix)): _*).queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
@@ -183,8 +199,8 @@ object AsOfJoin {
       AsOfJoinPlan(lp, rp,
         longBacked(attr(lp, leftKey), "left key"),
         longBacked(attr(lp, leftTime), "left time"),
-        longBacked(attr(rp, rightKey), "right key"),
-        longBacked(attr(rp, rightTime), "right time"),
-        longBacked(attr(rp, rightTie), "right tie-break")))
+        longBacked(attr(rp, rightKey + rSuffix), "right key"),
+        longBacked(attr(rp, rightTime + rSuffix), "right time"),
+        longBacked(attr(rp, rightTie + rSuffix), "right tie-break")))
   }
 }

@@ -31,6 +31,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(limited.count() == 7)
   }
 
+  test("self as-of join binds right columns to the RIGHT row (no alias stripping)") {
+    import spark.implicits._
+    // two rows share (key, time) with different ties: each left row's
+    // correct match is the MAX-tie row, which for (k=1,t=10,tie=1) is a
+    // DIFFERENT row than itself — a plan that mirrors left values into the
+    // right columns (the RemoveRedundantAliases hazard) fails this
+    val df = Seq((1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"),
+        (1L, 30L, 3L, "c"), (2L, 40L, 4L, "d"))
+      .toDF("k", "t", "tie", "v")
+    val out = graft.plans.AsOfJoin.asOf(spark, df, df, "k", "t", "k", "t", "tie")
+    assert(out.columns.toSeq ==
+      Seq("k", "t", "tie", "v", "k__asof_r", "t__asof_r", "tie__asof_r", "v__asof_r"))
+    val got = out.select("tie", "v__asof_r")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "b", 2L -> "b", 3L -> "c", 4L -> "d"), s"got $got")
+  }
+
   test("GraftExtensions installs the strategy, rule, and float_dot into a session") {
     // apply directly to an extensions container (building a second
     // SparkSession in-JVM would just reuse the existing one)
