@@ -27,6 +27,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c1_join_broadcast_equi").contains("BroadcastHashJoin"))
   }
 
+  test("AQE splits a skewed join partition (SURVEY §7.5's skew story)") {
+    // one hot key holding ~90% of the fact side: with AQE skew handling on
+    // (and thresholds scaled down to test size), the final adaptive plan
+    // must mark the sort-merge join skew-handled instead of leaving one
+    // straggler task with the whole hot partition
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions._
+    val fact = s2.range(0, 300000).select(
+      when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 1000).as("k"),
+      col("id").as("v"))
+    val dim = s2.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = fact.join(dim, "k")
+    joined.queryExecution.toRdd.count() // finalize the adaptive plan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+  }
+
   test("c2: fact-fact join is a shuffle sort-merge join") {
     assert(plan("c2_join_shuffle_equi").contains("SortMergeJoin"))
   }
