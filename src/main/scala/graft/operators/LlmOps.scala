@@ -379,6 +379,30 @@ object LlmOps {
       minmax.join(distincts, Seq("col_name"))
         .select("col_name", "null_cnt", "distinct_cnt", "min_s", "max_s")
         .orderBy("col_name")
+    }),
+
+    // j14: constraint validation gate — the ETL "reject the load" check
+    // that complements j13's profile: key uniqueness, referential
+    // integrity, value range, null rate, one row per constraint. Each
+    // check is a single aggregate (the referential one an anti-join
+    // keyed on the join column — the same shuffle the load itself needs),
+    // so the gate costs one pass per table at any scale.
+    "j14_dq_constraints" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      def check(name: String, violations: DataFrame): DataFrame =
+        violations.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check_name"), col("violations"))
+      check("orders.o_orderkey unique",
+          o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1))
+        .union(check("lineitem.l_orderkey in orders",
+          li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")))
+        .union(check("orders.o_totalprice positive",
+          o.filter(col("o_totalprice") <= 0)))
+        .union(check("orders.o_custkey not null",
+          o.filter(col("o_custkey").isNull)))
+        .withColumn("pass", col("violations") === 0)
+        .orderBy("check_name")
     })
   )
 
@@ -508,6 +532,22 @@ object LlmOps {
            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
                   count(DISTINCT o_orderpriority),
                   min(o_orderpriority), max(o_orderpriority) FROM orders)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    "j14_dq_constraints" ->
+      """SELECT check_name, violations, violations = 0 AS pass FROM (
+           SELECT 'orders.o_orderkey unique' AS check_name,
+                  CAST(count(*) AS BIGINT) AS violations
+           FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'lineitem.l_orderkey in orders', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           UNION ALL
+           SELECT 'orders.o_totalprice positive', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_totalprice <= 0
+           UNION ALL
+           SELECT 'orders.o_custkey not null', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_custkey IS NULL)
+         ORDER BY check_name"""
   )
 }

@@ -75,6 +75,25 @@ object Relational {
         .agg(count(lit(1)).as("cnt"), sum(col("sq")).as("sum_sq"))
         .orderBy("bucket")),
 
+    // schema evolution on read: two parquet slices written at different
+    // "pipeline generations" — the newer generation grew a column.
+    // mergeSchema reconciles them into one unified schema, null-filling
+    // the old slice; the standard answer to additive schema drift in a
+    // long-lived ingest directory (at scale: enable per-read, not
+    // globally — footer merging costs one pass over file metadata).
+    "a9_source_schema_evolution" -> ((s, d) => {
+      val path = scratch(s, d, "a9_evo")
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite").parquet(s"$path/gen1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$path/gen1", s"$path/gen2")
+        .orderBy("o_orderkey")
+    }),
+
     // ---- B. projection / filter / predicates ----
     "b1_project_derived" -> ((s, d) =>
       t(s, d, "lineitem").select(
@@ -380,6 +399,12 @@ object Relational {
     "a6_source_json_lines" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events ORDER BY event_id""",
+
+    // gen1 (even keys) never carried o_totalprice, so it reads back NULL
+    "a9_source_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 2 <> 0 THEN o_totalprice END AS o_totalprice
+         FROM orders ORDER BY o_orderkey""",
 
     "b1_project_derived" ->
       """SELECT l_orderkey, l_linenumber,
