@@ -296,11 +296,25 @@ object Relational {
     }),
 
     "c11_join_interval_self" -> ((s, d) => {
+      // equi-join on (user, 10-minute time bucket), not user alone:
+      // b_ts ∈ [a_ts, a_ts+10min] implies b's bucket is a's or the next,
+      // so the probe side carries {bkt, bkt+1} and the exact interval
+      // filter runs on bucket-local candidates only. Per-user fan-out is
+      // bounded by 10-minute DENSITY, not the user's total event count —
+      // user-only keys are quadratic per user at scale (c9's fix, reused).
+      // Exactly one exploded bucket matches a given b row, so no dedup
+      // pass is needed.
+      val bkt = (c: org.apache.spark.sql.Column) =>
+        floor(unix_micros(c) / (600L * 1000 * 1000))
       val a = t(s, d, "events").select(col("event_id").as("a_id"),
-        col("user_id").as("a_user"), col("ts").as("a_ts"))
+          col("user_id").as("a_user"), col("ts").as("a_ts"))
+        .select(col("a_id"), col("a_user"), col("a_ts"),
+          explode(array(bkt(col("a_ts")), bkt(col("a_ts")) + 1)).as("a_bkt"))
       val b = t(s, d, "events").select(col("event_id").as("b_id"),
-        col("user_id").as("b_user"), col("ts").as("b_ts"))
+        col("user_id").as("b_user"), col("ts").as("b_ts"),
+        bkt(col("ts")).as("b_bkt"))
       a.join(b, col("a_user") === col("b_user") &&
+          col("a_bkt") === col("b_bkt") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
           col("a_id") < col("b_id"))

@@ -104,6 +104,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinLine.contains("bkt"), s"bucket column not a join key: $joinLine")
   }
 
+  test("c11: interval self-join is bucketed on (user, 10-min bucket)") {
+    val p = plan("c11_join_interval_self")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to all-pairs:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      .getOrElse(fail(s"no equi join planned:\n$p"))
+    assert(joinLine.contains("bkt"), s"time bucket not a join key: $joinLine")
+  }
+
   test("c13: native as-of join plans AsOfJoinExec and matches composed c10") {
     val p = plan("c13_join_asof_native")
     assert(p.contains("AsOfJoin"), s"custom exec not planned:\n$p")
