@@ -301,10 +301,30 @@ object TrainOps {
           (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
             .as("jaccard"))
         .orderBy("a_id", "b_id")
-    })
+    }),
+
+    // l10: deterministic train/eval split — assignment is a pure function
+    // of the stable doc id's md5 (first hex byte < 0xcd ≈ 80.1% train),
+    // NOT of a random number or row position: reruns, engine changes, and
+    // corpus growth never reshuffle existing assignments, and the split
+    // is reproducible from the id alone. Per-row expression, zero
+    // shuffle; the hex-string comparison is portable (Spark and DuckDB
+    // emit identical lowercase-hex md5).
+    "l10_split_train_eval" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
+            < "cd", lit("train")).otherwise(lit("eval")).as("split"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "l10_split_train_eval" ->
+      """SELECT doc_id, lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train' ELSE 'eval' END AS split
+         FROM documents ORDER BY doc_id""",
+
     // the oracle needs no prefix filter: the full inverted-index join is
     // provably the same pair set (prefix filtering is lossless), and the
     // t2 tier is small enough to brute-force. Thresholding is the same
