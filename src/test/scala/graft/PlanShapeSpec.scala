@@ -27,6 +27,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c1_join_broadcast_equi").contains("BroadcastHashJoin"))
   }
 
+  test("a5's partitioned layout prunes partitions under a partition filter") {
+    // the partition-pruned-layout story of §7.5: a filter on the partition
+    // column must become a PartitionFilter on the scan (pruned directory
+    // listing), not a post-scan Filter over every file
+    val dir = Tables.scratch(spark, sfTiny, "prune_guard")
+    Tables.t(spark, sfTiny, "orders")
+      .withColumn("o_year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("o_year") === 1995)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      s"partition filter not pushed to the scan:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") &&
+      l.contains("o_year")), s"residual row-level filter on the partition col:\n$p")
+  }
+
   test("AQE splits a skewed join partition (SURVEY §7.5's skew story)") {
     // one hot key holding ~90% of the fact side: with AQE skew handling on
     // (and thresholds scaled down to test size), the final adaptive plan
