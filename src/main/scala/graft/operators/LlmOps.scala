@@ -540,8 +540,13 @@ object LlmOps {
                   CAST(count(*) AS BIGINT) AS violations
            FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
            UNION ALL
+           -- NOT EXISTS, not NOT IN: NOT IN goes UNKNOWN on NULL keys
+           -- (one NULL o_orderkey would report 0 violations), while
+           -- NOT EXISTS counts NULL probe keys as orphans — exactly the
+           -- left_anti join's semantics on the Spark side
            SELECT 'lineitem.l_orderkey in orders', CAST(count(*) AS BIGINT)
-           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
            UNION ALL
            SELECT 'orders.o_totalprice positive', CAST(count(*) AS BIGINT)
            FROM orders WHERE o_totalprice <= 0

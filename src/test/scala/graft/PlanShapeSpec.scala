@@ -41,8 +41,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(o_year"),
       s"partition filter not pushed to the scan:\n$p")
-    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") &&
-      l.contains("o_year")), s"residual row-level filter on the partition col:\n$p")
+    // robust to codegen markers (*(1) Filter) and branch prefixes (: +-):
+    // any Filter NODE line mentioning the partition column is residual;
+    // PartitionFilters/PushedFilters attribute lines are the scan's own
+    val residual = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("o_year") &&
+        !l.contains("PartitionFilters") && !l.contains("PushedFilters"))
+    assert(!residual, s"residual row-level filter on the partition col:\n$p")
   }
 
   test("AQE splits a skewed join partition (SURVEY §7.5's skew story)") {
