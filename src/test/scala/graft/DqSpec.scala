@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** j14's constraint gate passes trivially on the clean TPC-H fixtures
+  * (zero violations everywhere), so this spec plants one violation of
+  * every kind and asserts the gate actually counts them — including the
+  * NULL-key orphan, where anti-join semantics (NULL matches nothing ⇒
+  * violation) are the pinned behaviour. */
+class DqSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("j14 counts planted uniqueness/referential/range/null violations") {
+    import spark.implicits._
+    val dir = Tables.scratch(spark, "dq_fixture", "j14")
+    // o_orderkey=1 duplicated; one row with NULL custkey AND non-positive
+    // price (each counted by its own check)
+    Seq((Some(1L), Some(10L), 5.0), (Some(1L), Some(11L), 6.0),
+        (Some(2L), Some(12L), 7.0), (Some(3L), None, -2.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // one orphan key and one NULL key — both are orphans under left_anti
+    Seq(Some(1L), Some(999L), None).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("j14_dq_constraints")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "orders.o_orderkey unique" -> ((1L, false)),
+      "lineitem.l_orderkey in orders" -> ((2L, false)),
+      "orders.o_totalprice positive" -> ((1L, false)),
+      "orders.o_custkey not null" -> ((1L, false))), s"got $got")
+  }
+}
