@@ -115,6 +115,21 @@ object Aggregates {
           rnd4(percentile(col("o_totalprice"), lit(0.9))).as("p90_total"))
         .orderBy("o_orderstatus")),
 
+    // d16: the 100-TB path for d11 — exact percentile needs the full
+    // per-group value set (sort or full collection); percentile_approx is
+    // a bounded-size mergeable sketch (map-side combinable, one shuffle of
+    // sketches not rows). Approximate and engine-internal, so unoracled —
+    // ApproxSpec pins it within tolerance of the exact d11 answer.
+    "d16_agg_approx_quantile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          rnd4(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)))
+            .as("med_total"),
+          rnd4(percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)))
+            .as("p90_total"))
+        .orderBy("o_orderstatus")),
+
     "d12_agg_stats" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag")

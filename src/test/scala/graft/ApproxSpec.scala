@@ -19,4 +19,17 @@ class ApproxSpec extends AnyFunSuite {
         s"group $k: approx=$ap exact=$ex off by more than 5%")
     }
   }
+
+  test("d16: approx quantiles within 1% of exact d11 per group") {
+    def rows(key: String) = SparkEntry.queries(key)(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = rows("d11_agg_percentile")
+    val approx = rows("d16_agg_approx_quantile")
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (m, p)) =>
+      val (am, ap) = approx(k)
+      assert(math.abs(am - m) / m <= 0.01, s"$k median approx=$am exact=$m")
+      assert(math.abs(ap - p) / p <= 0.01, s"$k p90 approx=$ap exact=$p")
+    }
+  }
 }
