@@ -147,6 +147,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("whole inventory: no unexpected cartesian/nested-loop joins") {
+    // BNLJ/cartesian is legitimate ONLY for the deliberate cross-join
+    // demo (c8), scalar/1-row (or 16-centroid) broadcast joins (e7, j4,
+    // j6, l3), and the row-cap-guarded exact all-pairs baselines (j3,
+    // l2). Every other key degenerating to an all-pairs join is a scale
+    // regression — this sweep catches it for FUTURE keys automatically.
+    val allowed = Set("c8_join_cross", "e7_win_distribution",
+      "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
+      "l2_sim_embedding_nn", "l3_ann_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
+      .filterNot(allowed)
+      .filter { k =>
+        val p = SparkEntry.queries(k)(spark, sfTiny)
+          .queryExecution.executedPlan.toString
+        p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
