@@ -50,6 +50,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!residual, s"residual row-level filter on the partition col:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // §7.5's runtime-filter story: a selective filter on the build side
+    // of a shuffle join should inject a bloom filter onto the probe-side
+    // scan, pruning fact rows BEFORE the shuffle (thresholds scaled down
+    // to test size; application-side threshold is 10GB by default)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+    import org.apache.spark.sql.functions.col
+    val li = s2.read.parquet(s"$sfTiny/lineitem.parquet")
+    val part = s2.read.parquet(s"$sfTiny/part.parquet")
+      .filter(col("p_size") === 10)
+    val q = li.join(part, li("l_partkey") === part("p_partkey"))
+    val p = q.queryExecution.executedPlan.toString
+    // renders as might_contain(subquery over bloom_filter_agg) guarding
+    // the fact-side scan, upstream of the join's Exchange
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"no runtime bloom filter injected:\n$p")
+  }
+
   test("AQE splits a skewed join partition (SURVEY §7.5's skew story)") {
     // one hot key holding ~90% of the fact side: with AQE skew handling on
     // (and thresholds scaled down to test size), the final adaptive plan
