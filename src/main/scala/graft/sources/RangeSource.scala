@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,11 +55,33 @@ class RangeTable(start: Long, end: Long, slices: Int)
 }
 
 class RangeScanBuilder(start: Long, end: Long, slices: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = RangeSource.schema
+  private var lo = start
+  private var hi = end
+  private var accepted: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RangeScan(start, end, slices, required)
+  /** Range comparisons on `id` tighten the [lo, hi) bounds BEFORE
+    * partition planning — pushed filters shrink the split set itself (the
+    * V2 analogue of partition pruning), not just per-row evaluation.
+    * Accepted filters are exact, so nothing is returned as residual and
+    * Spark drops its own Filter node for them. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case _ => false
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters: Array[Filter] = accepted
+  override def build(): Scan = new RangeScan(lo, hi, slices, required)
 }
 
 class RangeScan(start: Long, end: Long, slices: Int, required: StructType)

@@ -118,6 +118,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() == 1000)
   }
 
+  test("a8: DSv2 connector pushes id-range filters into partition planning") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.RangeSource")
+      .option("start", 0).option("end", 100000).option("slices", 8).load()
+      .filter(col("id") >= 99000 && col("id") < 99500)
+    // bounds reach the source BEFORE partition planning: the scan is
+    // built over [99000, 99500), and the (re-split) partitions cover only
+    // that range — split pruning, not per-row evaluation
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec].scan
+    assert(scan.description == "graft_range(99000,99500,8)",
+      s"pushed bounds did not reach the scan: ${scan.description}")
+    assert(df.count() == 500)
+    // no residual Filter NODE: the source answered the predicate exactly
+    // ("RuntimeFilters:" is a BatchScan attribute label, not a node)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Filter ("), s"residual filter left above the scan:\n$p")
+  }
+
   test("c12: bucketed join shuffles strictly less than the shuffle join c2") {
     def exchanges(key: String): Int =
       "(?<!Broadcast)Exchange".r.findAllIn(plan(key)).length
