@@ -180,7 +180,7 @@ object AsOfJoin {
     val rSuffix = if (selfJoin) "__asof_r" else ""
     val rp =
       if (!selfJoin) rp0
-      else rightDf.select(rightDf.columns.map(c =>
+      else rightDf.select(rightDf.columns.toIndexedSeq.map(c =>
         rightDf.col(c).as(c + rSuffix)): _*).queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
