@@ -139,6 +139,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("foreachBatch upsert sink keeps last-wins compaction across batches") {
+    // the reference's warehouse MERGE loop in streaming form: each micro
+    // batch is merged into a parquet target with last-write-wins per key
+    // (j12's kernel applied incrementally). Without a lakehouse format the
+    // merge is read-merge-overwrite; the existing snapshot is eagerly
+    // localCheckpoint'd so overwriting the directory being read is safe.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = s"${Tables.scratch(spark, "upsert_fixture", "sink")}/t"
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("k", "ts", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(target)
+          catch { case _: Exception => batch.limit(0) }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("ts").desc)
+        val merged = existing.union(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .localCheckpoint(true) // materialize BEFORE overwriting the source dir
+        merged.write.mode("overwrite").parquet(target)
+      }
+      .start()
+    try {
+      input.addData((1L, 10L, "a"), (2L, 10L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, 20L, "a2"), (3L, 5L, "c")) // k=1 updated, k=3 new
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"), s"got $got")
+    } finally q.stop()
+  }
+
   test("checkpointed incremental ETL: file sink resumes exactly-once after restart") {
     // the reference's core loop (SURVEY §0.1): extract new rows, dedup,
     // load, persist the checkpoint, repeat — in Spark-native form this is
