@@ -315,7 +315,24 @@ object TrainOps {
         .select(col("doc_id"), col("lang"),
           when(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
             < "cd", lit("train")).otherwise(lit("eval")).as("split"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // l11: stratified deterministic sampling — a ~50% sample per language
+    // stratum (corpus balancing), selected by the same stable-id md5
+    // trick as l10 (first hex byte < 0x80): membership is reproducible
+    // from the id alone and independent per stratum, and the per-stratum
+    // counts verify the rate. Single scan, map-side combinable.
+    "l11_sample_stratified" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          (substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
+            < "80").as("in_sample"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"))
+        .withColumn("ratio",
+          floor(col("sampled").cast(DoubleType) / col("total") * 1e4 + 0.5) / 1e4)
+        .orderBy("lang"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,6 +341,16 @@ object TrainOps {
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
                 THEN 'train' ELSE 'eval' END AS split
          FROM documents ORDER BY doc_id""",
+
+    "l11_sample_stratified" ->
+      """SELECT lang, total, sampled,
+           floor(CAST(sampled AS DOUBLE) / total * 1e4 + 5e-1) / 1e4 AS ratio
+         FROM (
+           SELECT lang, CAST(count(*) AS BIGINT) AS total,
+                  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+           FROM documents GROUP BY lang)
+         ORDER BY lang""",
 
     // the oracle needs no prefix filter: the full inverted-index join is
     // provably the same pair set (prefix filtering is lossless), and the
