@@ -10,6 +10,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class DqSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("a9-style mergeSchema read fails loudly on TYPE-conflicting generations") {
+    // additive drift (new columns) is a9's supported path; a column whose
+    // TYPE changed between generations is data corruption and must raise,
+    // not silently coerce
+    import spark.implicits._
+    val dir = Tables.scratch(spark, "schema_conflict_fixture", "a9bad")
+    Seq((1L, 10)).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen1")
+    Seq((2L, "ten")).toDF("k", "v").write.mode("overwrite").parquet(s"$dir/gen2")
+    val ex = intercept[Exception] {
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("merg") ||
+      ex.getMessage.toLowerCase.contains("schema"),
+      s"expected a schema-merge error, got: ${ex.getMessage.take(200)}")
+  }
+
   test("j14 counts planted uniqueness/referential/range/null violations") {
     import spark.implicits._
     val dir = Tables.scratch(spark, "dq_fixture", "j14")
