@@ -34,6 +34,14 @@ import org.apache.spark.sql.types._
   */
 object TrainOps {
 
+  /** Stable-id membership for l10/l11: first hex byte of md5(doc_id) below
+    * `thresholdHex` (lowercase 2-char hex, e.g. "cd" ≈ 80%, "80" = 50%).
+    * ONE definition so the split (l10) and the sample (l11) can never
+    * desynchronize; portable — DuckDB's md5 emits identical lowercase hex. */
+  private def idBelow(thresholdHex: String): Column =
+    substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2) <
+      thresholdHex
+
   /** exact-dup + planted-near-dup signature: 64-bit SimHash over unigram
     * token hashes (xxhash64 — engine-internal, hence unoracled). */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
@@ -313,8 +321,7 @@ object TrainOps {
     "l10_split_train_eval" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          when(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
-            < "cd", lit("train")).otherwise(lit("eval")).as("split"))
+          when(idBelow("cd"), lit("train")).otherwise(lit("eval")).as("split"))
         .orderBy("doc_id")),
 
     // l11: stratified deterministic sampling — a ~50% sample per language
@@ -324,9 +331,7 @@ object TrainOps {
     // counts verify the rate. Single scan, map-side combinable.
     "l11_sample_stratified" -> ((s, d) =>
       t(s, d, "documents")
-        .select(col("lang"),
-          (substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
-            < "80").as("in_sample"))
+        .select(col("lang"), idBelow("80").as("in_sample"))
         .groupBy("lang")
         .agg(count(lit(1)).as("total"),
           sum(when(col("in_sample"), 1L).otherwise(0L)).as("sampled"))

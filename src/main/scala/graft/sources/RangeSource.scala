@@ -69,12 +69,18 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
     * Accepted filters are exact, so nothing is returned as residual and
     * Spark drops its own Filter node for them. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v == Long.MaxValue would overflow the v+1 exclusive-bound forms and,
+    // because accepted filters leave NO residual Filter node, the overflow
+    // would be silently wrong rather than slow — leave those to Spark
     val (ok, residual) = filters.partition {
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThan("id", v: Long) if v < Long.MaxValue =>
+        lo = math.max(lo, v + 1); true
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
       case LessThan("id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); true
-      case EqualTo("id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("id", v: Long) if v < Long.MaxValue =>
+        hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long) if v < Long.MaxValue =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1); true
       case _ => false
     }
     accepted = ok

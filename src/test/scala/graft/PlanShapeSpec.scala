@@ -197,9 +197,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowed = Set("c8_join_cross", "e7_win_distribution",
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
       "l2_sim_embedding_nn", "l3_ann_ivf_topk")
+    // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
+    // (checkpointed closure rounds) and have their own dedicated
+    // no-cartesian test above — skip them here to avoid re-executing them
+    val coveredElsewhere =
+      Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
       .filterNot(allowed)
+      .filterNot(coveredElsewhere)
       .filter { k =>
         val p = SparkEntry.queries(k)(spark, sfTiny)
           .queryExecution.executedPlan.toString

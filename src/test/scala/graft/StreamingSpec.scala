@@ -153,8 +153,11 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val existing =
+          // ONLY path-not-found means "first batch"; any other read error
+          // (corrupt snapshot, schema mismatch) must surface, not silently
+          // reset the target to empty
           try spark.read.parquet(target)
-          catch { case _: Exception => batch.limit(0) }
+          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("k").orderBy(col("ts").desc)
         val merged = existing.union(batch)
