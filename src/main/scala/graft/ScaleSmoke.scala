@@ -25,6 +25,9 @@ object ScaleSmoke {
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("j1_dedup_exact", "j2_dedup_near_minhash", "l1_dedup_simhash",
         "l9_dedup_ngram_jaccard", "l10_split_train_eval")
+    // fail on typos BEFORE the expensive factor-x clone below
+    val unknown = keys.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -152,7 +152,10 @@ object AsOfJoin {
     * distinct across the two sides — on a self join (both sides sharing
     * exprIds) the right side's columns are automatically renamed with an
     * `__asof_r` suffix to preserve that. Key/time/tie columns must be
-    * long-backed (bigint / timestamp). */
+    * long-backed (bigint / timestamp) and NON-NULL — rows with a NULL
+    * key or time fail the query at execution time (consistent with
+    * pandas `merge_asof`, which raises on null merge keys) rather than
+    * silently sorting nulls first. */
   def asOf(spark: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String, rightTie: String): DataFrame = {

@@ -69,6 +69,10 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
     * Accepted filters are exact, so nothing is returned as residual and
     * Spark drops its own Filter node for them. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Idempotent: Spark may re-invoke on a reused builder during
+    // re-planning; compounding bounds from a prior call would silently
+    // drop rows (accepted filters leave no residual Filter node)
+    lo = start; hi = end; accepted = Array.empty
     // v == Long.MaxValue would overflow the v+1 exclusive-bound forms and,
     // because accepted filters leave NO residual Filter node, the overflow
     // would be silently wrong rather than slow — leave those to Spark

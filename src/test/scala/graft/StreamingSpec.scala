@@ -157,7 +157,10 @@ class StreamingSpec extends AnyFunSuite {
           // (corrupt snapshot, schema mismatch) must surface, not silently
           // reset the target to empty
           try spark.read.parquet(target)
-          catch { case _: org.apache.spark.sql.AnalysisException => batch.limit(0) }
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => batch.limit(0)
+          }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("k").orderBy(col("ts").desc)
         val merged = existing.union(batch)
