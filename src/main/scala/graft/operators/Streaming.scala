@@ -172,6 +172,38 @@ object Streaming {
         .orderBy("c_mktsegment")
     }),
 
+    // i8: STREAM-STREAM inner join — click→purchase attribution: each
+    // click joined to same-user purchases within the following 30 min.
+    // Both sides carry watermarks and the join condition bounds event
+    // time on both sides, so the state store evicts rows once the
+    // watermark passes click_ts + 30 min — state stays bounded by the
+    // watermark horizon on an unbounded stream (the core scale property
+    // of stream-stream joins). Inner join in Append mode emits each
+    // match exactly once; over AvailableNow the result equals the batch
+    // join, so the query is fully oracled. Timestamps compare in µs
+    // space on both engines (events.ts is ns-in-parquet, truncated).
+    "i8_stream_stream_join" -> ((s, d) => {
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      runToTable(s, joined, "append")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          epochUs(col("click_ts")).as("click_ts_us"),
+          epochUs(col("purchase_ts")).as("purchase_ts_us"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // i7: watermark / late-data semantics demo (unoracled by design —
     // which rows count as late depends on micro-batch boundaries). The
     // events table is split into two files processed as ORDERED micro
@@ -254,6 +286,18 @@ object Streaming {
     "i6_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // µs-space comparisons on both engines: DuckDB's epoch_us truncates
+    // the ns-resolution parquet timestamps exactly like the Spark loader
+    "i8_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND epoch_us(p.ts) >= epoch_us(c.ts)
+          AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         ORDER BY click_id, purchase_id"""
   )
 }

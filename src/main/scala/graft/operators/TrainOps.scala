@@ -30,7 +30,16 @@ import org.apache.spark.sql.types._
   *  - exact n-gram Jaccard join (l9) is prefix-filtered (AllPairs/PPJoin):
   *    the inverted index holds only each doc's rarest n−⌈0.8n⌉+1 shingles
   *    — provably lossless for J ≥ 0.8 — so hub shingles never fan out and
-  *    full shingle sets materialize for candidate docs only.
+  *    full shingle sets materialize for candidate docs only;
+  *  - embedding-cosine near-dup (l12) is the vector-space analogue of the
+  *    MinHash pipeline: signed-random-projection LSH [Charikar, STOC'02]
+  *    reduces each vector to 128 sign bits, candidates come from
+  *    equi-joins on 16-bit bands, the exact cosine check runs on
+  *    candidates only — the join shuffles 16-byte signatures, never
+  *    embeddings, and bucket sizes are ~n/2^16 per band;
+  *  - sequence packing (l13) is the GPT-style concat-and-chunk layout:
+  *    one window cumsum per source partition — packing is inherently
+  *    order-dependent, so the per-source stream IS the parallel unit.
   */
 object TrainOps {
 
@@ -55,6 +64,77 @@ object TrainOps {
     }.reduce(_ + _) // bits are disjoint, so the sum assembles the signature
     toks.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** 128 fixed signed-random-projection hyperplanes for l12 (seeded —
+    * signatures are reproducible across runs and engines running this
+    * code; the seed is part of the operator definition). */
+  private lazy val srpPlanes: Array[Seq[Float]] = {
+    val rnd = new scala.util.Random(0x5eedL)
+    Array.fill(128)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Embedding-cosine near-duplicate clustering over a `(vec_id,
+    * embedding)` table — the vector-space member of the dedup family
+    * (exact j1, MinHash j2, SimHash l1, n-gram Jaccard l9, cosine l12).
+    *
+    * SRP-LSH [Charikar, STOC'02]: `sign(v · r_p)` over 128 fixed Gaussian
+    * hyperplanes gives a 128-bit signature whose per-bit collision
+    * probability for a pair at angle θ is 1 − θ/π. Banded into 8 × 16-bit
+    * bands, a pair at cosine ≥ 0.98 (θ ≤ 0.2 rad) collides in ≥ 1 band
+    * with p ≈ 0.97, while a random pair (cos ≈ 0) collides with
+    * p ≈ 8/2^16 — candidate fan-out is ~n²/2^16 per band, NOT n².
+    * Candidates then pass an EXACT cosine ≥ threshold check, and
+    * components close transitively via min-label propagation (shared
+    * with j2/l1). Approximate by design (banding can miss a pair near
+    * the threshold) — unoracled; TrainOpsSpec pins recall ≥ 0.9 against
+    * brute force on planted clusters plus A~B~C chain closure. */
+  private[graft] def embeddingNearDups(raw: DataFrame, threshold: Double): DataFrame = {
+    val e = raw.select(col("vec_id"), col("embedding"),
+      sqrt(floatDot(col("embedding"), col("embedding"))).as("norm"))
+    // one 64-bit signature word: disjoint bits, so the sum assembles it
+    def sigWord(w: Int): Column =
+      (0 until 64).map { p =>
+        when(floatDot(col("embedding"), typedlit(srpPlanes(w * 64 + p))) > 0d,
+          lit(1L << p)).otherwise(lit(0L)): Column
+      }.reduce(_ + _)
+    // 128 dot products per row — materialized ONCE (consumed by the band
+    // join twice, the exact check twice, and the output spine)
+    val sigs = e.select(col("vec_id"), col("embedding"), col("norm"),
+      sigWord(0).as("s0"), sigWord(1).as("s1"))
+      .localCheckpoint(eager = false)
+    val banded = sigs.select(col("vec_id"),
+      explode(array((0 until 8).map { k =>
+        val word = if (k < 4) col("s0") else col("s1")
+        // arithmetic >> then mask: the 16-bit band value, namespaced by k
+        shiftright(word, (k % 4) * 16).bitwiseAND(lit(0xFFFFL)) * 8 + k
+      }: _*)).as("band"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("norm").as("na")), "a_id")
+      .join(sigs.select(col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("norm").as("nb")), "b_id")
+      .filter(floatDot(col("ea"), col("eb")) / (col("na") * col("nb")) >= threshold)
+      .select("a_id", "b_id")
+    // symmetric edge list: feeds the closure AND the neighbour count
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(eager = false)
+    val nDups = edges.groupBy(col("a_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    val clusters = LlmOps.minLabelClosure(
+      sigs.select(col("vec_id").as("doc_id")), edges)
+    sigs.select("vec_id")
+      .join(clusters.withColumnRenamed("doc_id", "vec_id"), "vec_id")
+      .join(nDups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("vec_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -338,9 +418,58 @@ object TrainOps {
         .withColumn("ratio",
           floor(col("sampled").cast(DoubleType) / col("total") * 1e4 + 0.5) / 1e4)
         .orderBy("lang"))
+,
+    // l12: embedding-cosine near-dup — SRP-LSH banded candidates, exact
+    // cosine >= 0.98, transitive cluster closure. Unoracled (LSH banding
+    // is approximate by design, like j2/l1); TrainOpsSpec pins recall on
+    // planted clusters and chain closure; ScaleSmoke's cloned embeddings
+    // exercise real clusters (the fixture's max pairwise cosine is 0.51,
+    // so here every vector is its own cluster — the honest output).
+    "l12_dedup_embedding" -> ((s, d) =>
+      embeddingNearDups(t(s, d, "embeddings").select("vec_id", "embedding"), 0.98)),
+
+    // l13: GPT-style sequence packing — concatenate docs per source in
+    // stable doc_id order and chunk the token stream into 512-token
+    // training sequences; each doc reports its stream offset, first
+    // sequence id, and how many sequences it straddles. Packing is
+    // order-dependent, so the per-source stream is the parallel unit:
+    // ONE shuffle on source, one window cumsum within — at corpus scale
+    // sources (or shards thereof) give the 1000-way parallelism.
+    "l13_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("source"), col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("start_off div 512"))
+        // empty docs (n_tokens = 0) occupy their start sequence
+        .withColumn("n_seqs", expr(
+          "((start_off + greatest(n_tokens, 1) - 1) div 512) - (start_off div 512) + 1"))
+        .select("source", "doc_id", "n_tokens", "start_off", "seq_id", "n_seqs")
+        .orderBy("source", "doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    "l13_pack_sequences" ->
+      """WITH sized AS (
+           SELECT source, doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         offs AS (
+           SELECT source, doc_id, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+           FROM sized)
+         SELECT source, doc_id, n_tokens, start_off,
+                start_off // 512 AS seq_id,
+                ((start_off + greatest(n_tokens, 1) - 1) // 512)
+                  - (start_off // 512) + 1 AS n_seqs
+         FROM offs ORDER BY source, doc_id""",
+
     "l10_split_train_eval" ->
       """SELECT doc_id, lang,
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'

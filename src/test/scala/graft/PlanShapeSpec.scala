@@ -147,8 +147,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
-  test("j2/l1/l9: near-dedup candidate joins are equi-joins, never all-pairs") {
-    Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard")
+  test("j2/l1/l9/l12: near-dedup candidate joins are equi-joins, never all-pairs") {
+    Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
+      "l12_dedup_embedding")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -201,7 +202,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
     val coveredElsewhere =
-      Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard")
+      Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
+        "l12_dedup_embedding")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
       .filterNot(allowed)
