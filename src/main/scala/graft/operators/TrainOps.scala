@@ -449,10 +449,128 @@ object TrainOps {
           "((start_off + greatest(n_tokens, 1) - 1) div 512) - (start_off div 512) + 1"))
         .select("source", "doc_id", "n_tokens", "start_off", "seq_id", "n_seqs")
         .orderBy("source", "doc_id")
+    }),
+
+    // l14: Gopher-style repetition filter [Rae et al. 2021, §A1.1]: drop
+    // docs dominated by repeated n-grams. Per doc — fraction of bigram
+    // slots taken by the single most frequent bigram, fraction of
+    // repeated trigrams, symbol-to-char ratio; keep = top-bigram ≤ 0.08
+    // AND dup-trigram ≤ 0.05 (thresholds pinned to this corpus's p90).
+    // Two explode→groupBy passes over in-doc n-grams: map-side
+    // combinable, shuffles (doc_id, gram) counts only.
+    "l14_repetition_filter" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val seq = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z]+")))
+        .withColumnRenamed("col", "term")
+        .filter(col("term") =!= "")
+        .withColumn("t1", lead(col("term"), 1).over(w))
+        .withColumn("t2", lead(col("term"), 2).over(w))
+      val biStats = seq.filter(col("t1").isNotNull)
+        .groupBy(col("doc_id"), concat_ws(" ", col("term"), col("t1")).as("bg"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("top_bi"), sum(col("c")).as("n_bi"))
+      val triStats = seq.filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("term"), col("t1"), col("t2")).as("tg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), countDistinct(col("tg")).as("d_tri"))
+      val sym = t(s, d, "documents").select(col("doc_id"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
+          .cast(DoubleType) / length(col("text"))).as("sym_ratio"))
+      val topBiFrac = col("top_bi").cast(DoubleType) / col("n_bi")
+      val dupTriFrac = lit(1.0) - col("d_tri").cast(DoubleType) / col("n_tri")
+      biStats.join(triStats, "doc_id").join(sym, "doc_id")
+        .select(col("doc_id"),
+          (floor(topBiFrac * 1e4 + 0.5) / 1e4).as("top_bigram_frac"),
+          (floor(dupTriFrac * 1e4 + 0.5) / 1e4).as("dup_trigram_frac"),
+          (floor(col("sym_ratio") * 1e4 + 0.5) / 1e4).as("symbol_ratio"),
+          (topBiFrac <= 0.08 && dupTriFrac <= 0.05).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // l15: source mixing weights — the "data mixing" step of corpus
+    // assembly: per-source token mass and the per-doc sampling weight
+    // that would rebalance the corpus to a UNIFORM share per source
+    // (weight = target_share / actual_share). One agg + one 20-row
+    // window; at corpus scale the per-source agg is the only shuffle.
+    // (Spark's single-partition-window warning fires on the GLOBAL
+    // window, but its input is the per-source aggregate — ≤ #sources
+    // rows at any corpus size, never the corpus itself.)
+    "l15_source_mix_weights" -> ((s, d) => {
+      val perSrc = t(s, d, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast(LongType).as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok"))
+      val nSrc = Window.partitionBy()
+      perSrc
+        .withColumn("total", sum(col("tok")).over(nSrc))
+        .withColumn("srcs", count(lit(1)).over(nSrc))
+        .withColumn("share", col("tok").cast(DoubleType) / col("total"))
+        .select(col("source"), col("n_docs"), col("tok").as("n_tokens"),
+          (floor(col("share") * 1e4 + 0.5) / 1e4).as("share"),
+          (floor(lit(1.0) / col("srcs") / col("share") * 1e4 + 0.5) / 1e4)
+            .as("weight"))
+        .orderBy("source")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "l14_repetition_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         seq AS (
+           SELECT doc_id, term, lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2
+           FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         bistats AS (
+           SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM (
+             SELECT doc_id, term || ' ' || t1 AS bg, count(*) AS c
+             FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2)
+           GROUP BY 1),
+         tristats AS (
+           SELECT doc_id, count(*) AS n_tri,
+                  count(DISTINCT term || ' ' || t1 || ' ' || t2) AS d_tri
+           FROM seq WHERE t2 IS NOT NULL GROUP BY 1),
+         sym AS (
+           SELECT doc_id,
+                  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                    AS DOUBLE) / length(text) AS sym_ratio
+           FROM documents)
+         SELECT doc_id,
+                floor(CAST(top_bi AS DOUBLE) / n_bi * 1e4 + 5e-1) / 1e4 AS top_bigram_frac,
+                floor((1e0 - CAST(d_tri AS DOUBLE) / n_tri) * 1e4 + 5e-1) / 1e4 AS dup_trigram_frac,
+                floor(sym_ratio * 1e4 + 5e-1) / 1e4 AS symbol_ratio,
+                (CAST(top_bi AS DOUBLE) / n_bi <= 8e-2
+                 AND 1e0 - CAST(d_tri AS DOUBLE) / n_tri <= 5e-2) AS keep
+         FROM bistats JOIN tristats USING (doc_id) JOIN sym USING (doc_id)
+         ORDER BY doc_id""",
+
+    "l15_source_mix_weights" ->
+      """WITH per_src AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tok
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT source, n_docs, tok,
+                  CAST(sum(tok) OVER () AS BIGINT) AS total,
+                  CAST(count(*) OVER () AS BIGINT) AS srcs
+           FROM per_src)
+         SELECT source, n_docs, tok AS n_tokens,
+                floor(CAST(tok AS DOUBLE) / total * 1e4 + 5e-1) / 1e4 AS share,
+                floor(1e0 / srcs / (CAST(tok AS DOUBLE) / total) * 1e4 + 5e-1) / 1e4
+                  AS weight
+         FROM tot ORDER BY source""",
+
     "l13_pack_sequences" ->
       """WITH sized AS (
            SELECT source, doc_id,

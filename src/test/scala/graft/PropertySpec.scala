@@ -66,6 +66,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("l13 packing == sequential reference packer on random corpora") {
+    val rnd = new Random(99)
+    import spark.implicits._
+    (1 to 4).foreach { iter =>
+      val n = 20 + rnd.nextInt(80)
+      val docs = (0 until n).map { i =>
+        val words = 1 + rnd.nextInt(40)
+        val text = List.fill(words)("w" + rnd.nextInt(50)).mkString(" ")
+        (i.toLong, s"src${rnd.nextInt(4)}", text, "en", text.length.toLong)
+      }
+      // driver-side reference: running offset per source in doc_id order
+      val expected = docs.groupBy(_._2).flatMap { case (_, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).map { case (id, src, text, _, _) =>
+          val nt = text.split("\\s+").count(_.nonEmpty).toLong
+          val seq = off / 512
+          val nSeqs = (off + math.max(nt, 1L) - 1) / 512 - seq + 1
+          val row = (src, id, nt, off, seq, nSeqs)
+          off += nt
+          row
+        }
+      }.toSet
+      val dir = s"/dev/shm/graft_tmp/packtest_${spark.sparkContext.applicationId}_$iter"
+      docs.toDF("doc_id", "source", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("l13_pack_sequences")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(got == expected, s"n=$n iter=$iter")
+    }
+  }
+
   test("e7's closed-form ntile/percent_rank/cume_dist == Spark's window fns") {
     val rnd = new Random(7)
     (1 to 6).foreach { _ =>
