@@ -13,6 +13,10 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
+  /** a10's sink appends; a unique subdir per invocation keeps repeated
+    * Bench/Verify calls in one session from accumulating shards. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>
@@ -92,6 +96,37 @@ object Relational {
         .write.mode("overwrite").parquet(s"$path/gen2")
       s.read.option("mergeSchema", "true").parquet(s"$path/gen1", s"$path/gen2")
         .orderBy("o_orderkey")
+    }),
+
+    // write-side custom DataSource V2 connector (graft.sources.CsvDirSink,
+    // the sink twin of a8's read connector): an aggregate written through
+    // the full V2 write path — WriteBuilder → BatchWrite → per-partition
+    // DataWriters with the task/job COMMIT PROTOCOL (temp file per task
+    // attempt, rename on coordinated task commit, job-level marker on
+    // commit) — then read back. Exact-roundtrip serialization (shortest-
+    // repr doubles), so the read-back equals the direct aggregate.
+    "a10_sink_custom_dsv2" -> ((s, d) => {
+      // fresh subdir per invocation: the sink appends, and Bench invokes
+      // each query fn repeatedly in one session
+      val path = s"${scratch(s, d, "a10_sink")}/run_${sinkSeq.incrementAndGet()}"
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .write.format("graft.sources.CsvDirSink").option("path", path)
+        .mode("append").save()
+      require(new java.io.File(path, "_graft_committed").exists(),
+        "CsvDirSink job-commit marker missing — write did not complete")
+      // read the dir with a glob FILTER (a glob in the path itself trips
+      // FileStreamSink.hasMetadata's noisy literal-stat WARN)
+      s.read.option("sep", "\t")
+        .option("pathGlobFilter", "part-*.tsv")
+        .schema(StructType(Seq(
+          StructField("o_orderstatus", StringType),
+          StructField("n_orders", LongType),
+          StructField("sum_total", DoubleType))))
+        .csv(path)
+        .orderBy("o_orderstatus")
     }),
 
     // ---- B. projection / filter / predicates ----
@@ -408,6 +443,11 @@ object Relational {
 
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "a10_sink_custom_dsv2" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "a6_source_json_lines" ->

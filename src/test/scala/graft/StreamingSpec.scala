@@ -47,6 +47,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i8 stream-stream join: cross-batch matches emit; watermark-late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val buysIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val buys = buysIn.toDF().toDF("purchase_id", "p_user", "purchase_ts")
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("i8_spec")
+      .outputMode("append").start()
+    def got: Set[(Long, Long)] = spark.table("i8_spec")
+      .select("click_id", "purchase_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    try {
+      // batch 1: click alone — buffered in join state, nothing emitted
+      clicksIn.addData((1L, 7L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(got.isEmpty)
+      // batch 2: in-window purchase arrives LATER -> the buffered click matches
+      buysIn.addData((100L, 7L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(got == Set(1L -> 100L))
+      // batch 3: advance both watermarks past the click's join horizon
+      clicksIn.addData((2L, 8L, ts("2024-01-01 15:00:00")))
+      buysIn.addData((200L, 8L, ts("2024-01-01 15:10:00")))
+      q.processAllAvailable()
+      assert(got == Set(1L -> 100L, 2L -> 200L))
+      // batch 4: a purchase in click 1's window but far older than the
+      // watermark — the evicted state can't match it; nothing new emits
+      buysIn.addData((300L, 7L, ts("2024-01-01 10:25:00")))
+      q.processAllAvailable()
+      assert(got == Set(1L -> 100L, 2L -> 200L),
+        "watermark-expired click state must not produce new matches")
+    } finally q.stop()
+  }
+
   test("i1 Append variant: watermark evicts finalized windows from the state store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
