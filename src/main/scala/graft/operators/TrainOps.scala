@@ -528,10 +528,62 @@ object TrainOps {
           (floor(lit(1.0) / col("srcs") / col("share") * 1e4 + 0.5) / 1e4)
             .as("weight"))
         .orderBy("source")
+    }),
+
+    // l16: benchmark decontamination — flag training docs sharing any
+    // word-3-gram with a (pinned) eval set, the standard n-gram-overlap
+    // decontamination step of corpus assembly. The eval set BROADCASTS
+    // (benchmarks are tiny next to the corpus); shingling is in-row
+    // (shared with j2/l9 — one tokenizer to rule them all), the
+    // broadcast hash join filters at scan speed, and only the HIT rows
+    // (rare by construction) reach the per-doc count shuffle.
+    "l16_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      // 4 grams that occur in this corpus + 1 that cannot (pinned fixture)
+      val evalDf = Seq("row column sort", "stream table hash",
+        "window fast query", "data merge group", "held out benchmark")
+        .toDF("shingle")
+      val hits = LlmOps.shingleRows(s, d)
+        .join(broadcast(evalDf), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      t(s, d, "documents").select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
+        .orderBy("doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "l16_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         ev(g) AS (VALUES ('row column sort'), ('stream table hash'),
+                          ('window fast query'), ('data merge group'),
+                          ('held out benchmark')),
+         hits AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+           FROM sh JOIN ev ON shingle = g GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                coalesce(n_hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits USING (doc_id)
+         ORDER BY d.doc_id""",
+
     "l14_repetition_filter" ->
       """WITH toks AS (
            SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
