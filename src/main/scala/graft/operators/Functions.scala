@@ -106,15 +106,20 @@ object Functions {
 
     "h8_array_hof" -> ((s, d) => {
       val e = transform(col("embedding"), x => x.cast(DoubleType))
+      // + 0.0 after rounding: round(-0.00003, 4) is IEEE NEGATIVE zero,
+      // whose sign the two engines don't agree on — the driver's hash
+      // stringifies, so -0.0 vs 0.0 fails despite numeric equality
+      // (surfaced at sf0.1 only; the SAME +0e0 sits in the oracle SQL)
+      def r0(c: org.apache.spark.sql.Column) = rnd4(c) + lit(0.0)
       t(s, d, "embeddings").select(
         col("vec_id"),
         size(col("embedding")).as("n"),
-        rnd4(aggregate(e, lit(0.0), (acc, x) => acc + x)).as("sum_all"),
+        r0(aggregate(e, lit(0.0), (acc, x) => acc + x)).as("sum_all"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
-        rnd4(element_at(transform(col("embedding"),
+        r0(element_at(transform(col("embedding"),
           x => x.cast(DoubleType) * 2), 1)).as("doubled_first"),
-        rnd4(element_at(array_sort(e), 1)).as("min_sorted"),
-        rnd4(aggregate(slice(e, 1, 8), lit(0.0), (acc, x) => acc + x)).as("sum_first8"))
+        r0(element_at(array_sort(e), 1)).as("min_sorted"),
+        r0(aggregate(slice(e, 1, 8), lit(0.0), (acc, x) => acc + x)).as("sum_first8"))
         .orderBy("vec_id")
     }),
 
@@ -204,11 +209,11 @@ object Functions {
     "h8_array_hof" ->
       s"""SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS n,
-           round(list_aggregate($ebd, 'sum'), 4) AS sum_all,
+           round(list_aggregate($ebd, 'sum'), 4) + 0e0 AS sum_all,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
-           round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 4) AS doubled_first,
-           round(list_sort($ebd)[1], 4) AS min_sorted,
-           round(list_aggregate(list_slice($ebd, 1, 8), 'sum'), 4) AS sum_first8
+           round(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)[1], 4) + 0e0 AS doubled_first,
+           round(list_sort($ebd)[1], 4) + 0e0 AS min_sorted,
+           round(list_aggregate(list_slice($ebd, 1, 8), 'sum'), 4) + 0e0 AS sum_first8
          FROM embeddings ORDER BY vec_id""",
 
     "h9_map_funcs" ->
