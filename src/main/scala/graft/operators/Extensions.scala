@@ -122,6 +122,30 @@ object Extensions {
         }
         .toDF("o_orderstatus", "n_orders", "max_price")
         .orderBy("o_orderstatus")
+    }),
+
+    // k7: observed metrics (`Observation` / CollectMetrics) — the
+    // idiomatic way a pipeline collects row-count/sum quality gates ON
+    // THE SIDE of a real action, in the same pass (vs j13/j14's
+    // dedicated validation scans). The observed aggregates ride the
+    // write job's single scan: zero extra passes at any corpus size.
+    // The action is a `noop`-format write — the sink production ETL
+    // uses when only the metrics matter. (Distinct aggregates are not
+    // allowed in observed metrics, so the gate uses count/sum/min/max.)
+    "k7_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      t(s, d, "orders")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"),
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long], m("sum_total").asInstanceOf[Double],
+        m("min_total").asInstanceOf[Double], m("max_total").asInstanceOf[Double]))
+        .toDF("n_rows", "sum_total", "min_total", "max_total")
     })
   )
 
@@ -159,6 +183,12 @@ object Extensions {
       """SELECT o_orderstatus, count(*) AS n_orders, max(o_totalprice) AS max_price
          FROM orders WHERE o_totalprice > 100000.0
          GROUP BY 1 ORDER BY o_orderstatus""",
+
+    "k7_observe_metrics" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
+         FROM orders""",
 
     "k6_udaf_declarative" ->
       """SELECT l_returnflag,
