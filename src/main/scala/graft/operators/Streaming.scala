@@ -14,7 +14,7 @@ import java.util.concurrent.atomic.AtomicLong
   * `Trigger.AvailableNow()` → `awaitTermination()` → return the memory
   * table. This runs the REAL micro-batch engine (stateful operators, state
   * store, watermarks) yet yields a deterministic batch-comparable result,
-  * so i1–i6 are oracled with plain batch SQL. Multi-batch / late-data
+  * so i1–i6 and i8 are oracled with plain batch SQL. Multi-batch / late-data
   * semantics are additionally unit-tested with `MemoryStream` (§5), since
   * AvailableNow over a single parquet file is one data batch (plus the
   * no-data batch that advances the watermark).
