@@ -552,10 +552,123 @@ object TrainOps {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) > 0L).as("contaminated"))
         .orderBy("doc_id")
+    }),
+
+    // l17: the END-TO-END corpus-prep pipeline — the individual stages
+    // (quality l5, exact dedup j1, decontamination l16, split l10,
+    // packing l13) COMPOSED as one declarative plan: filter to quality
+    // ≥ 0.5 → keep min-doc_id per sha256(text) → drop eval-set-overlap
+    // docs → keep the md5 train split → pack survivors into 512-token
+    // sequences per source. One Catalyst optimization over the whole
+    // chain: the per-row stages (quality, digest, split) fuse into the
+    // scan projection; only the dedup group-by, the contamination
+    // anti-join, and the packing window shuffle. This is the query a
+    // real user of the engine runs nightly — and it's fully oracled,
+    // because every stage was built deterministic.
+    "l17_pipeline_corpus_prep" -> ((s, d) => {
+      import s.implicits._
+      // stage 1: quality score (l5's pinned formula, inline)
+      val toks = LlmOps.tokens(s, d)
+      val stop = Seq("the", "a", "of", "and")
+      val quality = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin(stop: _*), 1).otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .withColumn("q", lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * least(lit(1.0),
+            col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0))
+        .filter(col("q") >= 0.5)
+        .select("doc_id")
+      // stage 2: exact dedup survivors (j1's rule)
+      val docs = t(s, d, "documents")
+      val dedup = docs.groupBy(sha2(col("text"), 256).as("dig"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      // stage 3: decontamination (l16's eval set, anti-join)
+      val evalDf = Seq("row column sort", "stream table hash",
+        "window fast query", "data merge group", "held out benchmark")
+        .toDF("shingle")
+      val dirty = LlmOps.shingleRows(s, d)
+        .join(broadcast(evalDf), "shingle")
+        .select("doc_id").distinct()
+      // stage 4: train split (l10's md5 rule) + stage 5: packing (l13)
+      val survivors = docs
+        .join(quality, "doc_id")
+        .join(dedup, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+        .filter(idBelow("cd"))
+        .select(col("source"), col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast(LongType).as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      survivors
+        .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("start_off div 512"))
+        .select("source", "doc_id", "n_tokens", "start_off", "seq_id")
+        .orderBy("source", "doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // composition of the already-verified stage formulas (l5/j1/l16/l10/
+    // l13); scientific literals force DOUBLE and the add/divide order
+    // matches the Spark expression exactly, so the q >= 0.5 cut is the
+    // same IEEE comparison on both engines
+    "l17_pipeline_corpus_prep" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         q AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, count(*) AS n_tokens,
+                    sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                      AS stop_cnt,
+                    sum(length(term)) AS len_sum
+             FROM toks WHERE term <> '' GROUP BY 1)
+           WHERE 4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+               + 3e-1 * least(1e0, n_tokens / 1e2)
+               + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0)
+               >= 5e-1),
+         dedup AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         ptoks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM ptoks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         ev(g) AS (VALUES ('row column sort'), ('stream table hash'),
+                          ('window fast query'), ('data merge group'),
+                          ('held out benchmark')),
+         dirty AS (SELECT DISTINCT doc_id FROM sh JOIN ev ON shingle = g),
+         surv AS (
+           SELECT d.source, d.doc_id,
+                  CAST(len(regexp_extract_all(d.text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents d
+           JOIN q USING (doc_id) JOIN dedup USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+             AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'cd'),
+         offs AS (
+           SELECT source, doc_id, n_tokens,
+                  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS start_off
+           FROM surv)
+         SELECT source, doc_id, n_tokens, start_off, start_off // 512 AS seq_id
+         FROM offs ORDER BY source, doc_id""",
+
     "l16_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
