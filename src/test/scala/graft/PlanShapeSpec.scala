@@ -137,6 +137,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Filter ("), s"residual filter left above the scan:\n$p")
   }
 
+  test("a8: pushFilters is idempotent on a reused ScanBuilder") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    // Spark may re-invoke pushFilters during re-planning; a builder that
+    // compounds bounds across calls silently drops rows (accepted filters
+    // leave no residual Filter node to catch the error)
+    val b = new graft.sources.RangeScanBuilder(0, 1000, 4)
+    val fs: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThanOrEqual("id", 100L), LessThan("id", 900L))
+    b.pushFilters(fs)
+    b.pushFilters(fs) // second call must reset, not tighten further
+    val scan = b.build().asInstanceOf[graft.sources.RangeScan]
+    assert(scan.description == "graft_range(100,900,4)",
+      s"bounds compounded across pushFilters calls: ${scan.description}")
+  }
+
   test("c12: bucketed join shuffles strictly less than the shuffle join c2") {
     def exchanges(key: String): Int =
       "(?<!Broadcast)Exchange".r.findAllIn(plan(key)).length
