@@ -149,10 +149,51 @@ object Windows {
           min(epochUs(col("ts"))).as("sess_start_us"),
           max(epochUs(col("ts"))).as("sess_end_us"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // e10: time-series densification (resample + gap-fill) — per
+    // event_type hourly counts over the GLOBAL [min, max] hour range
+    // with every missing slot zero-filled; the transform that turns an
+    // event log into a regular time series for reporting/feature tables.
+    // The dense spine is types × hours from a 1-ROW broadcast bounds
+    // frame (deliberate tiny nested-loop join, like e7/j4's scalar
+    // broadcasts) + explode(sequence(...)); real data joins the spine
+    // by (type, hour) — at scale the spine is negligible and the event
+    // aggregation is the only data-sized shuffle.
+    "e10_resample_gapfill" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        (expr("unix_micros(ts) div 3600000000") * 3600000000L).as("hour_us"))
+      val counts = ev.groupBy("event_type", "hour_us").agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(min(col("hour_us")).as("lo"), max(col("hour_us")).as("hi"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600000000L))).as("hour_us"))
+      spine.join(counts, Seq("event_type", "hour_us"), "left")
+        .select(col("event_type"), col("hour_us"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "hour_us")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "e10_resample_gapfill" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+           FROM events),
+         counts AS (
+           SELECT event_type, hour_us, count(*) AS cnt FROM ev GROUP BY 1, 2),
+         bounds AS (SELECT min(hour_us) AS lo, max(hour_us) AS hi FROM ev),
+         hours AS (
+           SELECT unnest(generate_series(lo, hi, 3600000000)) AS hour_us
+           FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM ev)
+         SELECT t.event_type, h.hour_us, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+         FROM types t CROSS JOIN hours h
+         LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_us = h.hour_us
+         ORDER BY 1, 2""",
+
     "e1_win_topk_per_group" ->
       """SELECT user_id, rn, event_id, value FROM (
            SELECT user_id, event_id, value,

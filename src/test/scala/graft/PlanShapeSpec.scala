@@ -211,6 +211,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // l2). Every other key degenerating to an all-pairs join is a scale
     // regression — this sweep catches it for FUTURE keys automatically.
     val allowed = Set("c8_join_cross", "e7_win_distribution",
+      "e10_resample_gapfill", // 1-row broadcast bounds frame × 5-row types spine
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
       "l2_sim_embedding_nn", "l3_ann_ivf_topk")
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
