@@ -14,7 +14,7 @@ import java.util.concurrent.atomic.AtomicLong
   * `Trigger.AvailableNow()` → `awaitTermination()` → return the memory
   * table. This runs the REAL micro-batch engine (stateful operators, state
   * store, watermarks) yet yields a deterministic batch-comparable result,
-  * so i1–i6 and i8 are oracled with plain batch SQL. Multi-batch / late-data
+  * so i1–i6, i8 and i9 are oracled with plain batch SQL. Multi-batch / late-data
   * semantics are additionally unit-tested with `MemoryStream` (§5), since
   * AvailableNow over a single parquet file is one data batch (plus the
   * no-data batch that advances the watermark).
@@ -23,8 +23,10 @@ import java.util.concurrent.atomic.AtomicLong
   * Complete mode — Append would hold back every window newer than
   * `max(ts) - watermark`, which can never match a batch oracle over the
   * full table. Complete keeps all windows in the state store, fine for
-  * aggregate-sized state; the Append/watermark eviction path is exercised
-  * by i7 (unoracled, engine-internal by design) and the MemoryStream specs.
+  * aggregate-sized state; the Append/watermark eviction path is oracled
+  * first-class by i9 (the watermark-horizon cut IS batch-expressible) and
+  * further exercised by i7 (micro-batch-boundary semantics, unoracled by
+  * design) and the MemoryStream specs.
   *
   * Scale notes: streaming aggregation state is hash-partitioned by the
   * grouping key across `spark.sql.shuffle.partitions` state stores —
@@ -215,6 +217,25 @@ object Streaming {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // i9: the PRODUCTION output mode of the i1 tumbling aggregation —
+    // Append: a window is emitted exactly once, when the watermark passes
+    // its end, and its state-store entry is EVICTED in the same commit;
+    // state stays bounded by the watermark horizon on an unbounded
+    // stream. Over AvailableNow this is deterministic: the single data
+    // batch sets the final watermark to max(ts) − 1 h (truncated to ms by
+    // the engine's EventTimeStats), and the trailing no-data batch emits
+    // every window whose end is ≤ that watermark — a pure batch-
+    // expressible cut, so unlike i7 (micro-batch-boundary-dependent) this
+    // Append query is fully oracled. i1 (Complete) and i9 (Append) share
+    // the same transform [[tumblingAgg]]; together they pin that the two
+    // output modes agree on the watermark-finalized prefix.
+    "i9_stream_tumbling_append" -> ((s, d) => {
+      runToTable(s, tumblingAgg(eventsStream(s, d)), "append")
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start_us", "event_type")
+    }),
+
     // i7: watermark / late-data semantics demo (unoracled by design —
     // which rows count as late depends on micro-batch boundaries). The
     // events table is split into two files processed as ORDERED micro
@@ -285,6 +306,19 @@ object Streaming {
                 min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
          FROM sessioned GROUP BY user_id, session_id
          ORDER BY user_id, sess_start_us""",
+
+    // i9 = i1 restricted to the watermark-finalized windows. The engine
+    // tracks event-time stats in MILLISECONDS (µs floor-divided by 1000),
+    // so the final watermark is (floor(max_us/1000) − 3600000) ms; Append
+    // emits the windows whose end (µs) is ≤ that watermark — the same cut,
+    // exactly, in batch SQL.
+    "i9_stream_tumbling_append" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS cnt
+         FROM events
+         WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+               <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "i4_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
