@@ -13,6 +13,15 @@ import duckdb
 import pyarrow as pa
 import numpy as np
 
+# The determinism rules baked into the oracle SQL (SURVEY §7.2: -0.0
+# normalization, avg() result typing, epoch_us semantics, hugeint casts)
+# were validated against exactly this DuckDB. A silently different oracle
+# version would misattribute its own behavior changes as Spark failures.
+EXPECTED_DUCKDB = "1.0.0"
+if duckdb.__version__ != EXPECTED_DUCKDB:
+    sys.exit(f"preflight: duckdb {duckdb.__version__} != pinned {EXPECTED_DUCKDB} "
+             "- re-validate SURVEY §7.2 parity rules before trusting results")
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm_type(t: pa.DataType) -> str:

@@ -58,7 +58,13 @@ object Bench {
     val errs = results.collect { case (k, _, f) if f > 0 => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist the full JSON: the driver's log tail truncates at 2000
+    // chars, which has repeatedly cut off the suite total — the committed
+    // bench_rN_full.json copies of this file are the durable record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }
