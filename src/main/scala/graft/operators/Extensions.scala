@@ -68,18 +68,17 @@ object Extensions {
     }),
 
     // k3: table-generating function — each doc explodes to its first 5
-    // words with 1-based positions, via a typed flatMap (Tungsten-encoded)
-    "k3_udtf_generator" -> ((s, d) => {
-      import s.implicits._
-      t(s, d, "documents").select("doc_id", "text").as[Doc]
-        .flatMap { dc =>
-          dc.text.toLowerCase.split("[^a-z]+").iterator
-            .filter(_.nonEmpty).take(5).zipWithIndex
-            .map { case (w, i) => (dc.doc_id, w, (i + 1).toLong) }
-        }
-        .toDF("doc_id", "word", "position")
-        .orderBy("doc_id", "position")
-    }),
+    // words with 1-based positions, via the native Catalyst `Generator`
+    // [[graft.functions.FirstNWords]] (GenerateExec, no encoder round-trip;
+    // also SQL-callable as first_n_words via GraftExtensions). The typed
+    // flatMap formulation it replaced survives in ExtensionsSpec as the
+    // differential baseline.
+    "k3_udtf_generator" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.FirstNWords.firstNWords(col("text"), 5)
+            .as(Seq("word", "position")))
+        .orderBy("doc_id", "position")),
 
     // k6: the same weighted mean as k2, but as a native DeclarativeAggregate
     // — pure init/update/merge/eval expressions, whole-stage-codegen'd,

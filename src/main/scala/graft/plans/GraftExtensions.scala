@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FirstNWords, FloatDotProduct}
 
 /** Session-extensions installer: wires graft's native pieces into any
   * session at build time via
@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
       FloatDotProduct.builder))
+    e.injectFunction((
+      new FunctionIdentifier("first_n_words"),
+      new ExpressionInfo(classOf[FirstNWords].getName, "first_n_words"),
+      FirstNWords.builder))
   }
 }
