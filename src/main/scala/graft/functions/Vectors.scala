@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `array<float>` columns (SURVEY.md §7.4).
   *
@@ -20,20 +20,32 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Internal-use expression: callers guarantee array<float> inputs
-  // (ExpectsInputTypes is private[sql] in Spark 4, so no declared contract).
+  // Internal-use expression: callers guarantee array<float> or
+  // array<double> inputs per side (centroid tables produced by averaging
+  // are double arrays; raw embeddings are float arrays — a mixed pair is
+  // fine, each side widens to double before the multiply).
+  // (ExpectsInputTypes is private[sql] in Spark 4, so no declared contract.)
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "float_dot"
 
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArray(left)
+    val yf = isFloatArray(right)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -44,11 +56,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression): String =
+        if (isFloatArray(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -137,6 +137,85 @@ object TrainOps {
       .orderBy("vec_id")
   }
 
+  /** argmax-cosine cell assignment for the IVF quantizer (l3): `max_by`
+    * on `(rnd4 sim, -cid)` — the lexicographic max equals (sim desc, cid
+    * asc), exactly the oracle's `row_number` ordering — and partial-
+    * aggregates map-side, so the n×16 candidate rows combine inside the
+    * scan stage instead of shuffling through a window sort. The centroid
+    * table is ≤ 16 rows by construction: broadcast-safe at any corpus
+    * size without a row-cap guard. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cn = cents.select(col("cid"), col("c_emb"),
+      sqrt(floatDot(col("c_emb"), col("c_emb"))).as("c_norm"))
+    e.crossJoin(broadcast(cn))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
+        rnd4(floatDot(col("embedding"), col("c_emb")) /
+          (col("norm") * col("c_norm"))).as("csim"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("embedding"), col("norm")),
+        struct(col("csim"), (-col("cid")).as("neg"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.norm").as("norm"), col("best.cid").as("cid"))
+  }
+
+  /** Deterministic fixed-iteration Lloyd k-means for the IVF coarse
+    * quantizer. Init = the first 16 vectors (stable ids, not a random
+    * seed). Each round assigns every training vector to its argmax-cosine
+    * centroid and recomputes each cell's centroid as the element-wise
+    * mean, with components pinned at 6 dp by the portable floor-round
+    * (`floor(x·1e6 + 0.5)/1e6` — identical semantics in Spark and DuckDB,
+    * unlike HALF_UP `round` at negative halves) so both engines carry
+    * bit-identical centroids into the next round. Cells that capture no
+    * vectors drop out on both sides. The update is a posexplode →
+    * groupBy(cid, pos) avg — map-side combinable, shuffling 16×dim
+    * partial sums per executor, never vectors. */
+  private[graft] def ivfCentroids(train: DataFrame, iters: Int): DataFrame = {
+    var cents = train.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("c_emb"))
+    for (_ <- 0 until iters) {
+      cents = assignCells(train, cents)
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast(DoubleType)).as("m"))
+        .withColumn("m", floor(col("m") * 1e6 + 0.5) / 1e6)
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF top-k kernel shared by the shipped l3 query and TrainOpsSpec's
+    * clustered-recall probe: train centroids on `train`, assign the FULL
+    * table once, probe the query's `nprobe` nearest cells, exact top-k
+    * within probed cells only. `train` ⊆ `e` lets the caller bound
+    * trainer cost with a deterministic sample. */
+  private[graft] def ivfTopK(e: DataFrame, train: DataFrame, qId: Long,
+      iters: Int, nprobe: Int, k: Int): DataFrame = {
+    // the trained quantizer is consumed twice (full assignment + query
+    // probe); checkpoint so the training job runs once, not per consumer
+    val cents = ivfCentroids(train, iters).localCheckpoint(eager = false)
+    val cn = cents.select(col("cid"), col("c_emb"),
+      sqrt(floatDot(col("c_emb"), col("c_emb"))).as("c_norm"))
+    val assigned = assignCells(e, cents)
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    val probed = cn.crossJoin(broadcast(q))
+      .select(col("cid"),
+        rnd4(floatDot(col("c_emb"), col("q_emb")) /
+          (col("c_norm") * col("q_norm"))).as("qsim"))
+      .orderBy(col("qsim").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    assigned.join(broadcast(probed), "cid")
+      .filter(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"),
+        rnd4(floatDot(col("embedding"), col("q_emb")) /
+          (col("norm") * col("q_norm"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(k)
+  }
+
   val queries: Map[String, Q] = Map(
     // l1: SimHash near-dedup — banded candidate join + Hamming <= 3 filter,
     // one-hop cluster rep like j2. Unoracled (xxhash64 is engine-internal);
@@ -192,40 +271,23 @@ object TrainOps {
         .orderBy("vec_id")
     }),
 
-    // l3: IVF-style ANN — coarse quantization with the first 16 vectors as
-    // centroids (deterministic one-pass assignment), query probes its 4
-    // nearest cells, brute-force only within probed cells. At scale the
-    // per-cell inverted lists are the partitioning: a query touches
-    // nprobe/ncells of the data instead of all of it.
+    // l3: IVF ANN with a TRAINED coarse quantizer — deterministic
+    // fixed-iteration k-means (init = first 16 vectors, 2 Lloyd rounds on
+    // a deterministic ~50% md5 id-sample), query probes its 4 nearest
+    // cells, brute-force only within probed cells. At scale the per-cell
+    // inverted lists are the partitioning: a query touches nprobe/ncells
+    // of the data; training cost is bounded by the sample, not the corpus.
+    // Every trainer step is argmax/avg, so the DuckDB oracle expresses the
+    // whole thing as a CTE chain and l3 stays hash-oracled.
     "l3_ann_ivf_topk" -> ((s, d) => {
       val e = LlmOps.embs(s, d)
-      // centroid table is ≤ 16 rows by construction of the vec_id filter —
-      // broadcast-safe at any corpus size without a row-cap guard
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("c_emb"),
-          col("norm").as("c_norm"))
-      val wA = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"),
-          rnd4(floatDot(col("embedding"), col("c_emb")) /
-            (col("norm") * col("c_norm"))).as("csim"))
-        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
-      val q = assigned.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"), col("norm").as("q_norm"))
-      val probed = cents.crossJoin(broadcast(q))
-        .select(col("cid"),
-          rnd4(floatDot(col("c_emb"), col("q_emb")) /
-            (col("c_norm") * col("q_norm"))).as("qsim"))
-        .orderBy(col("qsim").desc, col("cid")).limit(4)
-        .select("cid")
-      assigned.join(broadcast(probed), "cid")
-        .filter(col("vec_id") > 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("cid"),
-          rnd4(floatDot(col("embedding"), col("q_emb")) /
-            (col("norm") * col("q_norm"))).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      // seeded sample = stable-id md5 trick (same idiom as l10/l11): the
+      // training set is reproducible from ids alone and ~halves trainer
+      // cost; the init seeds are always in (cells can't start empty).
+      val train = e.filter(col("vec_id") < 16 ||
+        substring(md5(col("vec_id").cast(StringType).cast(BinaryType)), 1, 2)
+          < "80")
+      ivfTopK(e, train, qId = 0L, iters = 2, nprobe = 4, k = 10)
     }),
 
     // l4: marker-word language ID (n-gram/stopword heuristic): score each
@@ -829,29 +891,55 @@ object TrainOps {
              ORDER BY sim DESC, nn_id) AS rn FROM sims)
          WHERE rn = 1 ORDER BY vec_id""",
 
+    // mirrors the 2-round Lloyd trainer: c0 = init (first 16), a{i} =
+    // argmax-cosine assignment of the md5 id-sample, c{i} = per-cell
+    // element-wise mean floor-rounded at 6 dp (bit-identical to the Spark
+    // side's centroid pin), then one full-table assignment + probe + top-k
     "l3_ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              FROM embeddings),
-           c AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 16),
-           assigned AS (
-             SELECT vec_id, emb, cid FROM (
+           tr AS (SELECT vec_id, emb FROM e
+                  WHERE vec_id < 16
+                     OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '80'),
+           c0 AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < 16),
+           a1 AS (SELECT vec_id, emb, cid FROM (
+               SELECT t.vec_id, t.emb, c.cid,
+                      row_number() OVER (PARTITION BY t.vec_id
+                        ORDER BY round(list_cosine_similarity(t.emb, c.c_emb), 4) DESC,
+                                 c.cid) AS rn
+               FROM tr t CROSS JOIN c0 c) WHERE rn = 1),
+           c1 AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM (
+               SELECT cid, pos, floor(avg(v) * 1e6 + 5e-1) / 1e6 AS m
+               FROM (SELECT cid, generate_subscripts(emb, 1) AS pos,
+                            unnest(emb) AS v FROM a1)
+               GROUP BY cid, pos) GROUP BY cid),
+           a2 AS (SELECT vec_id, emb, cid FROM (
+               SELECT t.vec_id, t.emb, c.cid,
+                      row_number() OVER (PARTITION BY t.vec_id
+                        ORDER BY round(list_cosine_similarity(t.emb, c.c_emb), 4) DESC,
+                                 c.cid) AS rn
+               FROM tr t CROSS JOIN c1 c) WHERE rn = 1),
+           c2 AS (SELECT cid, list(m ORDER BY pos) AS c_emb FROM (
+               SELECT cid, pos, floor(avg(v) * 1e6 + 5e-1) / 1e6 AS m
+               FROM (SELECT cid, generate_subscripts(emb, 1) AS pos,
+                            unnest(emb) AS v FROM a2)
+               GROUP BY cid, pos) GROUP BY cid),
+           assigned AS (SELECT vec_id, emb, cid FROM (
                SELECT e.vec_id, e.emb, c.cid,
-                      round(list_cosine_similarity(e.emb, c.c_emb), 4) AS csim,
                       row_number() OVER (PARTITION BY e.vec_id
                         ORDER BY round(list_cosine_similarity(e.emb, c.c_emb), 4) DESC,
                                  c.cid) AS rn
-               FROM e CROSS JOIN c)
-             WHERE rn = 1),
+               FROM e CROSS JOIN c2 c) WHERE rn = 1),
            q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
            probed AS (
-             SELECT cid FROM c CROSS JOIN q
-             ORDER BY round(list_cosine_similarity(c.c_emb, q.q_emb), 4) DESC, cid
+             SELECT cid FROM c2 CROSS JOIN q
+             ORDER BY round(list_cosine_similarity(c2.c_emb, q.q_emb), 4) DESC, cid
              LIMIT 4)
          SELECT a.vec_id, a.cid,
                 round(list_cosine_similarity(a.emb, q.q_emb), 4) AS sim
          FROM assigned a JOIN probed USING (cid) CROSS JOIN q
-         WHERE a.vec_id > 0
+         WHERE a.vec_id <> 0
          ORDER BY sim DESC, a.vec_id LIMIT 10""",
 
     "l4_text_langid" ->

@@ -104,6 +104,89 @@ class TrainOpsSpec extends AnyFunSuite {
       "an unrelated vector was merged into a near-dup cluster")
   }
 
+  test("l3: trained quantizer recovers recall on clustered data where first-16 init fails") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // The real IVF failure mode is a DOMINANT UNPROBED CELL, and it is
+    // geometric, not random: because assignment and probing use the same
+    // metric, a neighbour of q usually ranks cells the way q does — so to
+    // lose recall the neighbourhood must sit in a cell the query's top-4
+    // misses. Construction: the 16 init vectors (ids 0..15) form a ring
+    // around the query direction uB, ALL at angle 0.5 rad (cos(q, cent_i)
+    // ties at 4 dp for every i, so the probe tie-breaks to cells 0,1,2,3)
+    // — while every true neighbour leans toward ring direction w_7, so
+    // the whole neighbourhood quantizes into cell 7. Untrained recall is
+    // 0. Two Lloyd rounds pull cell 7's centroid into the B cluster's
+    // center, the tie breaks upward, and the probe finds the mass.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def gramSchmidt(base: Seq[Array[Double]]): Array[Double] = {
+      var w = unit()
+      for (u <- base) {
+        val d = u.zip(w).map { case (a, b) => a * b }.sum
+        w = w.zip(u).map { case (a, b) => a - d * b }
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    def rot(u: Array[Double], w: Array[Double], t: Double): Seq[Float] =
+      u.zip(w).map { case (a, b) => (math.cos(t) * a + math.sin(t) * b).toFloat }.toSeq
+
+    val uB = unit()
+    // 16 mutually orthogonal ring directions, all orthogonal to uB
+    val ring = (0 until 16).foldLeft(Vector(uB))((acc, _) => acc :+ gramSchmidt(acc)).tail
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    for (i <- 0 until 16) rows += ((i.toLong, rot(uB, ring(i), 0.5)))
+    // cluster B: query = uB exactly; 30 members at 0.05..0.3 rad from uB,
+    // each leaning toward ring(7) (plus noise), so argmax_i(v·w_i) = 7
+    val qId = 999L
+    rows += ((qId, uB.map(_.toFloat).toSeq))
+    for (k <- 0 until 30) {
+      val g = gramSchmidt(Vector(uB))
+      val v0 = ring(7).zip(g).map { case (a, b) => a + 0.3 * b }
+      val n = math.sqrt(v0.map(x => x * x).sum)
+      rows += ((100L + k, rot(uB, v0.map(_ / n), 0.05 + 0.25 * rnd.nextDouble())))
+    }
+    // 20 unrelated distractors (random 64-d units stay near-orthogonal)
+    for (k <- 0 until 20) rows += ((300L + k, unit().map(_.toFloat).toSeq))
+
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val df = spark.createDataFrame(
+      rows.map { case (id, v) => Row(id, v) }.asJava, schema)
+    val e = df.withColumn("norm",
+      sqrt(functions.VectorFunctions.floatDot(col("embedding"), col("embedding"))))
+
+    // exact top-10 by cosine, computed in-process from the same fixture
+    val q = rows.find(_._1 == qId).get._2.map(_.toDouble).toArray
+    def cos(v: Seq[Float]): Double = {
+      val a = v.map(_.toDouble).toArray
+      val dot = a.zip(q).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+    }
+    val exact = rows.filter(_._1 != qId)
+      .map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+
+    def recallAt(iters: Int): Double = {
+      val got = operators.TrainOps
+        .ivfTopK(e, e, qId, iters, nprobe = 4, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val untrained = recallAt(0)
+    val trained = recallAt(2)
+    assert(untrained < 0.9,
+      s"fixture not adversarial: first-16 quantizer already at recall $untrained")
+    assert(trained >= 0.9,
+      s"trained quantizer recall $trained < 0.9 (untrained was $untrained)")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
