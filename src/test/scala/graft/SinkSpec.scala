@@ -54,6 +54,62 @@ class SinkSpec extends AnyFunSuite {
       "aborted job must not publish the commit marker")
   }
 
+  test("streaming leg: epochs publish once across a checkpointed restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = freshDir("stream")
+    val (in, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def addBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("k LONG, v STRING").parquet(in)
+        .writeStream.format("graft.sources.CsvDirSink")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    addBatch(0 until 10)
+    runOnce() // epoch 0 publishes ids 0-9
+    addBatch(10 until 15)
+    runOnce() // restart from the checkpoint: must publish ONLY the new file
+    val files = new File(outDir).list().toSet
+    assert(files.exists(_.matches("_graft_epoch_\\d+")), s"no epoch marker: $files")
+    assert(!files.exists(_.startsWith("_staged-")), s"staged leftovers: $files")
+    val back = spark.read.option("sep", "\t")
+      .option("pathGlobFilter", "part-*.tsv")
+      .schema("k LONG, v STRING").csv(outDir)
+      .collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == (0L until 15L),
+      s"restart re-emitted or dropped rows: ${back.mkString(",")}")
+  }
+
+  test("streaming leg: a replayed epoch commit is discarded (first-commit-wins)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // drive the StreamingWrite protocol directly: the micro-batch engine
+    // re-runs a whole epoch when it crashes after publishing to the sink
+    // but before writing its own checkpoint — the second commit of the
+    // SAME epoch id must be a no-op for downstream readers
+    val dir = freshDir("replay")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k LONG, v STRING")
+    val sw = new graft.sources.CsvDirStreamingWrite(dir, schema)
+    def runEpoch(epochId: Long, taskId: Long, v: String): Unit = {
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, taskId, epochId)
+      w.write(InternalRow(1L, UTF8String.fromString(v)))
+      val msg = w.commit()
+      sw.commit(epochId, Array(msg))
+    }
+    runEpoch(7L, 1L, "first")
+    runEpoch(7L, 2L, "replayed") // same epoch, retried task attempt
+    val files = new File(dir).list().toSet
+    assert(files == Set("part-7-0.tsv", "_graft_epoch_7"),
+      s"replay leaked files: $files")
+    val content = scala.io.Source.fromFile(new File(dir, "part-7-0.tsv")).mkString
+    assert(content == "1\tfirst\n", s"replay overwrote the first commit: $content")
+  }
+
   test("nulls and unsupported types are rejected loudly") {
     import spark.implicits._
     val dirN = freshDir("nulls")
