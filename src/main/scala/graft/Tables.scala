@@ -52,6 +52,33 @@ object Tables {
     s"$base/${tag}_${Integer.toHexString(dir.hashCode)}"
   }
 
+  /** Cross-run fixture cache. Side-effect fixtures (sink roundtrips,
+    * bucketed tables) are DETERMINISTIC functions of (sf dir, tag,
+    * FixtureVersion) — so build them once per machine, not once per JVM:
+    * back-to-back Verify/Bench runs skip the rebuild and t2 stays flat as
+    * the key count grows. `build` runs only when the `_fixture_ready`
+    * marker is absent (underscore-prefixed, so Spark's file listing hides
+    * it from reads); the marker is written AFTER a successful build, so a
+    * crashed half-build rebuilds cleanly. Bump FixtureVersion whenever a
+    * cached fixture's layout or contents change — stale cache would
+    * otherwise masquerade as the new layout. Not a concurrent-writer
+    * protocol (the driver's Verify/Bench runs are sequential).
+    */
+  val FixtureVersion = 1
+  def cachedFixture(spark: SparkSession, d: String, tag: String)
+      (build: String => Unit): String = {
+    val dir = s"/dev/shm/graft_tmp/fixcache_v${FixtureVersion}_" +
+      s"${Integer.toHexString(d.hashCode)}/$tag"
+    val marker = new java.io.File(dir, "_fixture_ready")
+    if (!marker.exists()) {
+      deleteRec(new java.io.File(dir))
+      new java.io.File(dir).mkdirs()
+      build(dir)
+      require(marker.createNewFile(), s"fixture marker create failed: $marker")
+    }
+    dir
+  }
+
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
