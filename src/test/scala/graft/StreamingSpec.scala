@@ -47,6 +47,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i7 boundary: the EXACT late-row set of a 2-batch split is dropped") {
+    // ids are powers of two and the aggregate is sum(id): each window's
+    // sum is a bitset naming exactly which rows survived — this pins the
+    // late SET, not merely that "some rows dropped", including the
+    // boundary semantics (a row with ts < watermark drops; ts == watermark
+    // survives is not probed here; a window emits once watermark >= end).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(col("id")).as("ids"))
+    val q = agg.writeStream.format("memory").queryName("late_set_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: max ts 14:00 -> watermark for batch 2 = 13:00
+      input.addData((1L, ts("2024-01-01 10:05:00")),
+        (2L, ts("2024-01-01 11:10:00")), (4L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // batch 2 vs watermark 13:00 — exactly {8, 16, 64} are late:
+      //   8 @10:30 and 16 @11:20 (both < 13:00)  -> dropped
+      //  64 @12:10 (< 13:00)                     -> dropped
+      //  32 @13:30 (>= 13:00)                    -> survives
+      input.addData((8L, ts("2024-01-01 10:30:00")),
+        (16L, ts("2024-01-01 11:20:00")), (64L, ts("2024-01-01 12:10:00")),
+        (32L, ts("2024-01-01 13:30:00")))
+      q.processAllAvailable()
+      // batch 3: 16:00 -> watermark 15:00 -> windows through 14:00 emit
+      input.addData((128L, ts("2024-01-01 16:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("late_set_spec")
+        .select(col("window.start").cast("string"), col("ids"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map(
+        "2024-01-01 10:00:00" -> 1L,   // 8 dropped, NOT counted
+        "2024-01-01 11:00:00" -> 2L,   // 16 dropped
+        // no 12:00 window at all: its only row (64) was late
+        "2024-01-01 13:00:00" -> 32L,  // the surviving batch-2 row
+        "2024-01-01 14:00:00" -> 4L),  // batch 1's watermark-setting row
+        s"late-set mismatch: $out")
+      // 128's own 16:00 window must still be open (wm 15:00 < end 17:00)
+      assert(!out.contains("2024-01-01 16:00:00"))
+    } finally q.stop()
+  }
+
   test("i8 stream-stream join: cross-batch matches emit; watermark-late rows drop") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
