@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * Emits one JSON line per run: {"factor":N,"rows":R,"queries":{k:sec}}
   * — compare against the factor-1 run (or BENCH_r*.json) to see the
   * scaling exponent. Not part of the oracle gate; a design probe.
+  *
+  * `SPARK_GRAFT_LAYOUT=lang` writes the cloned documents PARTITIONED BY
+  * lang — the partition-pruned lake layout of §7.5 — instead of flat
+  * files: the same dedup stack must run unchanged over the partitioned
+  * directory (readers reconstruct `lang` from directory names), and a
+  * lang-scoped read must prune partitions (assert-checked here at probe
+  * time; regression-pinned in PlanShapeSpec).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -59,7 +66,23 @@ object ScaleSmoke {
         (col("doc_id") + col("clone") * n).as("doc_id"),
         concat(col("text"), cloneTok).as("text"),
         col("lang"), col("source"), col("n_chars"))
-    cloned.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val layout = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "flat")
+    layout match {
+      case "lang" =>
+        cloned.write.mode("overwrite").partitionBy("lang")
+          .parquet(s"$dir/documents.parquet")
+        // the point of the layout: a lang-scoped job must touch ONE
+        // partition's files, enforced as a PartitionFilters entry on the
+        // scan (not a post-scan row filter)
+        val p = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("lang") === "en")
+          .queryExecution.executedPlan.toString
+        require(p.contains("PartitionFilters: [isnotnull(lang"),
+          s"lang filter did not prune the partitioned layout:\n$p")
+      case "flat" =>
+        cloned.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      case other => sys.error(s"SPARK_GRAFT_LAYOUT must be flat|lang, got $other")
+    }
     val embs = spark.read.parquet(s"$src/embeddings.parquet")
     val m = embs.agg(max("vec_id")).head().getLong(0) + 1
     embs.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
@@ -80,7 +103,7 @@ object ScaleSmoke {
     }
     val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"factor":$factor,"rows":$rows,"queries":$qs}""")
+    println(s"""{"factor":$factor,"layout":"$layout","rows":$rows,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -50,6 +50,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!residual, s"residual row-level filter on the partition col:\n$p")
   }
 
+  test("lang-partitioned documents layout prunes partitions under a lang filter") {
+    // the §7.5 corpus layout (ScaleSmoke SPARK_GRAFT_LAYOUT=lang): docs
+    // partitioned by lang; a lang-scoped pipeline must list only that
+    // partition's directory, same contract as the a5 pin above
+    val dir = Tables.scratch(spark, sfTiny, "lang_prune_guard")
+    Tables.t(spark, sfTiny, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang partition filter not pushed to the scan:\n$p")
+    val residual = p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("lang") &&
+        !l.contains("PartitionFilters") && !l.contains("PushedFilters"))
+    assert(!residual, s"residual row-level filter on lang:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     // §7.5's runtime-filter story: a selective filter on the build side
     // of a shuffle join should inject a bloom filter onto the probe-side
