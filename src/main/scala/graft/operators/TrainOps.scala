@@ -670,6 +670,77 @@ object TrainOps {
         .withColumn("seq_id", expr("start_off div 512"))
         .select("source", "doc_id", "n_tokens", "start_off", "seq_id")
         .orderBy("source", "doc_id")
+    }),
+
+    // l18: INCREMENTAL dedup — the shape a 100-TB corpus actually runs
+    // nightly: dedup a new delta shard against the existing corpus WITHOUT
+    // any corpus×corpus work (you never re-dedup 100 TB to ingest 1 TB).
+    // Delta = the ~12.5% of docs whose stable-id md5 first byte >= 0xe0
+    // (the l10 idiom — membership reproducible from ids alone). Per delta
+    // doc: the lowest corpus doc with an identical sha256 (exact
+    // containment — the digest equi-join shuffles 32-byte digests, never
+    // text), and the best exact-Jaccard >= 0.8 corpus match (ties to the
+    // lowest corpus id) via a BIPARTITE PPJoin: the corpus side
+    // contributes only its prefix index — at scale a persistent artifact,
+    // built once and appended per shard — the delta side joins its own
+    // prefixes against it, and full shingle sets materialize for
+    // candidate docs only. The canonical prefix order is global document
+    // frequency, identical for both sides, which is all the prefix
+    // principle needs.
+    "l18_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpusIds = docs.filter(idBelow("e0")).select("doc_id")
+      val delta = docs.filter(!idBelow("e0"))
+      val exact = delta.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+        .join(docs.filter(idBelow("e0"))
+            .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("c_id"))
+            .groupBy("dig").agg(min("c_id").as("exact_of")),
+          Seq("dig"), "left")
+        .select("doc_id", "exact_of")
+      val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
+        .localCheckpoint(eager = false) // feeds df, prefixes, verification
+      val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy("doc_id")
+      val pref = shing.join(dfreq, "shingle")
+        .withColumn("n", count(lit(1)).over(wDoc))
+        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "shingle")
+        .localCheckpoint(eager = false) // split into the two join sides below
+      val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
+        .join(pref.join(corpusIds, Seq("doc_id"), "left_semi").as("b"),
+          col("a.shingle") === col("b.shingle"))
+        .select(col("a.doc_id").as("d_id"), col("b.doc_id").as("c_id"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val sets = shing.join(
+          cand.select(col("d_id").as("doc_id"))
+            .union(cand.select(col("c_id"))).distinct(),
+          Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+        .localCheckpoint(eager = false)
+      val best = cand
+        .join(sets.select(col("doc_id").as("d_id"), col("sset").as("sa")), "d_id")
+        .join(sets.select(col("doc_id").as("c_id"), col("sset").as("sb")), "c_id")
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("common"))
+        .filter(col("common") * 5 >= col("uni") * 4)
+        .select(col("d_id"), col("c_id"),
+          (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
+            .as("jac"))
+        // argmax via map-side max_by on (jac, -c_id), the l2/l3 idiom —
+        // lexicographic max == (jac desc, c_id asc), the oracle's ordering
+        .groupBy("d_id")
+        .agg(max_by(struct(col("c_id"), col("jac")),
+          struct(col("jac"), (-col("c_id")).as("neg"))).as("m"))
+        .select(col("d_id").as("doc_id"), col("m.c_id").as("near_of"),
+          col("m.jac").as("jaccard"))
+      exact.join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_of"), lit(-1L)).as("exact_of"),
+          coalesce(col("near_of"), lit(-1L)).as("near_of"),
+          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1000,6 +1071,63 @@ object TrainOps {
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS re_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_out
          FROM documents ORDER BY doc_id""",
+
+    // same lossless-prefix-filter argument as l9: the oracle brute-forces
+    // the bipartite shingle join; the engine's prefix index yields the
+    // identical pair set. Ranking is on the ROUNDED jaccard (both sides),
+    // ties to the lowest corpus id.
+    "l18_dedup_incremental" ->
+      """WITH delta AS (SELECT doc_id, text FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0'),
+         corpus AS (SELECT doc_id, text FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0'),
+         ex AS (
+           SELECT d.doc_id, min(c.doc_id) AS exact_of
+           FROM delta d JOIN corpus c ON sha256(d.text) = sha256(c.text)
+           GROUP BY 1),
+         toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS d_id, b.doc_id AS c_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle
+           WHERE a.doc_id IN (SELECT doc_id FROM delta)
+             AND b.doc_id IN (SELECT doc_id FROM corpus)
+           GROUP BY 1, 2),
+         jac AS (
+           SELECT d_id, c_id,
+                  floor(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 1e4 + 5e-1) / 1e4 AS j
+           FROM common
+           JOIN sz sa ON sa.doc_id = d_id
+           JOIN sz sb ON sb.doc_id = c_id
+           WHERE 5 * c >= 4 * (sa.n + sb.n - c)),
+         best AS (
+           SELECT d_id, c_id, j FROM (
+             SELECT d_id, c_id, j,
+                    row_number() OVER (PARTITION BY d_id ORDER BY j DESC, c_id) AS rn
+             FROM jac) WHERE rn = 1)
+         SELECT d.doc_id,
+                CAST(coalesce(ex.exact_of, -1) AS BIGINT) AS exact_of,
+                CAST(coalesce(best.c_id, -1) AS BIGINT) AS near_of,
+                coalesce(best.j, 0e0) AS jaccard
+         FROM delta d
+         LEFT JOIN ex ON ex.doc_id = d.doc_id
+         LEFT JOIN best ON best.d_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // the corpus is pure ASCII, so chars == UTF-8 bytes and ascii() == byte
     "l7_multimodal_features" ->

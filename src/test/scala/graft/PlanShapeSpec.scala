@@ -27,6 +27,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c1_join_broadcast_equi").contains("BroadcastHashJoin"))
   }
 
+  test("e1: partial per-group top-k runs BEFORE the shuffle (WindowGroupLimit)") {
+    // the §7.5 "partial top-k" item: Spark's InsertWindowGroupLimit rule
+    // caps each partition at k rows per group below the Exchange, so the
+    // shuffle carries at most k·groups·partitions rows instead of the
+    // whole table — pin both the node and its Partial (pre-shuffle) mode
+    val p = plan("e1_win_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), s"group-limit not planned:\n$p")
+    assert(p.contains("row_number(), 3, Partial"),
+      s"no PARTIAL group limit before the shuffle:\n$p")
+  }
+
   test("a5's partitioned layout prunes partitions under a partition filter") {
     // the partition-pruned-layout story of §7.5: a filter on the partition
     // column must become a PartitionFilter on the scan (pruned directory
@@ -180,9 +191,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
-  test("j2/l1/l9/l12: near-dedup candidate joins are equi-joins, never all-pairs") {
+  test("j2/l1/l9/l12/l18: near-dedup candidate joins are equi-joins, never all-pairs") {
     Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-      "l12_dedup_embedding")
+      "l12_dedup_embedding", "l18_dedup_incremental")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -237,7 +248,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // no-cartesian test above — skip them here to avoid re-executing them
     val coveredElsewhere =
       Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-        "l12_dedup_embedding")
+        "l12_dedup_embedding", "l18_dedup_incremental")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
       .filterNot(allowed)
