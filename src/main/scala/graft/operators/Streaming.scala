@@ -14,7 +14,7 @@ import java.util.concurrent.atomic.AtomicLong
   * `Trigger.AvailableNow()` → `awaitTermination()` → return the memory
   * table. This runs the REAL micro-batch engine (stateful operators, state
   * store, watermarks) yet yields a deterministic batch-comparable result,
-  * so i1–i6, i8 and i9 are oracled with plain batch SQL. Multi-batch / late-data
+  * so i1–i6 and i8–i10 are oracled with plain batch SQL. Multi-batch / late-data
   * semantics are additionally unit-tested with `MemoryStream` (§5), since
   * AvailableNow over a single parquet file is one data batch (plus the
   * no-data batch that advances the watermark).
@@ -236,6 +236,36 @@ object Streaming {
         .orderBy("w_start_us", "event_type")
     }),
 
+    // i10: the SAME Append aggregate as i9, but published through the
+    // custom DSv2 sink's STREAMING leg (graft.sources.CsvDirSink — a10's
+    // twin): epoch-keyed staged files, driver-side idempotent epoch
+    // commit, read back from the published part-<epoch>-<p>.tsv shards.
+    // Oracled with i9's watermark-horizon cut — the sink roundtrip must
+    // be value-exact (shortest-repr serialization), and the epoch marker
+    // must exist before anything is read (the sink's publish contract).
+    "i10_stream_custom_sink" -> ((s, d) => {
+      val dir = scratch(s, s"i10_${runSeq.incrementAndGet()}", "sink")
+      val out = tumblingAgg(eventsStream(s, d))
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+      val q = out.writeStream.format("graft.sources.CsvDirSink")
+        .option("path", dir)
+        .option("checkpointLocation", scratch(s, dir, "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val published = new java.io.File(dir).list()
+      require(published != null && published.exists(_.startsWith("_graft_epoch_")),
+        "CsvDirSink epoch marker missing — streaming write did not publish")
+      s.read.option("sep", "\t")
+        .option("pathGlobFilter", "part-*.tsv")
+        .schema(StructType(Seq(
+          StructField("w_start_us", LongType),
+          StructField("event_type", StringType),
+          StructField("cnt", LongType))))
+        .csv(dir)
+        .orderBy("w_start_us", "event_type")
+    }),
+
     // i7: watermark / late-data semantics demo (unoracled by design —
     // which rows count as late depends on micro-batch boundaries). The
     // events table is split into two files processed as ORDERED micro
@@ -313,6 +343,16 @@ object Streaming {
     // emits the windows whose end (µs) is ≤ that watermark — the same cut,
     // exactly, in batch SQL.
     "i9_stream_tumbling_append" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS cnt
+         FROM events
+         WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+               <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical horizon cut to i9: the sink roundtrip must not change a
+    // single value (exact long/string serialization in CsvDirSink)
+    "i10_stream_custom_sink" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
          FROM events
