@@ -53,28 +53,54 @@ object Tables {
   }
 
   /** Cross-run fixture cache. Side-effect fixtures (sink roundtrips,
-    * bucketed tables) are DETERMINISTIC functions of (sf dir, tag,
+    * bucketed tables) are DETERMINISTIC functions of (source data, tag,
     * FixtureVersion) — so build them once per machine, not once per JVM:
     * back-to-back Verify/Bench runs skip the rebuild and t2 stays flat as
-    * the key count grows. `build` runs only when the `_fixture_ready`
-    * marker is absent (underscore-prefixed, so Spark's file listing hides
-    * it from reads); the marker is written AFTER a successful build, so a
-    * crashed half-build rebuilds cleanly. Bump FixtureVersion whenever a
-    * cached fixture's layout or contents change — stale cache would
-    * otherwise masquerade as the new layout. Not a concurrent-writer
-    * protocol (the driver's Verify/Bench runs are sequential).
+    * the key count grows.
+    *
+    * The cache key binds the SOURCE DATA, not just its path: the dir name
+    * carries a signature over the sf dir's file names/lengths/mtimes, so
+    * regenerating a dataset in place invalidates every fixture derived
+    * from the old files instead of serving them stale. Stale trees (older
+    * FixtureVersion, or same sf path with an outdated signature) are
+    * evicted on sight — tmpfs is RAM; they must not outlive a bump.
+    *
+    * `build` runs only when the `_fixture_ready` marker is absent
+    * (underscore-prefixed, so Spark's file listing hides it from reads);
+    * the marker is written AFTER a successful build, so a crashed
+    * half-build rebuilds cleanly. A concurrently-completed build (marker
+    * appears while we built) is accepted as-is. This is crash-safe, not a
+    * full concurrent-writer protocol — the driver's Verify/Bench runs are
+    * sequential. Bump FixtureVersion whenever a cached fixture's layout
+    * or contents change.
     */
   val FixtureVersion = 1
   def cachedFixture(spark: SparkSession, d: String, tag: String)
       (build: String => Unit): String = {
-    val dir = s"/dev/shm/graft_tmp/fixcache_v${FixtureVersion}_" +
-      s"${Integer.toHexString(d.hashCode)}/$tag"
+    val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val sig = java.util.UUID.nameUUIDFromBytes(
+      (d + files.mkString("|")).getBytes("UTF-8")).toString.take(8)
+    val pathHash = Integer.toHexString(d.hashCode)
+    val cur = s"fixcache_v${FixtureVersion}_${pathHash}_$sig"
+    val root = new java.io.File("/dev/shm/graft_tmp")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith("fixcache_") && n != cur &&
+          (n.contains(s"_${pathHash}_") || // same sf path, outdated signature
+            !n.startsWith(s"fixcache_v${FixtureVersion}_")) // older version
+      }
+      .foreach(deleteRec)
+    val dir = s"${root.getPath}/$cur/$tag"
     val marker = new java.io.File(dir, "_fixture_ready")
     if (!marker.exists()) {
       deleteRec(new java.io.File(dir))
       new java.io.File(dir).mkdirs()
       build(dir)
-      require(marker.createNewFile(), s"fixture marker create failed: $marker")
+      if (!marker.createNewFile() && !marker.exists())
+        sys.error(s"fixture marker create failed: $marker")
     }
     dir
   }

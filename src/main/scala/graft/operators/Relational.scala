@@ -13,9 +13,6 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
-  /** a10's sink appends; a unique subdir per invocation keeps repeated
-    * Bench/Verify calls in one session from accumulating shards. */
-
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>

@@ -43,13 +43,15 @@ import org.apache.spark.sql.types._
   */
 object TrainOps {
 
-  /** Stable-id membership for l10/l11: first hex byte of md5(doc_id) below
-    * `thresholdHex` (lowercase 2-char hex, e.g. "cd" ≈ 80%, "80" = 50%).
-    * ONE definition so the split (l10) and the sample (l11) can never
-    * desynchronize; portable — DuckDB's md5 emits identical lowercase hex. */
+  /** Stable-id membership for l10/l11/l18 (and l3's trainer sample):
+    * first hex byte of md5(id) below `thresholdHex` (lowercase 2-char
+    * hex, e.g. "cd" ≈ 80%, "80" = 50%). ONE definition so the split,
+    * the samples, and the delta-shard cut can never desynchronize;
+    * portable — DuckDB's md5 emits identical lowercase hex. */
+  private def idBelow(id: Column, thresholdHex: String): Column =
+    substring(md5(id.cast(StringType).cast(BinaryType)), 1, 2) < thresholdHex
   private def idBelow(thresholdHex: String): Column =
-    substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2) <
-      thresholdHex
+    idBelow(col("doc_id"), thresholdHex)
 
   /** exact-dup + planted-near-dup signature: 64-bit SimHash over unigram
     * token hashes (xxhash64 — engine-internal, hence unoracled). */
@@ -137,6 +139,51 @@ object TrainOps {
       .orderBy("vec_id")
   }
 
+  /** Lossless prefix index for the exact-Jaccard ≥ 0.8 joins
+    * (AllPairs/PPJoin [Bayardo et al., WWW'07]) — ONE kernel for l9
+    * (self-join) and l18 (bipartite): order every doc's shingle set by
+    * ONE global canonical order (document frequency asc, shingle asc)
+    * and index only the first n − ⌈0.8·n⌉ + 1 shingles. ceil is the
+    * exact integer form (4n+4) div 5 — float ceil(n*0.8) can land on
+    * 4.000000001 and silently shrink the prefix (lost pairs). Any pair
+    * with J ≥ 0.8 shares ≥ ceil(0.8·n) shingles, so its smallest common
+    * shingle sits inside both prefixes and the pair still collides. */
+  private def prefixIndex(shing: DataFrame): DataFrame = {
+    val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    shing.join(dfreq, "shingle")
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select("doc_id", "shingle")
+  }
+
+  /** Exact-Jaccard verification of candidate `(a_id, b_id)` pairs: full
+    * shingle sets materialize for CANDIDATE docs only (near-dups are rare
+    * at corpus scale); threshold compares as integers (5·common ≥
+    * 4·union) so no float boundary can flip membership; jaccard emitted
+    * with the portable §7.2 floor-round. */
+  private def verifyJaccard(cand: DataFrame, shing: DataFrame): DataFrame = {
+    val sets = shing.join(
+        cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+      // materialized once: joined below under TWO aliases (a-side and
+      // b-side), which Spark otherwise plans as two full rebuilds of the
+      // semi-join + collect_set subtree
+      .localCheckpoint(eager = false)
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("uni", size(col("sa")) + size(col("sb")) - col("common"))
+      .filter(col("common") * 5 >= col("uni") * 4)
+      .select(col("a_id"), col("b_id"),
+        (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
+          .as("jaccard"))
+  }
+
   /** argmax-cosine cell assignment for the IVF quantizer (l3): `max_by`
     * on `(rnd4 sim, -cid)` — the lexicographic max equals (sim desc, cid
     * asc), exactly the oracle's `row_number` ordering — and partial-
@@ -165,7 +212,13 @@ object TrainOps {
     * mean, with components pinned at 6 dp by the portable floor-round
     * (`floor(x·1e6 + 0.5)/1e6` — identical semantics in Spark and DuckDB,
     * unlike HALF_UP `round` at negative halves) so both engines carry
-    * bit-identical centroids into the next round. Cells that capture no
+    * bit-identical centroids into the next round. The pin assumes the
+    * double `avg` agrees across engines to well under 1e-6 — summation
+    * order can differ by ~1 ULP, so a mean landing within 1 ULP of a
+    * floor boundary could diverge and (unlike the single-step rnd4 pins)
+    * cascade through the next assignment; the same measure-zero boundary
+    * exposure every §7.2 rounding pin carries, just noted here because
+    * iteration amplifies it. Cells that capture no
     * vectors drop out on both sides. The update is a posexplode →
     * groupBy(cid, pos) avg — map-side combinable, shuffling 16×dim
     * partial sums per executor, never vectors. */
@@ -284,9 +337,7 @@ object TrainOps {
       // seeded sample = stable-id md5 trick (same idiom as l10/l11): the
       // training set is reproducible from ids alone and ~halves trainer
       // cost; the init seeds are always in (cells can't start empty).
-      val train = e.filter(col("vec_id") < 16 ||
-        substring(md5(col("vec_id").cast(StringType).cast(BinaryType)), 1, 2)
-          < "80")
+      val train = e.filter(col("vec_id") < 16 || idBelow(col("vec_id"), "80"))
       ivfTopK(e, train, qId = 0L, iters = 2, nprobe = 4, k = 10)
     }),
 
@@ -414,43 +465,19 @@ object TrainOps {
     // materializes full shingle sets for candidate docs only (near-dups
     // are rare at corpus scale). Threshold compares as integers
     // (5·common >= 4·union) so no float boundary can flip membership.
+    // Kernel shared with l18 (prefixIndex/verifyJaccard — change THERE
+    // only); here the candidate join is the a<b self-join over one
+    // prefix index.
     "l9_dedup_ngram_jaccard" -> ((s, d) => {
       val shing = LlmOps.shingleRows(s, d) // shared with j2 — one tokenizer
         .localCheckpoint(eager = false) // consumed by df, prefixes, verification
-      val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy("doc_id")
-      // ceil(0.8·n) in exact integer form: (4n+4) div 5 — float ceil(n*0.8)
-      // can land on 4.000000001 and silently shrink the prefix (lost pairs)
-      val pref = shing.join(dfreq, "shingle")
-        .withColumn("n", count(lit(1)).over(wDoc))
-        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
-        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-        .select("doc_id", "shingle")
+      val pref = prefixIndex(shing)
       val cand = pref.as("a").join(pref.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
         .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
-      val sets = shing.join(
-          cand.select(col("a_id").as("doc_id"))
-            .union(cand.select(col("b_id"))).distinct(),
-          Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
-        // materialized once: joined below under TWO aliases (a-side and
-        // b-side), which Spark otherwise plans as two full rebuilds of the
-        // semi-join + collect_set subtree
-        .localCheckpoint(eager = false)
-      cand
-        .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
-        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
-        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("common"))
-        .filter(col("common") * 5 >= col("uni") * 4)
-        // floor(x·1e4+0.5)/1e4: the portable boundary-safe round (§7.2)
-        .select(col("a_id"), col("b_id"),
-          (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
-            .as("jaccard"))
-        .orderBy("a_id", "b_id")
+      verifyJaccard(cand, shing).orderBy("a_id", "b_id")
     }),
 
     // l10: deterministic train/eval split — assignment is a pure function
@@ -699,42 +726,23 @@ object TrainOps {
         .select("doc_id", "exact_of")
       val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
         .localCheckpoint(eager = false) // feeds df, prefixes, verification
-      val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy("doc_id")
-      val pref = shing.join(dfreq, "shingle")
-        .withColumn("n", count(lit(1)).over(wDoc))
-        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
-        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-        .select("doc_id", "shingle")
+      val pref = prefixIndex(shing)
         .localCheckpoint(eager = false) // split into the two join sides below
+      // bipartite candidates: delta prefixes (a) vs corpus prefixes (b)
       val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
         .join(pref.join(corpusIds, Seq("doc_id"), "left_semi").as("b"),
           col("a.shingle") === col("b.shingle"))
-        .select(col("a.doc_id").as("d_id"), col("b.doc_id").as("c_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
         .distinct()
         .localCheckpoint(eager = false)
-      val sets = shing.join(
-          cand.select(col("d_id").as("doc_id"))
-            .union(cand.select(col("c_id"))).distinct(),
-          Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
-        .localCheckpoint(eager = false)
-      val best = cand
-        .join(sets.select(col("doc_id").as("d_id"), col("sset").as("sa")), "d_id")
-        .join(sets.select(col("doc_id").as("c_id"), col("sset").as("sb")), "c_id")
-        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
-        .withColumn("uni", size(col("sa")) + size(col("sb")) - col("common"))
-        .filter(col("common") * 5 >= col("uni") * 4)
-        .select(col("d_id"), col("c_id"),
-          (floor(col("common").cast(DoubleType) / col("uni") * 1e4 + 0.5) / 1e4)
-            .as("jac"))
-        // argmax via map-side max_by on (jac, -c_id), the l2/l3 idiom —
-        // lexicographic max == (jac desc, c_id asc), the oracle's ordering
-        .groupBy("d_id")
-        .agg(max_by(struct(col("c_id"), col("jac")),
-          struct(col("jac"), (-col("c_id")).as("neg"))).as("m"))
-        .select(col("d_id").as("doc_id"), col("m.c_id").as("near_of"),
-          col("m.jac").as("jaccard"))
+      val best = verifyJaccard(cand, shing)
+        // argmax via map-side max_by on (jaccard, -b_id), the l2/l3 idiom —
+        // lexicographic max == (jaccard desc, b_id asc), the oracle's ordering
+        .groupBy("a_id")
+        .agg(max_by(struct(col("b_id"), col("jaccard")),
+          struct(col("jaccard"), (-col("b_id")).as("neg"))).as("m"))
+        .select(col("a_id").as("doc_id"), col("m.b_id").as("near_of"),
+          col("m.jaccard").as("jaccard"))
       exact.join(best, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("exact_of"), lit(-1L)).as("exact_of"),

@@ -34,16 +34,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * after a crash-before-checkpoint — so the streaming protocol publishes
   * per epoch, idempotently:
   *   - tasks stage to `_staged-<epoch>-<partition>-<task>` and do NOT
-  *     publish at task commit (no commit coordinator in streaming; the
-  *     epoch-level decision belongs to the driver);
+  *     publish at task commit (the commit coordinator only serializes
+  *     attempts WITHIN one epoch run — it cannot see that a whole epoch
+  *     already published before a crash-and-replay, so the epoch-level
+  *     decision belongs to the driver);
   *   - `StreamingWrite.commit(epoch, msgs)` runs once per epoch on the
   *     driver: if `_graft_epoch_<epoch>` already exists this is a REPLAYED
   *     epoch — the staged files are discarded and the published files kept
-  *     (first-commit-wins = exactly-once downstream); otherwise each
-  *     staged file renames to `part-<epoch>-<partition>.tsv` and the epoch
-  *     marker is written LAST (rename-visible shards without a marker are
-  *     ignored by the read contract, so a crash between renames and the
-  *     marker write is safe to replay).
+  *     (first-commit-wins = exactly-once downstream); otherwise any
+  *     `part-<epoch>-*.tsv` leftovers from a crashed earlier attempt are
+  *     deleted (no marker ⇒ the epoch never published ⇒ they are garbage,
+  *     and a replay with fewer partitions must not leak the high-numbered
+  *     ones), each staged file renames to `part-<epoch>-<partition>.tsv`,
+  *     and the epoch marker is written LAST.
   * This mirrors, at demo scale, exactly what a warehouse/queue/lakehouse
   * sink implements in these hooks (staged upload / transaction begin in
   * the writer, atomic idempotent publish keyed by epoch in the job
@@ -116,6 +119,14 @@ class CsvDirStreamingWrite(path: String, schema: StructType) extends StreamingWr
         case _ =>
       }
     } else {
+      // no marker ⇒ this epoch never published: shards left by a crashed
+      // earlier attempt (crash BETWEEN renames and the marker write) are
+      // garbage and must go before this attempt publishes — a replay with
+      // fewer partitions would otherwise leak the dead attempt's
+      // high-numbered part files into the read set
+      Option(new File(path).list()).getOrElse(Array.empty)
+        .filter(_.matches(s"part-$epochId-\\d+\\.tsv"))
+        .foreach(f => new File(path, f).delete(): Unit)
       val published = messages.map { case CsvStagedShard(staged, pid, rows) =>
         val fin = s"part-$epochId-$pid.tsv"
         val ok = new File(path, staged).renameTo(new File(path, fin))

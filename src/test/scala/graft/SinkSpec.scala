@@ -108,6 +108,18 @@ class SinkSpec extends AnyFunSuite {
       s"replay leaked files: $files")
     val content = scala.io.Source.fromFile(new File(dir, "part-7-0.tsv")).mkString
     assert(content == "1\tfirst\n", s"replay overwrote the first commit: $content")
+
+    // crash window: an attempt that renamed shards but died BEFORE the
+    // marker write leaves orphans; the replay (now fewer partitions) must
+    // delete them before publishing, or they'd read as valid rows
+    val orphan = new File(dir, "part-9-5.tsv")
+    java.nio.file.Files.writeString(orphan.toPath, "99\tdead-attempt\n")
+    runEpoch(9L, 3L, "recovered")
+    val after = new File(dir).list().toSet
+    assert(!after.contains("part-9-5.tsv"),
+      s"crashed attempt's orphan shard survived the replay: $after")
+    assert(after.contains("part-9-0.tsv") && after.contains("_graft_epoch_9"),
+      s"replayed epoch did not publish: $after")
   }
 
   test("nulls and unsupported types are rejected loudly") {
