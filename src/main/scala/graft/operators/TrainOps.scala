@@ -749,7 +749,36 @@ object TrainOps {
           coalesce(col("near_of"), lit(-1L)).as("near_of"),
           coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // l19: sliding-window chunking — the long-document complement of
+    // l13's packing: split each doc's token stream into fixed-size
+    // chunks with a stride overlap that keeps boundary context for
+    // pretraining / retrieval indexing. Chunk count = 1 for n ≤ CHUNK,
+    // else ceil((n−CHUNK)/STRIDE)+1 in exact integer form, so the final
+    // chunk always covers the tail and every start is a fixed multiple
+    // of the stride (deterministic, resumable chunk ids). CHUNK=64 /
+    // STRIDE=56 (8-token overlap) are scaled to this corpus's ≤100-token
+    // docs — 194/500 docs at sf0.01 split into ≥2 chunks, so the oracle
+    // genuinely exercises the stride and tail math (a production 512/448
+    // would never split here and the oracle would be vacuous). Pure
+    // per-row array math (sequence → explode): ZERO shuffle besides the
+    // contract's final sort — at corpus scale this is a map fused into
+    // the scan.
+    "l19_chunk_overlap" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast(LongType).as("n_tokens"))
+        .withColumn("n_chunks",
+          when(col("n_tokens") <= 64L, lit(1L))
+            .otherwise(expr("(n_tokens - 64 + 55) div 56") + 1L))
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * 56L).as("tok_start"),
+          least(lit(64L), col("n_tokens") - col("chunk_id") * 56L).as("n_toks"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1136,6 +1165,23 @@ object TrainOps {
          LEFT JOIN ex ON ex.doc_id = d.doc_id
          LEFT JOIN best ON best.d_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    "l19_chunk_overlap" ->
+      """WITH sized AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         chunks AS (
+           SELECT doc_id, n_tokens,
+                  CASE WHEN n_tokens <= 64 THEN 1
+                       ELSE (n_tokens - 64 + 55) // 56 + 1 END AS n_chunks
+           FROM sized)
+         SELECT doc_id,
+                unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+                unnest(generate_series(0, n_chunks - 1)) * 56 AS tok_start,
+                least(64, n_tokens - unnest(generate_series(0, n_chunks - 1)) * 56)
+                  AS n_toks
+         FROM chunks ORDER BY doc_id, chunk_id""",
 
     // the corpus is pure ASCII, so chars == UTF-8 bytes and ascii() == byte
     "l7_multimodal_features" ->
