@@ -126,4 +126,33 @@ class PropertySpec extends AnyFunSuite {
       assert(ours == builtin, s"n=$n")
     }
   }
+
+  test("l19: chunks tile every doc — dense ids, stride starts, full bodies, covered tail") {
+    // invariants the DuckDB oracle CANNOT check (both engines share the
+    // chunk-count formula, so a shared off-by-one would hash-match):
+    // chunk ids dense from 0; starts at exact stride multiples; every
+    // non-final chunk is a FULL 64 tokens (so consecutive chunks overlap
+    // by exactly 8 and no token is skipped); the final chunk ends exactly
+    // at the doc's token count (tail covered, no overhang)
+    val rows = SparkEntry.queries("l19_chunk_overlap")(spark, sfTiny).collect()
+    val nToks = graft.Tables.t(spark, sfTiny, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = rows.groupBy(_.getLong(0)).map { case (id, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i, s"doc $id: chunk ids not dense")
+        assert(r.getLong(2) == i * 56L, s"doc $id: start not at stride multiple")
+      }
+      sorted.init.foreach(r =>
+        assert(r.getLong(3) == 64L, s"doc $id: non-final chunk not full"))
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == nToks(id),
+        s"doc $id: tail not covered exactly (${last.getLong(2)}+${last.getLong(3)} != ${nToks(id)})")
+      sorted.length
+    }
+    assert(multi.exists(_ >= 2), "fixture never split a doc — invariants vacuous")
+  }
 }
