@@ -187,6 +187,47 @@ class TrainOpsSpec extends AnyFunSuite {
       s"trained quantizer recall $trained < 0.9 (untrained was $untrained)")
   }
 
+  test("l4: 5-way langid is non-degenerate — per-lang accuracy 1.0 on a real multilingual fixture") {
+    // The shipped corpus text carries NO lexical language signal (31-token
+    // vocabulary shared uniformly across the 5 labels — measured in SURVEY
+    // §2.L), so corpus-level matches_label can only reflect the en share.
+    // This fixture is where the operator's 5-way-ness is actually provable:
+    // genuine function-word text per language, three docs each, and the
+    // argmax must recover every label exactly.
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (0L, "der hund und die katze ist nicht mit von den auf dem tisch", "de"),
+      (1L, "das wetter ist heute nicht gut und wir bleiben auf der couch", "de"),
+      (2L, "die kinder spielen mit dem ball und der vater ist von den bergen", "de"),
+      (3L, "the cat is on a mat and it was of great comfort to the dog", "en"),
+      (4L, "it is a truth that the weather was fine and we went to town", "en"),
+      (5L, "the quick brown fox jumps over a lazy dog and it was fun", "en"),
+      (6L, "el perro corre por las calles con una pelota para los vecinos", "es"),
+      (7L, "esta casa es como el palacio que vimos por la manana con una torre", "es"),
+      (8L, "los gatos duermen en las camas para que esta noche como siempre", "es"),
+      (9L, "le chat est dans la maison pour vous avec ce panier et les jouets", "fr"),
+      (10L, "la ville est belle dans ce quartier pour les gens qui vous aiment", "fr"),
+      (11L, "les enfants jouent avec le ballon dans la cour ce matin qui brille", "fr"),
+      (12L, "wo shi xue sheng ni hao ma zhe ge ren zai jia men kou", "zh"),
+      (13L, "ni men hao wo zai zhe ge cheng shi bu xiang hui jia ma", "zh"),
+      (14L, "zhe ge dong xi hao bu hao wo men shi zai kan ni de shu ma", "zh"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_l4_fixture").toString
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("l4_text_langid")(spark, dir).collect()
+    val byLang = out.groupBy(r => fixture.find(_._1 == r.getLong(0)).get._3)
+    assert(byLang.keySet == Set("de", "en", "es", "fr", "zh"))
+    byLang.foreach { case (lang, rows) =>
+      val acc = rows.count(_.getBoolean(3)).toDouble / rows.length
+      assert(acc == 1.0,
+        s"$lang accuracy $acc — predictions: " +
+          rows.map(r => s"${r.getLong(0)}→${r.getString(1)}").mkString(", "))
+    }
+    // every confidence must be positive: the argmax saw real marker hits
+    assert(out.forall(_.getDouble(2) > 0.0), "a fixture doc scored zero markers")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
