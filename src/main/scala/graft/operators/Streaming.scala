@@ -266,6 +266,47 @@ object Streaming {
         .orderBy("w_start_us", "event_type")
     }),
 
+    // i11: the PRODUCTION twin of the i3 session aggregation — the same
+    // [[sessionAgg]] transform in **Append** mode on the **RocksDB** state
+    // store provider (SURVEY §7.5's declared production provider; merging
+    // session state lives off-heap, so executor heap stays flat however
+    // long the gap horizon). A session window's end is its last event's
+    // ts + the 30-min gap; Append emits a session exactly once, when the
+    // watermark passes that end, and evicts its state in the same commit —
+    // bounded state on an unbounded stream. Over AvailableNow the cut is
+    // deterministic (same watermark arithmetic as i9), so unlike most
+    // session-window demos this one is fully ORACLED: batch sessionization
+    // + the watermark-horizon filter. The RocksDB provider is asserted
+    // fail-loud from the query's own progress metrics, and pinned again in
+    // StreamingSpec.
+    "i11_stream_session_append" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, rocks)
+      try {
+        val name = s"graft_stream_${runSeq.incrementAndGet()}"
+        val q = sessionAgg(eventsStream(s, d))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", scratch(s, name, "ckpt"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "i11 must run on the RocksDB state store provider " +
+            "(no rocksdb* metrics in the query progress)")
+        s.table(name)
+          .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+          .orderBy("user_id", "sess_start_us")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     // i7: watermark / late-data semantics demo (unoracled by design —
     // which rows count as late depends on micro-batch boundaries). The
     // events table is split into two files processed as ORDERED micro
@@ -335,6 +376,32 @@ object Streaming {
          SELECT user_id, count(*) AS n_events,
                 min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
          FROM sessioned GROUP BY user_id, session_id
+         ORDER BY user_id, sess_start_us""",
+
+    // i11 = i3 restricted to the watermark-finalized sessions: a session
+    // window ends at last-event ts + the 30-min gap, and Append emits the
+    // sessions whose end is ≤ the final watermark — (floor(max_us/1000) −
+    // 1800000) ms, i9's arithmetic with the 30-min delay. Same batch
+    // sessionization as i3's oracle, plus that cut.
+    "i11_stream_session_append" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessioned AS (
+           SELECT user_id, ts_us,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, count(*) AS n_events,
+                min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
+         FROM sessioned GROUP BY user_id, session_id
+         HAVING max(ts_us) + 1800000000
+                <= (SELECT ((epoch_us(max(ts)) // 1000) - 1800000) * 1000 FROM events)
          ORDER BY user_id, sess_start_us""",
 
     // i9 = i1 restricted to the watermark-finalized windows. The engine

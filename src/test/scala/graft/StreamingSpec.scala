@@ -201,6 +201,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s2.streams.resetTerminated() }
   }
 
+  test("i11 Append sessions == i3 Complete sessions restricted to the watermark horizon") {
+    val all = SparkEntry.queries("i3_stream_session_window")(spark, sfTiny)
+      .collect().map(_.toSeq)
+    val appended = SparkEntry.queries("i11_stream_session_append")(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    // final watermark = (floor(max_us/1000) − 30 min) ms; a session's
+    // window end is its last event + the 30-min gap (i11's oracle cut)
+    val maxUs = all.map(_(3).asInstanceOf[Long]).max
+    val horizonUs = (maxUs / 1000L - 1800000L) * 1000L
+    val expected = all.filter(r =>
+      r(3).asInstanceOf[Long] + 1800000000L <= horizonUs).toSet
+    assert(appended == expected,
+      s"Append emitted ${appended.size} sessions, horizon cut expects ${expected.size}")
+    assert(expected.size < all.length,
+      "fixture degenerate: every session finalized — the cut pins nothing")
+  }
+
   test("i3 streaming session windows == e9 batch sessionization") {
     val stream = SparkEntry.queries("i3_stream_session_window")(spark, sfTiny)
       .select("user_id", "n_events", "sess_start_us", "sess_end_us")
