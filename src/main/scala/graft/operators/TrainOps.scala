@@ -246,6 +246,11 @@ object TrainOps {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("c_emb"))
+        // per-round lineage cut: without it each iteration NESTS the
+        // previous round's assign/avg/collect_list subtree, so planning
+        // cost grows superlinearly in iters (fine at 2, pathological by
+        // ~8) — the checkpoint keeps the trainer flat at any iters
+        .localCheckpoint(eager = false)
     }
     cents
   }

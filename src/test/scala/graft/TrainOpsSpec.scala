@@ -173,18 +173,25 @@ class TrainOpsSpec extends AnyFunSuite {
       .map { case (id, v) => (id, cos(v)) }
       .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
 
-    def recallAt(iters: Int): Double = {
-      val got = operators.TrainOps
-        .ivfTopK(e, e, qId, iters, nprobe = 4, k = 10)
-        .collect().map(_.getLong(0)).toSet
-      (got & exact).size.toDouble / exact.size
-    }
-    val untrained = recallAt(0)
-    val trained = recallAt(2)
+    def topAt(iters: Int): Set[Long] = operators.TrainOps
+      .ivfTopK(e, e, qId, iters, nprobe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(got: Set[Long]): Double = (got & exact).size.toDouble / exact.size
+    val untrained = recall(topAt(0))
+    val at2 = topAt(2)
     assert(untrained < 0.9,
       s"fixture not adversarial: first-16 quantizer already at recall $untrained")
-    assert(trained >= 0.9,
-      s"trained quantizer recall $trained < 0.9 (untrained was $untrained)")
+    assert(recall(at2) >= 0.9,
+      s"trained quantizer recall ${recall(at2)} < 0.9 (untrained was $untrained)")
+    // deep-iteration lineage guard (r9): the per-round localCheckpoint in
+    // ivfCentroids must keep the trainer plannable at any iters — this run
+    // completes in bounded time (it hung planning-side before the cut) and
+    // the converged quantizer still probes the same neighbourhood
+    val at8 = topAt(8)
+    assert(recall(at8) >= 0.9, s"iters=8 recall ${recall(at8)} < 0.9")
+    assert(at8 == at2,
+      s"k-means drifted between iters 2 and 8 on a converged fixture: " +
+        s"${(at8 diff at2) ++ (at2 diff at8)}")
   }
 
   test("l4: 5-way langid is non-degenerate — per-lang accuracy 1.0 on a real multilingual fixture") {
