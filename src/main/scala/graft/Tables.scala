@@ -66,13 +66,15 @@ object Tables {
     * evicted on sight — tmpfs is RAM; they must not outlive a bump.
     *
     * `build` runs only when the `_fixture_ready` marker is absent
-    * (underscore-prefixed, so Spark's file listing hides it from reads);
-    * the marker is written AFTER a successful build, so a crashed
-    * half-build rebuilds cleanly. A concurrently-completed build (marker
-    * appears while we built) is accepted as-is. This is crash-safe, not a
-    * full concurrent-writer protocol — the driver's Verify/Bench runs are
-    * sequential. Bump FixtureVersion whenever a cached fixture's layout
-    * or contents change.
+    * (underscore-prefixed, so Spark's file listing hides it from reads).
+    * Publication is MULTI-PROCESS-SAFE: the build runs in a uniquely-named
+    * temp sibling (marker written inside, last) and is ATOMICALLY renamed
+    * into place — a concurrent JVM (sbt test vs a driver Verify/Bench run
+    * hitting the same sf dir) sees either the complete published tree or
+    * none of it, never a half-built one; rename losers accept the winner's
+    * tree. A markerless tree at the final path can only be a crash remnant
+    * of the pre-atomic protocol — evicted before publishing. Bump
+    * FixtureVersion whenever a cached fixture's layout or contents change.
     */
   val FixtureVersion = 1
   def cachedFixture(spark: SparkSession, d: String, tag: String)
@@ -93,16 +95,30 @@ object Tables {
             !n.startsWith(s"fixcache_v${FixtureVersion}_")) // older version
       }
       .foreach(deleteRec)
-    val dir = s"${root.getPath}/$cur/$tag"
+    val dir = new java.io.File(s"${root.getPath}/$cur/$tag")
     val marker = new java.io.File(dir, "_fixture_ready")
     if (!marker.exists()) {
-      deleteRec(new java.io.File(dir))
-      new java.io.File(dir).mkdirs()
-      build(dir)
-      if (!marker.createNewFile() && !marker.exists())
-        sys.error(s"fixture marker create failed: $marker")
+      val tmp = new java.io.File(
+        s"$dir.build-${java.util.UUID.randomUUID.toString.take(8)}")
+      tmp.mkdirs()
+      build(tmp.getPath)
+      if (!new java.io.File(tmp, marker.getName).createNewFile())
+        sys.error(s"fixture marker create failed in $tmp")
+      if (dir.exists() && !marker.exists()) deleteRec(dir) // pre-atomic crash remnant
+      dir.getParentFile.mkdirs()
+      val published =
+        try {
+          java.nio.file.Files.move(tmp.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.nio.file.FileSystemException => false }
+      if (!published) {
+        deleteRec(tmp) // a concurrent build won the rename — use theirs
+        if (!marker.exists())
+          sys.error(s"fixture publish lost the rename race but $marker is absent")
+      }
     }
-    dir
+    dir.getPath
   }
 
   private val cleanupHooked =

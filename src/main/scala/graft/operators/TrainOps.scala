@@ -229,7 +229,11 @@ object TrainOps {
     * floor boundary could diverge and (unlike the single-step rnd4 pins)
     * cascade through the next assignment; the same measure-zero boundary
     * exposure every §7.2 rounding pin carries, just noted here because
-    * iteration amplifies it. Cells that capture no
+    * iteration amplifies it (exposure grows with iters × corpus size —
+    * if either grows materially, snap the means through a coarser guard,
+    * e.g. floor-round at 5 dp after the 6-dp pin, or export one engine's
+    * trained centroids as the oracle's input instead of re-deriving
+    * them). Cells that capture no
     * vectors drop out on both sides. The update is a posexplode →
     * groupBy(cid, pos) avg — map-side combinable, shuffling 16×dim
     * partial sums per executor, never vectors. */
@@ -741,12 +745,17 @@ object TrainOps {
     // containment — the digest equi-join shuffles 32-byte digests, never
     // text), and the best exact-Jaccard >= 0.8 corpus match (ties to the
     // lowest corpus id) via a BIPARTITE PPJoin: the corpus side
-    // contributes only its prefix index — at scale a persistent artifact,
-    // built once and appended per shard — the delta side joins its own
+    // contributes only its prefix index, the delta side joins its own
     // prefixes against it, and full shingle sets materialize for
     // candidate docs only. The canonical prefix order is global document
     // frequency, identical for both sides, which is all the prefix
-    // principle needs.
+    // principle needs. Persistence caveat (at scale): HERE the dfs are
+    // computed over corpus+delta together, so ingesting a shard shifts
+    // the canonical order — a stored corpus index built this way is NOT
+    // append-only. The production artifact freezes the df order on
+    // corpus-only counts (refreshed on a slow cadence) and appends delta
+    // prefixes under that frozen order; any one consistent order
+    // preserves the prefix theorem, so results are identical either way.
     "l18_dedup_incremental" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val corpusIds = docs.filter(idBelow("e0")).select("doc_id")
