@@ -31,7 +31,8 @@ object ScaleSmoke {
     val factor = args.headOption.map(_.toInt).getOrElse(8)
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("j1_dedup_exact", "j2_dedup_near_minhash", "l1_dedup_simhash",
-        "l9_dedup_ngram_jaccard", "l10_split_train_eval", "l12_dedup_embedding")
+        "l9_dedup_ngram_jaccard", "l10_split_train_eval", "l12_dedup_embedding",
+        "l17_pipeline_corpus_prep")
     // fail on typos BEFORE the expensive factor-x clone below
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")

@@ -233,6 +233,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("l17: the composed corpus-prep plan shuffles exactly 5 times, stages fused") {
+    // The end-to-end pipeline's scale contract (SURVEY §7.5): one Catalyst
+    // optimization over the whole 5-stage chain, with per-row stages fused
+    // into scans and exactly these shuffle Exchanges —
+    //   1. quality groupBy(doc_id)        (data-sized: token stream)
+    //   2. exact-dedup groupBy(sha256)    (data-sized: one digest row/doc)
+    //   3. contamination distinct(doc_id) (eval-HIT rows only — rare)
+    //   4. packing window partitionBy(source) (data-sized: survivors)
+    //   5. the contract's final total sort
+    // A 6th Exchange means a stage stopped fusing (e.g. a lost broadcast
+    // or an extra repartition) — the regression this pin exists to catch.
+    val p = plan("l17_pipeline_corpus_prep")
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(shuffles == 5, s"expected 5 shuffle Exchanges, found $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-prep degenerated to an all-pairs join:\n$p")
+  }
+
   test("whole inventory: no unexpected cartesian/nested-loop joins") {
     // BNLJ/cartesian is legitimate ONLY for the deliberate cross-join
     // demo (c8), scalar/1-row (or 16-centroid) broadcast joins (e7, j4,
