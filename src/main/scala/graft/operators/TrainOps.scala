@@ -793,6 +793,74 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // l20: apply l15's source-mix weights — the MATERIALIZATION step of
+    // data mixing: each doc is replicated floor(w) times plus one more
+    // with probability frac(w), where w is the source's uniform-share
+    // rebalancing weight (upsampling rare sources, downsampling dominant
+    // ones). The Bernoulli draw is DETERMINISTIC: u = first 6 md5 hex
+    // chars of the stable doc id as an integer / 16^6 — a uniform [0,1)
+    // that is a pure function of the id (the l10 idiom), so reruns and
+    // engines agree row-for-row and resampling is reproducible from ids
+    // alone. Per-row expr + a ≤#sources-row broadcast: zero data-sized
+    // shuffle beyond the contract sort; at corpus scale this is a map.
+    "l20_sample_by_weight" -> ((s, d) => {
+      val perSrc = t(s, d, "documents")
+        .select(col("source"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .cast(LongType).as("n_tokens"))
+        .groupBy("source").agg(sum(col("n_tokens")).as("tok"))
+      val nSrc = Window.partitionBy()
+      val weights = perSrc
+        .withColumn("total", sum(col("tok")).over(nSrc))
+        .withColumn("srcs", count(lit(1)).over(nSrc))
+        .select(col("source"), (lit(1.0) / col("srcs") /
+          (col("tok").cast(DoubleType) / col("total"))).as("wt"))
+      val u = conv(substring(md5(col("doc_id").cast(StringType)
+          .cast(BinaryType)), 1, 6), 16, 10)
+        .cast(LongType).cast(DoubleType) / lit(16777216.0)
+      t(s, d, "documents").select("doc_id", "source")
+        .join(broadcast(weights), "source")
+        .withColumn("n_copies", (floor(col("wt")) +
+          when(u < col("wt") - floor(col("wt")), 1L).otherwise(0L))
+          .cast(LongType))
+        .select(col("doc_id"), col("source"),
+          (floor(col("wt") * 1e4 + 0.5) / 1e4).as("weight"),
+          explode(when(col("n_copies") >= 1L,
+            sequence(lit(1L), col("n_copies")))
+            .otherwise(array().cast("array<bigint>"))).as("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    }),
+
+    // l21: unigram-LM cross-entropy scoring — the CCNet-style perplexity
+    // quality filter [Wenzek et al., LREC'20]: score each doc by the mean
+    // negative log-probability of its tokens under the corpus's own
+    // unigram MLE; high cross-entropy = improbable token mix. Portability:
+    // each token's −ln p is quantized to integer MICRO-NATS before
+    // aggregation (floor(x·1e6+0.5) as BIGINT), so the per-doc sum is
+    // exact integer arithmetic — double summation ORDER can never flip a
+    // rounding boundary (the l5 lesson, applied to logs; ln itself has
+    // the j6 idf precedent). keep = xent ≤ 3.41 nats, pinned ≈ p90 of
+    // this corpus like l14's thresholds. Two map-side-combinable
+    // shuffles (vocab agg — output bounded by VOCABULARY, not corpus —
+    // and the per-doc agg) + a broadcast vocab join: linear, no pairwise
+    // stage, the same shape at any corpus size.
+    "l21_unigram_logprob" -> ((s, d) => {
+      val toks = LlmOps.tokens(s, d).select("doc_id", "term")
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("term"),
+          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
+            .cast(LongType).as("q_nll"))
+      toks.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
+        .withColumn("xent", floor(
+          col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
+        .select(col("doc_id"), col("n_toks"), col("xent"),
+          (col("xent") <= 3.41).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // l19: sliding-window chunking — the long-document complement of
     // l13's packing: split each doc's token stream into fixed-size
     // chunks with a stride overlap that keeps boundary context for
@@ -1224,6 +1292,60 @@ object TrainOps {
          LEFT JOIN ex ON ex.doc_id = d.doc_id
          LEFT JOIN best ON best.d_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    // same op order as the Spark expr throughout: wt = 1e0/srcs/(tok/total)
+    // and u = hex6(md5(id))/16^6 are pure IEEE ops over integer inputs, so
+    // the floor(wt)/frac(wt) split and the Bernoulli compare agree exactly
+    "l20_sample_by_weight" ->
+      """WITH sized AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         per_src AS (SELECT source, sum(n_tokens) AS tok FROM sized GROUP BY 1),
+         tot AS (
+           SELECT source, tok, sum(tok) OVER () AS total, count(*) OVER () AS srcs
+           FROM per_src),
+         w AS (
+           SELECT source, 1e0 / srcs / (CAST(tok AS DOUBLE) / total) AS wt
+           FROM tot),
+         d AS (
+           SELECT doc_id, d.source, wt,
+                  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                    AS BIGINT) AS DOUBLE) / 16777216e0 AS u
+           FROM documents d JOIN w USING (source)),
+         c AS (
+           SELECT doc_id, source, wt,
+                  CAST(floor(wt) + (CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_copies
+           FROM d)
+         SELECT doc_id, source,
+                floor(wt * 1e4 + 5e-1) / 1e4 AS weight,
+                unnest(generate_series(1, n_copies)) AS copy_id
+         FROM c ORDER BY doc_id, copy_id""",
+
+    // per-token quantization to integer micro-nats BEFORE the per-doc sum
+    // (exact integer aggregation — summation order can't flip a boundary);
+    // ln over the same integer ratio on both engines, the j6 idf precedent
+    "l21_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         vocab AS (
+           SELECT term,
+                  CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 5e-1)
+                    AS BIGINT) AS q_nll
+           FROM (SELECT term, count(*) AS cnt, sum(count(*)) OVER () AS total
+                 FROM ftoks GROUP BY 1)),
+         per_doc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  CAST(sum(q_nll) AS BIGINT) AS sq
+           FROM ftoks JOIN vocab USING (term) GROUP BY 1)
+         SELECT doc_id, n_toks,
+                floor(CAST(sq AS DOUBLE) / n_toks / 1e6 * 1e4 + 5e-1) / 1e4 AS xent,
+                floor(CAST(sq AS DOUBLE) / n_toks / 1e6 * 1e4 + 5e-1) / 1e4 <= 3.41
+                  AS keep
+         FROM per_doc ORDER BY doc_id""",
 
     "l19_chunk_overlap" ->
       """WITH sized AS (
