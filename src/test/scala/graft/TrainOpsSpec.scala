@@ -235,6 +235,33 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) > 0.0), "a fixture doc scored zero markers")
   }
 
+  test("l20: resampling by mix weights moves per-source token shares toward uniform") {
+    // The semantic point of the operator, which the shared-formula hash
+    // oracle cannot see: materializing the weights must actually REBALANCE
+    // the corpus. Deterministic on the fixed corpus (the Bernoulli draws
+    // are md5-of-id). Measured at authoring: max |share − 1/20| drops
+    // 0.0082 → 0.0024 after resampling.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val toks = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("long").as("nt"))
+    def maxDev(masses: Map[String, Long]): Double = {
+      val total = masses.values.sum.toDouble
+      masses.values.map(m => math.abs(m / total - 1.0 / masses.size)).max
+    }
+    val orig = toks.groupBy("source").agg(sum("nt").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val res = SparkEntry.queries("l20_sample_by_weight")(spark, sf)
+      .join(toks, "doc_id")
+      .groupBy(toks("source")).agg(sum("nt").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res.keySet == orig.keySet, "a source vanished from the resample")
+    assert(maxDev(res) < maxDev(orig),
+      s"resampling did not rebalance: ${maxDev(orig)} -> ${maxDev(res)}")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
