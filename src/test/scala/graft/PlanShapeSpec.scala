@@ -251,6 +251,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-prep degenerated to an all-pairs join:\n$p")
   }
 
+  test("l20/l21: the weights/vocab join broadcasts — the corpus side never shuffles for it") {
+    // both ops join the full corpus against a tiny derived table (≤#sources
+    // mix weights; vocabulary-bounded log-probs); losing the broadcast
+    // would shuffle the corpus on the join key — the regression to catch
+    Seq("l20_sample_by_weight", "l21_unigram_logprob").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k lost its broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$k shuffles the corpus to join:\n$p")
+    }
+  }
+
   test("whole inventory: no unexpected cartesian/nested-loop joins") {
     // BNLJ/cartesian is legitimate ONLY for the deliberate cross-join
     // demo (c8), scalar/1-row (or 16-centroid) broadcast joins (e7, j4,
