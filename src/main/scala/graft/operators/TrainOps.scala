@@ -150,22 +150,27 @@ object TrainOps {
       .orderBy("vec_id")
   }
 
-  /** Lossless prefix index for the exact-Jaccard ≥ 0.8 joins
+  /** Lossless prefix index for the exact shingle-overlap joins
     * (AllPairs/PPJoin [Bayardo et al., WWW'07]) — ONE kernel for l9
-    * (self-join) and l18 (bipartite): order every doc's shingle set by
-    * ONE global canonical order (document frequency asc, shingle asc)
-    * and index only the first n − ⌈0.8·n⌉ + 1 shingles. ceil is the
-    * exact integer form (4n+4) div 5 — float ceil(n*0.8) can land on
+    * (Jaccard self-join), l18 (bipartite), and l22 (containment): order
+    * every doc's shingle set by ONE global canonical order (document
+    * frequency asc, shingle asc) and index only the first
+    * n − ⌈t·n⌉ + 1 shingles, t = tNum/tDen. ceil is the exact integer
+    * form (tNum·n + tDen − 1) div tDen — float ceil(n*0.8) can land on
     * 4.000000001 and silently shrink the prefix (lost pairs). Any pair
-    * with J ≥ 0.8 shares ≥ ceil(0.8·n) shingles, so its smallest common
-    * shingle sits inside both prefixes and the pair still collides. */
-  private def prefixIndex(shing: DataFrame): DataFrame = {
+    * sharing ≥ ceil(t·n) shingles has its smallest common shingle inside
+    * the prefix, so it still collides — for Jaccard both sides are
+    * prefix-indexed; for containment (l22) only the PROBE side may be
+    * prefixed (the containing side must stay fully indexed, since
+    * C = |A∩B|/|A| ignores |B|). */
+  private def prefixIndex(shing: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     val dfreq = shing.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id")
     shing.join(dfreq, "shingle")
       .withColumn("n", count(lit(1)).over(wDoc))
       .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("shingle"))))
-      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .filter(col("rk") <=
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
       .select("doc_id", "shingle")
   }
 
@@ -508,7 +513,7 @@ object TrainOps {
     "l9_dedup_ngram_jaccard" -> ((s, d) => {
       val shing = LlmOps.shingleRows(s, d) // shared with j2 — one tokenizer
         .localCheckpoint(eager = false) // consumed by df, prefixes, verification
-      val pref = prefixIndex(shing)
+      val pref = prefixIndex(shing, 4, 5)
       val cand = pref.as("a").join(pref.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -768,7 +773,7 @@ object TrainOps {
         .select("doc_id", "exact_of")
       val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
         .localCheckpoint(eager = false) // feeds df, prefixes, verification
-      val pref = prefixIndex(shing)
+      val pref = prefixIndex(shing, 4, 5)
         .localCheckpoint(eager = false) // split into the two join sides below
       // bipartite candidates: delta prefixes (a) vs corpus prefixes (b)
       val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
@@ -859,6 +864,45 @@ object TrainOps {
         .select(col("doc_id"), col("n_toks"), col("xent"),
           (col("xent") <= 3.41).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // l22: directional shingle CONTAINMENT — the asymmetric member of the
+    // dedup family (j1 exact, j2/l9 symmetric Jaccard, l18 incremental):
+    // find (A, B) where ≥ 90% of A's word-3-gram shingles also appear in
+    // B — the "short doc copied into a long doc" shape that symmetric
+    // Jaccard structurally misses (J = |∩|/|∪| dilutes as |B| grows,
+    // containment C = |∩|/|A| does not). Prefix principle, asymmetric
+    // variant: only the PROBE side A can be prefix-indexed (its rarest
+    // n − ⌈0.9n⌉ + 1 shingles — lossless for C ≥ 0.9); the containing
+    // side must stay fully indexed since C ignores |B|. Fan-out stays
+    // bounded because prefixes hold only globally-RARE shingles (df-asc
+    // canonical order) — hub shingles never enter a prefix, so the
+    // candidate join is df(rare)-bounded, never corpus². Threshold as
+    // integers (10·common ≥ 9·|A|); exact verification on candidates.
+    "l22_containment_ngram" -> ((s, d) => {
+      val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16/l18)
+        .localCheckpoint(eager = false) // feeds df, prefixes, verification
+      val cand = prefixIndex(shing, 9, 10).as("a")
+        .join(shing.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
+      val sets = shing.join(
+          cand.select(col("a_id").as("doc_id"))
+            .union(cand.select(col("b_id"))).distinct(),
+          Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+        .localCheckpoint(eager = false) // joined under two aliases below
+      cand
+        .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+        .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+        .filter(col("common") * 10 >= size(col("sa")).cast(LongType) * 9)
+        .select(col("a_id"), col("b_id"),
+          (floor(col("common").cast(DoubleType) / size(col("sa")) * 1e4 + 0.5) / 1e4)
+            .as("containment"))
+        .orderBy("a_id", "b_id")
     }),
 
     // l19: sliding-window chunking — the long-document complement of
@@ -1346,6 +1390,37 @@ object TrainOps {
                 floor(CAST(sq AS DOUBLE) / n_toks / 1e6 * 1e4 + 5e-1) / 1e4 <= 3.41
                   AS keep
          FROM per_doc ORDER BY doc_id""",
+
+    // the oracle brute-forces the directional shingle join (the asymmetric
+    // prefix filter is lossless, same argument as l9/l18); threshold and
+    // rounding identical integer/IEEE forms on both engines
+    "l22_containment_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+                floor(CAST(c AS DOUBLE) / sa.n * 1e4 + 5e-1) / 1e4 AS containment
+         FROM common JOIN sz sa ON sa.doc_id = a_id
+         WHERE 10 * c >= 9 * sa.n
+         ORDER BY a_id, b_id""",
 
     "l19_chunk_overlap" ->
       """WITH sized AS (

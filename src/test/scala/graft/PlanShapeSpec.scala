@@ -191,9 +191,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
-  test("j2/l1/l9/l12/l18: near-dedup candidate joins are equi-joins, never all-pairs") {
+  test("j2/l1/l9/l12/l18/l22: near-dedup candidate joins are equi-joins, never all-pairs") {
     Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-      "l12_dedup_embedding", "l18_dedup_incremental")
+      "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -277,7 +277,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // no-cartesian test above — skip them here to avoid re-executing them
     val coveredElsewhere =
       Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-        "l12_dedup_embedding", "l18_dedup_incremental")
+        "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
       .filterNot(allowed)
