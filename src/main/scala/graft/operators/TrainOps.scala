@@ -23,10 +23,10 @@ import org.apache.spark.sql.types._
   *    probes a few cells — the shuffle is per-cell, not all-pairs);
   *  - langid/quality/fingerprint (l4/l5/l6) are single-scan explode →
   *    groupBy(doc_id) pipelines, map-side combinable, one shuffle each;
-  *  - multimodal (l7) treats media as opaque binary + typed metadata and
-  *    runs feature extraction per-partition over the iterator (the real
-  *    decoder would replace ONE clearly-marked function; the schema,
-  *    partitioning, and batch shape are the production plumbing);
+  *  - multimodal (l7) treats media as an opaque binary column with a
+  *    fixed-layout header and DECODES it with expression-level byte math
+  *    (binary substring + hex/conv field reads — codegen'd, no UDF): a
+  *    map fused into the scan at any corpus size;
   *  - exact n-gram Jaccard join (l9) is prefix-filtered (AllPairs/PPJoin):
   *    the inverted index holds only each doc's rarest n−⌈0.8n⌉+1 shingles
   *    — provably lossless for J ≥ 0.8 — so hub shingles never fan out and
@@ -466,29 +466,35 @@ object TrainOps {
         length(col("text")).cast(LongType).as("n_chars_out"))
         .orderBy("doc_id")),
 
-    // l7: multimodal binary-column plumbing — media payload as opaque
-    // binary + typed metadata struct, feature extraction per PARTITION over
-    // the raw iterator. decodeStub is where a real image/audio decoder
-    // would go (not available in this environment, SURVEY §2.L); the
-    // surrounding schema/partition/batch shape is the production path.
+    // l7: multimodal binary-column DECODE — media payload as an opaque
+    // binary column with a fixed-layout 16-byte header (magic 'GRFT' |
+    // width | height | channels, 4-byte big-endian each) ahead of the
+    // body, the shape of any real container format. The payload is
+    // SYNTHESIZED here (header fields derived from doc_id, body = the
+    // UTF-8 text — this container has no image libs, SURVEY §2.L), but
+    // the DECODE is real: expression-level byte math only — binary
+    // `substring` slices the header fields, `hex`→`conv` reassembles the
+    // big-endian ints, the magic slice casts straight to UTF-8 — all
+    // codegen'd per-row exprs, no UDF, no driver round-trip. At 100 TB
+    // this is a map fused into the scan; a real decoder swaps the field
+    // offsets, not the plumbing.
     "l7_multimodal_features" -> ((s, d) => {
-      import s.implicits._
-      val media = t(s, d, "documents")
-        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
-          struct(length(col("text")).as("size_chars"),
-            lit("utf8-text").as("format")).as("meta"))
-      // STUB: stands in for image decode / feature extraction; everything
-      // it computes is deterministic over the payload bytes
-      def decodeStub(payload: Array[Byte]): (Long, Long, Long) =
-        (payload.length.toLong,
-          payload.foldLeft(0L)((a, b) => a + (b & 0xff)) % 997L,
-          (payload.head & 0xff).toLong)
-      media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, bytes) =>
-          val (sz, checksum, head) = decodeStub(bytes)
-          (id, sz, checksum, head)
-        })
-        .toDF("doc_id", "size_bytes", "checksum", "head_byte")
+      val width = lit(16L) + col("doc_id") % 1017L
+      val height = lit(16L) + (col("doc_id") * 3L) % 737L
+      val chans = lit(1L) + col("doc_id") % 4L
+      def be32(c: Column): Column = lpad(hex(c), 8, "0") // 4-byte big-endian hex
+      val media = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          unhex(concat(lit("47524654"), be32(width), be32(height), be32(chans))),
+          col("text").cast(BinaryType)).as("payload"))
+      // parse the header back OUT of the bytes (both engines slice the
+      // same blob: Spark via binary substring, DuckDB via hex-string math)
+      def field(off: Int): Column =
+        conv(hex(substring(col("payload"), off + 1, 4)), 16, 10).cast(LongType)
+      media.select(col("doc_id"),
+          substring(col("payload"), 1, 4).cast(StringType).as("magic"),
+          field(4).as("width"), field(8).as("height"), field(12).as("channels"),
+          (length(col("payload")) - 16).cast(LongType).as("body_bytes"))
         .orderBy("doc_id")
     }),
 
@@ -932,7 +938,89 @@ object TrainOps {
         .select(col("doc_id"), col("chunk_id"),
           (col("chunk_id") * 56L).as("tok_start"),
           least(lit(64L), col("n_tokens") - col("chunk_id") * 56L).as("n_toks"))
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // l23: PII / sensitive-pattern redaction — the scrub pass every
+    // production corpus runs before training: per-class regex redaction
+    // (email, phone, SSN-shaped id) with per-class match counts for the
+    // compliance audit trail. The corpus text has no PII (synthetic,
+    // lowercase words only — verified), so PII is PLANTED first, as a
+    // deterministic pure function of the stable doc id (the l10/l20 md5
+    // idiom: three independent hex digits of md5(doc_id) gate three ~50%
+    // plants whose digits derive from doc_id) — both engines splice
+    // byte-identical text, so the redaction itself is fully oracled.
+    // Patterns stay in the literal-safe subset Java regex and RE2 parse
+    // identically (classes, \d, \b, {m,n} — the h2 lesson); counts are
+    // taken BEFORE replacement; replacement is global on both engines
+    // (Spark regexp_replace default; DuckDB 'g' flag). Single scan,
+    // per-row exprs, zero shuffle beyond the contract sort — at corpus
+    // scale this is a map fused into the scan.
+    "l23_pii_redact" -> ((s, d) => {
+      val h = md5(col("doc_id").cast(StringType).cast(BinaryType))
+      val idS = col("doc_id").cast(StringType)
+      val email = when(substring(h, 1, 1) < "8",
+        concat(lit(" contact user"), idS, lit("@example.com"))).otherwise(lit(""))
+      val phone = when(substring(h, 2, 1) < "8",
+        concat(lit(" call 555-"),
+          lpad(((col("doc_id") * 7) % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 13) % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit(""))
+      val ssn = when(substring(h, 3, 1) < "8",
+        concat(lit(" ssn "),
+          lpad(((col("doc_id") * 3) % 1000).cast(StringType), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 100).cast(StringType), 2, "0"), lit("-"),
+          lpad(((col("doc_id") * 11) % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit(""))
+      val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+      val phoneRe = """\b\d{3}-\d{3}-\d{4}\b""" // disjoint from ssnRe by group widths
+      val ssnRe = """\b\d{3}-\d{2}-\d{4}\b"""
+      t(s, d, "documents")
+        .select(col("doc_id"), concat(col("text"), email, phone, ssn).as("pii_text"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("pii_text"), lit(phoneRe), lit(0)))
+            .cast(LongType).as("n_phones"),
+          size(regexp_extract_all(col("pii_text"), lit(ssnRe), lit(0)))
+            .cast(LongType).as("n_ids"),
+          regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+            emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ssnRe, "<ID>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // l25: token-distribution DRIFT monitor — the monitoring twin of
+    // incremental ingestion (l18): KL(delta ‖ corpus) over unigram
+    // distributions, per-term, so a drifting delta shard is caught (and
+    // attributed to the tokens driving it) before it trains. Delta/corpus
+    // split = the l18 md5-id cut; corpus side is Laplace-smoothed over
+    // the UNION vocabulary (so delta-only tokens contribute finitely —
+    // they are exactly the strongest drift signal). Portability: each
+    // term's contribution p_d·ln(p_d/p_c) is quantized to integer
+    // MICRO-NATS (the l21 trick), so the headline KL is an exact integer
+    // sum — summation order can never flip a boundary. One token scan →
+    // one vocabulary-bounded agg (map-side combinable) → a ≤|V|-row
+    // window: linear at any corpus size, output bounded by vocabulary.
+    "l25_token_drift" -> ((s, d) => {
+      val w = Window.partitionBy()
+      LlmOps.tokens(s, d)
+        .select(col("term"), (!idBelow("e0")).as("is_delta")) // l18's delta cut
+        .groupBy("term")
+        .agg(sum(when(col("is_delta"), 1L).otherwise(0L)).as("d_cnt"),
+          sum(when(!col("is_delta"), 1L).otherwise(0L)).as("c_cnt"))
+        .withColumn("d_tot", sum(col("d_cnt")).over(w))
+        .withColumn("c_tot", sum(col("c_cnt")).over(w))
+        .withColumn("v", count(lit(1)).over(w)) // union vocab, pre-filter
+        .filter(col("d_cnt") > 0) // KL runs over the delta's support
+        .withColumn("pd", col("d_cnt").cast(DoubleType) / col("d_tot"))
+        .withColumn("pc",
+          (col("c_cnt") + lit(1L)).cast(DoubleType) / (col("c_tot") + col("v")))
+        .withColumn("q_contrib",
+          floor(col("pd") * log(col("pd") / col("pc")) * 1e6 + 0.5).cast(LongType))
+        .withColumn("kl_unats", sum(col("q_contrib")).over(w))
+        .select(col("term"), col("d_cnt"), col("c_cnt"),
+          col("q_contrib"), col("kl_unats"))
+        .orderBy("term")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1439,14 +1527,92 @@ object TrainOps {
                   AS n_toks
          FROM chunks ORDER BY doc_id, chunk_id""",
 
-    // the corpus is pure ASCII, so chars == UTF-8 bytes and ascii() == byte
+    // builds the SAME blob (from_hex header + encode(text) body), then
+    // parses it back by slicing the blob's hex image — DuckDB can't
+    // substring a BLOB directly, but hex-string math over the same bytes
+    // is the identical big-endian field read ('0x'-cast = Spark's conv)
     "l7_multimodal_features" ->
-      """WITH chars AS (
-           SELECT doc_id, generate_subscripts(cs, 1) AS pos, unnest(cs) AS ch
-           FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents))
-         SELECT doc_id, count(*) AS size_bytes,
-                CAST(sum(ascii(ch)) % 997 AS BIGINT) AS checksum,
-                CAST(min(CASE pos WHEN 1 THEN ascii(ch) END) AS BIGINT) AS head_byte
-         FROM chars GROUP BY doc_id ORDER BY doc_id"""
+      """WITH media AS (
+           SELECT doc_id,
+                  from_hex('47524654'
+                    || lpad(hex(16 + doc_id % 1017), 8, '0')
+                    || lpad(hex(16 + (doc_id * 3) % 737), 8, '0')
+                    || lpad(hex(1 + doc_id % 4), 8, '0')) || encode(text)
+                    AS payload
+           FROM documents),
+         parsed AS (SELECT doc_id, payload, hex(payload) AS hx FROM media)
+         SELECT doc_id,
+                decode(from_hex(substr(hx, 1, 8))) AS magic,
+                CAST('0x' || substr(hx, 9, 8) AS BIGINT) AS width,
+                CAST('0x' || substr(hx, 17, 8) AS BIGINT) AS height,
+                CAST('0x' || substr(hx, 25, 8) AS BIGINT) AS channels,
+                CAST(octet_length(payload) - 16 AS BIGINT) AS body_bytes
+         FROM parsed ORDER BY doc_id""",
+
+    // identical planted splice (pure function of doc_id's md5 + integer
+    // mods), identical regexes (the Java-regex ∩ RE2 literal-safe
+    // subset), counts before replacement, global replacement ('g')
+    "l23_pii_redact" ->
+      """WITH spliced AS (
+           SELECT doc_id, text
+             || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+             || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8'
+                  THEN ' call 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+             || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '8'
+                  THEN ' ssn ' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                    || '-' || lpad(CAST((doc_id * 11) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS pii_text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(pii_text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(pii_text,
+                  '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(pii_text,
+                  '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+                regexp_replace(regexp_replace(regexp_replace(pii_text,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS redacted
+         FROM spliced ORDER BY doc_id""",
+
+    // same delta cut as l18, same op order as the Spark exprs: pd, pc,
+    // then floor(pd·ln(pd/pc)·1e6 + 5e-1) per term — the integer
+    // micro-nat sum makes the headline KL summation-order-proof
+    "l25_token_drift" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         lab AS (
+           SELECT term,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e0' AS is_delta
+           FROM toks WHERE term <> ''),
+         per_term AS (
+           SELECT term,
+                  CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS d_cnt,
+                  CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS c_cnt
+           FROM lab GROUP BY 1),
+         tot AS (
+           SELECT term, d_cnt, c_cnt,
+                  CAST(sum(d_cnt) OVER () AS BIGINT) AS d_tot,
+                  CAST(sum(c_cnt) OVER () AS BIGINT) AS c_tot,
+                  CAST(count(*) OVER () AS BIGINT) AS v
+           FROM per_term),
+         contrib AS (
+           SELECT term, d_cnt, c_cnt,
+                  CAST(floor(
+                    (CAST(d_cnt AS DOUBLE) / d_tot)
+                      * ln((CAST(d_cnt AS DOUBLE) / d_tot)
+                           / (CAST(c_cnt + 1 AS DOUBLE) / (c_tot + v))) * 1e6 + 5e-1)
+                    AS BIGINT) AS q_contrib
+           FROM tot WHERE d_cnt > 0)
+         SELECT term, d_cnt, c_cnt, q_contrib,
+                CAST(sum(q_contrib) OVER () AS BIGINT) AS kl_unats
+         FROM contrib ORDER BY term"""
   )
 }

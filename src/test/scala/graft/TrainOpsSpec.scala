@@ -262,6 +262,70 @@ class TrainOpsSpec extends AnyFunSuite {
       s"resampling did not rebalance: ${maxDev(orig)} -> ${maxDev(res)}")
   }
 
+  test("l25: a planted drifted delta is detected and attributed; a same-distribution delta is not") {
+    // The semantic point the hash oracle cannot see: the KL monitor must
+    // FIRE on a genuinely drifted delta shard and stay quiet on a shard
+    // drawn from the corpus distribution. Delta membership is the l18 md5
+    // cut (first hex byte >= 'e0'), so the fixture pins ids on each side:
+    // 3/5/34 are delta ids, 0/1/2/4/6/7 are corpus ids (verified md5).
+    val s = spark
+    import s.implicits._
+    val corpusText = "alpha beta gamma delta alpha beta alpha gamma beta alpha"
+    def run(deltaText: String): Map[String, (Long, Long)] = {
+      val fixture = Seq(0L, 1L, 2L, 4L, 6L, 7L).map((_, corpusText, "en")) ++
+        Seq(3L, 5L, 34L).map((_, deltaText, "en"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_l25_fixture").toString
+      fixture.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("l25_token_drift")(spark, dir).collect()
+        .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    }
+    // drifted delta: dominated by a token the corpus never contains
+    val drifted = run("zzdrift zzdrift zzdrift zzdrift alpha zzdrift zzdrift")
+    assert(drifted.contains("zzdrift"), "drift token missing from the report")
+    assert(drifted("zzdrift")._1 > 1000000,
+      s"corpus-unseen drift token contributes ${drifted("zzdrift")._1} µnats — " +
+        "should dominate (> 1 nat)")
+    assert(drifted.values.head._2 > 1000000,
+      s"drifted-delta KL ${drifted.values.head._2} µnats not flagged (> 1 nat expected)")
+    assert(drifted("zzdrift")._1 == drifted.values.map(_._1).max,
+      "the planted drift token must be the top KL contributor")
+    // control: delta drawn from the corpus distribution — KL stays small
+    val same = run(corpusText)
+    assert(same.values.head._2 < 100000,
+      s"same-distribution delta KL ${same.values.head._2} µnats — " +
+        "monitor fires on no drift (< 0.1 nat expected)")
+  }
+
+  test("l23: no redactable pattern survives redaction; counts match what was planted") {
+    // The invariant the hash oracle shares but a reader wants pinned
+    // directly: after the scrub, the redacted text contains NO residual
+    // match of any PII class, and every doc the md5 gates planted into a
+    // class reports at least one match of that class.
+    val out = SparkEntry.queries("l23_pii_redact")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val res = Seq(
+      """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""".r,
+      """\b\d{3}-\d{3}-\d{4}\b""".r,
+      """\b\d{3}-\d{2}-\d{4}\b""".r)
+    out.foreach { r =>
+      val red = r.getString(4)
+      res.foreach(re => assert(re.findFirstIn(red).isEmpty,
+        s"doc ${r.getLong(0)}: residual PII in redacted text: $red"))
+    }
+    out.foreach { r =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert((r.getLong(1) >= 1) == (h(0) < '8'),
+        s"doc ${r.getLong(0)}: email count ${r.getLong(1)} vs gate ${h(0)}")
+      assert((r.getLong(2) >= 1) == (h(1) < '8'),
+        s"doc ${r.getLong(0)}: phone count ${r.getLong(2)} vs gate ${h(1)}")
+      assert((r.getLong(3) >= 1) == (h(2) < '8'),
+        s"doc ${r.getLong(0)}: id count ${r.getLong(3)} vs gate ${h(2)}")
+    }
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
