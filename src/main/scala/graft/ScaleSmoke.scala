@@ -36,6 +36,10 @@ object ScaleSmoke {
     // fail on typos BEFORE the expensive factor-x clone below
     val unknown = keys.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
+    // streaming keys get the dedicated bounded-state probe (events clone,
+    // one micro-batch per time slice) instead of the generic wall-time run
+    val streamProbeKeys =
+      Set("i9_stream_tumbling_append", "i11_stream_session_append")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -84,12 +88,21 @@ object ScaleSmoke {
         cloned.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       case other => sys.error(s"SPARK_GRAFT_LAYOUT must be flat|lang, got $other")
     }
-    // clone embeddings only when a probed key reads them — doc-only
-    // probes (the l17/l20/l21/l4/l22 series) skip the vector clone cost
-    val embKeys = Set("l2_sim_embedding_nn", "l3_ann_ivf_topk",
-      "l12_dedup_embedding", "j3_sim_cosine_pairs", "j4_sim_knn_query",
-      "j10_multimodal_join")
-    if (keys.exists(embKeys)) {
+    // Clone embeddings UNLESS every probed key is on the known docs-only
+    // list. The list is intentionally inverted from an "embedding keys"
+    // allowlist (r9 ADVICE): deriving the read set from the queries
+    // themselves is off the table because several query builders
+    // side-effect on construction (streaming keys RUN their query,
+    // fixture keys build caches), so a static list it is — and with the
+    // docs-only polarity, list drift is benign (an unlisted new key just
+    // pays an unnecessary cheap embeddings clone instead of crashing
+    // path-not-found after the expensive documents clone).
+    val docOnlyKeys = Set("j1_dedup_exact", "j2_dedup_near_minhash",
+      "l1_dedup_simhash", "l4_text_langid", "l9_dedup_ngram_jaccard",
+      "l10_split_train_eval", "l17_pipeline_corpus_prep", "l18_dedup_incremental",
+      "l20_sample_by_weight", "l21_unigram_logprob", "l22_containment_ngram",
+      "l23_pii_redact", "l25_token_drift")
+    if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
       embs.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
@@ -101,7 +114,7 @@ object ScaleSmoke {
 
     // min-of-2: this VM's 30-60 s host stalls would otherwise corrupt the
     // scaling-exponent read (same rule as Bench)
-    val times = keys.map { k =>
+    val times = keys.filterNot(streamProbeKeys).map { k =>
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(k)(spark, dir).queryExecution.toRdd.count()
@@ -109,9 +122,98 @@ object ScaleSmoke {
       }
       k -> ts.min
     }
+    val streams = keys.filter(streamProbeKeys).map { k =>
+      k -> streamProbe(spark, src, dir, k, factor)
+    }
     val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"factor":$factor,"layout":"$layout","rows":$rows,"queries":$qs}""")
+    val ss = streams.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"factor":$factor,"layout":"$layout","rows":$rows,""" +
+      s""""queries":$qs,"stream":$ss}""")
     spark.stop()
+  }
+
+  /** Streaming bounded-state probe (SURVEY §7.5, r10): the events table is
+    * cloned `factor`× along the TIME axis — clone k's timestamps shift by
+    * k·(span + 4 h), each clone written as ONE file — and replayed with
+    * `maxFilesPerTrigger=1`, so micro-batch k covers time-slice k and the
+    * watermark genuinely advances (and evicts) between batches, exactly
+    * like an unbounded production stream. This is the shape the oracled
+    * AvailableNow single-batch run cannot exercise: there, peak state =
+    * every window of the whole table by construction.
+    *
+    * The claim under test: Append-mode state is bounded by the OPEN-WINDOW
+    * HORIZON, not the stream length. Eviction lags one batch (batch k
+    * evicts with the watermark established by batch k−1), so peak
+    * `numRowsTotal` ≈ one slice's window/session count — which is
+    * `rows_emitted / factor` — regardless of factor. Asserted fail-loud at
+    * 1.5× + 100 slack; doubling the factor must NOT move peak state.
+    * i11 additionally runs on the RocksDB provider (the shipped key's
+    * production config) and reports its peak memory metric. */
+  private def streamProbe(spark: SparkSession, src: String, dir: String,
+      key: String, factor: Int): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val ev = spark.read.parquet(s"$src/events.parquet") // ts = raw ns (conf)
+    val st = ev.agg(min("ts"), max("ts"), max("event_id")).head()
+    val span = st.getLong(1) - st.getLong(0)
+    val shift = span + 4L * 3600L * 1000000000L // slices never overlap
+    val n = st.getLong(2) + 1
+    for (k <- 0 until factor) // sequential writes: mod-time = replay order
+      ev.select((col("event_id") + lit(k * n)).as("event_id"),
+          (col("ts") + lit(k.toLong * shift)).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$dir/events_stream_$key/b$k%03d")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("basePath", s"$dir/events_stream_$key")
+      .parquet(s"$dir/events_stream_$key/*")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = if (key.startsWith("i9")) operators.Streaming.tumblingAgg(stream)
+      else operators.Streaming.sessionAgg(stream)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    if (key.startsWith("i11")) spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"smoke_${key}_x$factor"
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          Tables.scratch(spark, s"$dir/$key", "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      val maxState = ops.map(_.numRowsTotal).max
+      val removed = ops.map(_.numRowsRemoved).sum
+      val emitted = spark.table(name).count()
+      val rocksMem = ops.flatMap { o =>
+        import scala.jdk.CollectionConverters._
+        o.customMetrics.asScala.collect {
+          case (m, v) if m.startsWith("rocksdb") && m.contains("MemoryUsage") =>
+            v.longValue()
+        }
+      }.maxOption.getOrElse(0L)
+      require(removed > 0, s"$key probe: watermark never evicted state")
+      val bound = emitted.toDouble / factor * 1.5 + 100
+      require(maxState <= bound,
+        s"$key probe x$factor: peak state rows $maxState exceeds the one-slice " +
+          s"bound $bound (emitted $emitted) — state is growing with stream " +
+          "length, not the watermark horizon")
+      s"""{"sec":$sec,"max_state_rows":$maxState,"rows_removed":$removed,""" +
+        s""""rows_emitted":$emitted,"rocksdb_mem_bytes":$rocksMem}"""
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 }
