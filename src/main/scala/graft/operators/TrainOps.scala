@@ -330,9 +330,16 @@ object TrainOps {
 
     // l2: embedding-space near-dup — per-vector nearest neighbour by
     // cosine + dup flag at 0.95. Exact all-pairs argmax is the correctness
-    // baseline (broadcast one side); l3 is the scale path.
+    // baseline (broadcast one side); l3 is the scale path. The baseline
+    // DEMO runs on a deterministic ~50% md5 id-sample (the l10 idiom —
+    // membership reproducible from ids alone, mirrored in the oracle):
+    // an O(n²) baseline needs only enough n to be a meaningful exact
+    // reference, and the sample quarters its bench cost (r9 VERDICT
+    // task 5); the fail-loud broadcast guard is unchanged, and l3/j4
+    // remain the full-table paths.
     "l2_sim_embedding_nn" -> ((s, d) => {
-      val e = LlmOps.requireBroadcastable(LlmOps.embs(s, d),
+      val e = LlmOps.requireBroadcastable(
+        LlmOps.embs(s, d).filter(idBelow(col("vec_id"), "80")),
         "l2's embedding table", "l3_ann_ivf_topk (IVF cells) for ANN at scale")
       // argmax via max_by on (sim, -nn_id) — partial-aggregates map-side,
       // so the all-pairs sims never shuffle (vs sorting them in a window);
@@ -1228,10 +1235,12 @@ object TrainOps {
          WHERE 5 * c >= 4 * (sa.n + sb.n - c)
          ORDER BY a_id, b_id""",
 
+    // same deterministic ~50% md5 id-sample as the Spark side
     "l2_sim_embedding_nn" ->
       """WITH e AS (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             FROM embeddings),
+             FROM embeddings
+             WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '80'),
            sims AS (
              SELECT a.vec_id, b.vec_id AS nn_id,
                     round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
