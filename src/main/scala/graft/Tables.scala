@@ -97,6 +97,14 @@ object Tables {
       .foreach(deleteRec)
     val dir = new java.io.File(s"${root.getPath}/$cur/$tag")
     val marker = new java.io.File(dir, "_fixture_ready")
+    // sweep crashed-build leaks: a build that died after tmp.mkdirs()
+    // leaves a '<tag>.build-*' tree that no signature bump would ever
+    // evict (it sits INSIDE the current-signature root). Age-gated so a
+    // concurrent in-flight build (seconds old) is never swept.
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"$tag.build-") &&
+        System.currentTimeMillis - f.lastModified > 30 * 60 * 1000L)
+      .foreach(deleteRec)
     if (!marker.exists()) {
       val tmp = new java.io.File(
         s"$dir.build-${java.util.UUID.randomUUID.toString.take(8)}")
@@ -104,14 +112,24 @@ object Tables {
       build(tmp.getPath)
       if (!new java.io.File(tmp, marker.getName).createNewFile())
         sys.error(s"fixture marker create failed in $tmp")
-      if (dir.exists() && !marker.exists()) deleteRec(dir) // pre-atomic crash remnant
       dir.getParentFile.mkdirs()
-      val published =
+      def publish(): Boolean =
         try {
           java.nio.file.Files.move(tmp.toPath, dir.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           true
         } catch { case _: java.nio.file.FileSystemException => false }
+      var published = publish()
+      if (!published && !marker.exists()) {
+        // a markerless tree occupies the final path: a crash remnant of
+        // the pre-atomic protocol. Deleting it HERE is race-free where
+        // deleting before the first publish attempt was not: while any
+        // non-empty tree sits at the path, every concurrent ATOMIC_MOVE
+        // fails too, so no winner can publish between this marker check
+        // and the delete — the tree we remove is provably the remnant.
+        deleteRec(dir)
+        published = publish()
+      }
       if (!published) {
         deleteRec(tmp) // a concurrent build won the rename — use theirs
         if (!marker.exists())

@@ -245,7 +245,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // A 6th Exchange means a stage stopped fusing (e.g. a lost broadcast
     // or an extra repartition) — the regression this pin exists to catch.
     val p = plan("l17_pipeline_corpus_prep")
-    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    // exclude ReusedExchange too (r9 ADVICE): a reused shuffle is the
+    // OPPOSITE of a new one — counting it would trip the ==5 pin on a
+    // plan that introduced zero additional shuffles
+    val shuffles = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).length
     assert(shuffles == 5, s"expected 5 shuffle Exchanges, found $shuffles:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"corpus-prep degenerated to an all-pairs join:\n$p")
