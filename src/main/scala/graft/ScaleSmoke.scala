@@ -98,8 +98,10 @@ object ScaleSmoke {
     // pays an unnecessary cheap embeddings clone instead of crashing
     // path-not-found after the expensive documents clone).
     val docOnlyKeys = Set("j1_dedup_exact", "j2_dedup_near_minhash",
-      "l1_dedup_simhash", "l4_text_langid", "l9_dedup_ngram_jaccard",
-      "l10_split_train_eval", "l17_pipeline_corpus_prep", "l18_dedup_incremental",
+      "l1_dedup_simhash", "l4_text_langid", "l5_text_quality",
+      "l6_fingerprint_minhash", "l7_multimodal_features", "l8_text_token_count",
+      "l9_dedup_ngram_jaccard", "l10_split_train_eval", "l14_repetition_filter",
+      "l17_pipeline_corpus_prep", "l18_dedup_incremental",
       "l20_sample_by_weight", "l21_unigram_logprob", "l22_containment_ngram",
       "l23_pii_redact", "l25_token_drift")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
