@@ -1027,6 +1027,114 @@ object TrainOps {
         .select(col("term"), col("d_cnt"), col("c_cnt"),
           col("q_contrib"), col("kl_unats"))
         .orderBy("term")
+    }),
+
+    // l24: the filter FUNNEL report — the attrition table every corpus
+    // pipeline owner watches: how many docs survive each cleaning stage,
+    // and which stage drops what. Five keep-flags, each computed GLOBALLY
+    // with a stage formula this suite has already verified key-by-key
+    // (l5 quality, l14 repetition thresholds, l21 unigram-LM
+    // xent ≤ 3.41, j1/l17 exact-dedup min-id rule, l16 eval-shingle
+    // decontamination), conjoined in pipeline order. The quality cut is
+    // pinned at ≥ 0.26 (≈ this corpus's p10) rather than l17's 0.5: at
+    // 0.5 the first stage drops 497/500 and every later stage is vacuous
+    // — the l19 lesson (scale thresholds so the oracle genuinely
+    // exercises each stage: here 500→437→430→390→390→367 at sf0.01,
+    // every stage but dedup visibly contributing, dedup honestly 0
+    // because sf0.01 has no exact dups) — so the funnel is
+    // the REPORT twin of l17's output pipeline (l17 materializes the
+    // survivors; l24 accounts for the drops). Flags join on doc_id
+    // (hash shuffles of ids, never text), the conjunction counts are one
+    // map-side-combinable global agg, and the 6-row stack is driver-side
+    // array math: linear at any corpus size.
+    "l24_filter_funnel" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val toks = LlmOps.tokens(s, d)
+      val stop = Seq("the", "a", "of", "and")
+      val qual = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin(stop: _*), 1).otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .select(col("doc_id"),
+          (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * least(lit(1.0),
+              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)
+            >= 0.26).as("q"))
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
+      val rep = docs.select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3) // <3 tokens: no trigram — drops at this stage
+        .withColumn("bgs", grams(2))
+        .withColumn("tgs", grams(3))
+        .withColumn("top_bi", aggregate(array_sort(col("bgs")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")))
+        .select(col("doc_id"),
+          (col("top_bi").cast(DoubleType) / size(col("bgs")) <= 0.08 &&
+            lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
+              / size(col("tgs")) <= 0.05).as("rep"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("term"),
+          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
+            .cast(LongType).as("q_nll"))
+      val lm = toks.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
+        .select(col("doc_id"),
+          (floor(col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4
+            <= 3.41).as("lm"))
+      val uniq = docs.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+        .withColumn("m", min(col("doc_id")).over(Window.partitionBy("dig")))
+        .select(col("doc_id"), (col("doc_id") === col("m")).as("uniq"))
+      val evalDf = Seq("row column sort", "stream table hash",
+        "window fast query", "data merge group", "held out benchmark")
+        .toDF("shingle")
+      val dirty = LlmOps.shingleRows(s, d)
+        .join(broadcast(evalDf), "shingle")
+        .select("doc_id").distinct()
+        .withColumn("dirty", lit(true))
+      val flags = docs.select("doc_id")
+        .join(qual, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(uniq, Seq("doc_id"), "left")
+        .join(dirty, Seq("doc_id"), "left")
+        .select(coalesce(col("q"), lit(false)).as("q"), // token-less docs drop early
+          coalesce(col("rep"), lit(false)).as("rep"),
+          coalesce(col("lm"), lit(false)).as("lm"),
+          col("uniq"),
+          (!coalesce(col("dirty"), lit(false))).as("clean"))
+      def surv(cs: Column*): Column =
+        sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
+      val aggRow = flags.agg(
+        count(lit(1)).as("s0"),
+        surv(col("q")).as("s1"),
+        surv(col("q"), col("rep")).as("s2"),
+        surv(col("q"), col("rep"), col("lm")).as("s3"),
+        surv(col("q"), col("rep"), col("lm"), col("uniq")).as("s4"),
+        surv(col("q"), col("rep"), col("lm"), col("uniq"), col("clean")).as("s5"))
+      def row(i: Int, name: String, cur: Column, prevS: Column): Column =
+        struct(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
+          cur.as("survivors"), (prevS - cur).as("dropped"))
+      aggRow.select(explode(array(
+          row(0, "all", col("s0"), col("s0")),
+          row(1, "quality", col("s1"), col("s0")),
+          row(2, "repetition", col("s2"), col("s1")),
+          row(3, "unigram_lm", col("s3"), col("s2")),
+          row(4, "exact_dedup", col("s4"), col("s3")),
+          row(5, "decontaminate", col("s5"), col("s4")))).as("r"))
+        .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
+          col("r.survivors").as("survivors"), col("r.dropped").as("dropped"))
+        .orderBy("stage_id")
     })
   )
 
@@ -1622,6 +1730,104 @@ object TrainOps {
            FROM tot WHERE d_cnt > 0)
          SELECT term, d_cnt, c_cnt, q_contrib,
                 CAST(sum(q_contrib) OVER () AS BIGINT) AS kl_unats
-         FROM contrib ORDER BY term"""
+         FROM contrib ORDER BY term""",
+
+    // every stage formula below is lifted VERBATIM from an already-
+    // hash-verified oracle (l5/l17 quality, l14 repetition, l21 LM,
+    // l17 dedup, l16 decontamination) — only the conjunction counts and
+    // the 6-row stack are new
+    "l24_filter_funnel" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         qual AS (
+           SELECT doc_id,
+                  4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                    + 3e-1 * least(1e0, n_tokens / 1e2)
+                    + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0)
+                    >= 26e-2 AS q
+           FROM (SELECT doc_id, count(*) AS n_tokens,
+                        sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                          AS stop_cnt,
+                        sum(length(term)) AS len_sum
+                 FROM ftoks GROUP BY 1)),
+         ptoks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         otoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM ptoks WHERE term <> ''),
+         seq AS (
+           SELECT doc_id, term, lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2
+           FROM otoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         bistats AS (
+           SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM (
+             SELECT doc_id, term || ' ' || t1 AS bg, count(*) AS c
+             FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2)
+           GROUP BY 1),
+         tristats AS (
+           SELECT doc_id, count(*) AS n_tri,
+                  count(DISTINCT term || ' ' || t1 || ' ' || t2) AS d_tri
+           FROM seq WHERE t2 IS NOT NULL GROUP BY 1),
+         rep AS (
+           SELECT doc_id,
+                  (CAST(top_bi AS DOUBLE) / n_bi <= 8e-2
+                   AND 1e0 - CAST(d_tri AS DOUBLE) / n_tri <= 5e-2) AS rep
+           FROM bistats JOIN tristats USING (doc_id)),
+         vocab AS (
+           SELECT term,
+                  CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 5e-1)
+                    AS BIGINT) AS q_nll
+           FROM (SELECT term, count(*) AS cnt, sum(count(*)) OVER () AS total
+                 FROM ftoks GROUP BY 1)),
+         lm AS (
+           SELECT doc_id,
+                  floor(CAST(sum(q_nll) AS DOUBLE) / count(*) / 1e6 * 1e4 + 5e-1) / 1e4
+                    <= 3.41 AS lm
+           FROM ftoks JOIN vocab USING (term) GROUP BY 1),
+         uq AS (
+           SELECT doc_id,
+                  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS uniq
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM otoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         ev(g) AS (VALUES ('row column sort'), ('stream table hash'),
+                          ('window fast query'), ('data merge group'),
+                          ('held out benchmark')),
+         dirty AS (SELECT DISTINCT doc_id FROM sh JOIN ev ON shingle = g),
+         flags AS (
+           SELECT coalesce(q, false) AS q, coalesce(rep, false) AS rep,
+                  coalesce(lm, false) AS lm, uniq,
+                  d.doc_id NOT IN (SELECT doc_id FROM dirty) AS clean
+           FROM documents d
+           LEFT JOIN qual USING (doc_id) LEFT JOIN rep USING (doc_id)
+           LEFT JOIN lm USING (doc_id) JOIN uq USING (doc_id)),
+         c AS (
+           SELECT CAST(count(*) AS BIGINT) AS s0,
+                  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN q AND rep THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+                  CAST(sum(CASE WHEN q AND rep AND lm THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+                  CAST(sum(CASE WHEN q AND rep AND lm AND uniq THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s4,
+                  CAST(sum(CASE WHEN q AND rep AND lm AND uniq AND clean THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s5
+           FROM flags)
+         SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage, s0 AS survivors,
+                CAST(0 AS BIGINT) AS dropped FROM c
+         UNION ALL SELECT 1, 'quality', s1, s0 - s1 FROM c
+         UNION ALL SELECT 2, 'repetition', s2, s1 - s2 FROM c
+         UNION ALL SELECT 3, 'unigram_lm', s3, s2 - s3 FROM c
+         UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM c
+         UNION ALL SELECT 5, 'decontaminate', s5, s4 - s5 FROM c
+         ORDER BY stage_id"""
   )
 }

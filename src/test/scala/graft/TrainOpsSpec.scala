@@ -326,6 +326,48 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l24: funnel reconciles and every stage contributes at sf0.1") {
+    // The report's accounting invariants, pinned on the tier with exact
+    // text dups so the dedup stage genuinely drops rows (sf0.01 can't).
+    val out = SparkEntry.queries("l24_filter_funnel")(spark, sfDup)
+      .collect().sortBy(_.getLong(0))
+    val total = spark.read.parquet(s"$sfDup/documents.parquet").count()
+    assert(out.map(_.getString(1)).toSeq == Seq("all", "quality", "repetition",
+      "unigram_lm", "exact_dedup", "decontaminate"))
+    assert(out.head.getLong(2) == total, "stage 'all' must count every doc")
+    out.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(2) <= prev.getLong(2),
+        s"survivors grew at ${cur.getString(1)}")
+      assert(cur.getLong(3) == prev.getLong(2) - cur.getLong(2),
+        s"dropped does not reconcile at ${cur.getString(1)}")
+    }
+    assert(out.count(_.getLong(3) > 0) >= 4,
+      s"funnel should be non-degenerate: ${out.map(r =>
+        s"${r.getString(1)}=${r.getLong(2)}").mkString(", ")}")
+    // sf0.1's exact-dup texts all die at earlier stages (verified: 7/8
+    // pass quality but none survive repetition+LM), so the dedup stage's
+    // own accounting is proven on a fixture where duplicates DO survive
+    // to it: 3 identical clean docs + 3 distinct ones — dedup must drop
+    // exactly the 2 non-min copies and nothing else.
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox and a lazy dog of the meadow ran over " +
+      "the green hill and a river of light came down to the valley floor"
+    val fixture = Seq(0L, 1L, 2L).map((_, base, "en")) ++ Seq(
+      (3L, base.replace("valley", "canyon"), "en"),
+      (4L, base.replace("river", "stream"), "en"),
+      (5L, base.replace("meadow", "forest"), "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_l24_fixture").toString
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f = SparkEntry.queries("l24_filter_funnel")(spark, dir)
+      .collect().sortBy(_.getLong(0)).map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(f("unigram_lm") == 6,
+      s"fixture docs must all survive to dedup: $f")
+    assert(f("exact_dedup") == 4 && f("decontaminate") == 4,
+      s"dedup must drop exactly the 2 duplicate copies: $f")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
