@@ -265,6 +265,37 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("l7/l23: the per-row map ops shuffle ONLY for the contract sort") {
+    // header decode (l7) and PII redaction (l23) are pure per-row
+    // expression pipelines — everything fuses into the scan projection;
+    // a second Exchange means a stage stopped fusing (an accidental
+    // groupBy/join/repartition crept in), the scale regression to catch
+    Seq("l7_multimodal_features", "l23_pii_redact").foreach { k =>
+      val p = plan(k)
+      val shuffles = "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).length
+      assert(shuffles == 1, s"$k should shuffle once (contract sort), " +
+        s"found $shuffles:\n$p")
+    }
+  }
+
+  test("l25: drift vocab agg partials map-side before its one data shuffle") {
+    // the token scan must combine per-partition before the per-term
+    // shuffle (partial HashAggregate below the Exchange): losing the
+    // partial ships the full token stream — corpus-sized — to the reduce
+    val p = plan("l25_token_drift")
+    val i = p.indexOf("Exchange hashpartitioning(term")
+    assert(i >= 0, s"l25 lost its per-term hash shuffle:\n$p")
+    assert(p.indexOf("HashAggregate", i) >= 0 && p.take(i).contains("HashAggregate"),
+      s"l25's vocab agg is not map-side partial:\n$p")
+  }
+
+  test("l24: funnel eval-set join broadcasts; flag joins are never all-pairs") {
+    val p = plan("l24_filter_funnel")
+    assert(p.contains("BroadcastHashJoin"), s"l24 lost the eval/vocab broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"l24 degenerated to an all-pairs join:\n$p")
+  }
+
   test("whole inventory: no unexpected cartesian/nested-loop joins") {
     // BNLJ/cartesian is legitimate ONLY for the deliberate cross-join
     // demo (c8), scalar/1-row (or 16-centroid) broadcast joins (e7, j4,
