@@ -1135,6 +1135,57 @@ object TrainOps {
         .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
           col("r.survivors").as("survivors"), col("r.dropped").as("dropped"))
         .orderBy("stage_id")
+    }),
+
+    // l26: BM25 ranked lexical retrieval — the one similarity-search
+    // modality the suite lacked: vectors are covered (j3/j4/l3/l12) and
+    // set overlap is covered (l9/l22), but "rank the corpus against this
+    // query" over an inverted index is the op a corpus curator runs
+    // daily (mining topic slices, building eval sets, spot-checking
+    // dedup clusters). Okapi BM25 [Robertson et al., TREC-3 '94] with
+    // the standard pinned constants k1=1.2, b=0.75 and the +1-smoothed
+    // idf ln((N − df + 0.5)/(df + 0.5) + 1) (always positive, so a
+    // term can never subtract relevance). The query term set is pinned
+    // (dup / vector / query — df 25/382/385 at sf0.01: one rare
+    // high-idf term so the ranking visibly discriminates, two common
+    // terms so candidates score on several axes). Portability: each
+    // (doc, term) contribution is quantized to integer MICRO-units (the
+    // l21/l25 trick) so the per-doc score is an exact integer sum and
+    // the DESC-score / ASC-id top-10 cut is order-proof. Plan shape:
+    // ONE token scan (localCheckpoint — feeds lengths, df, tf), every
+    // agg map-side combinable and bounded by docs or vocab; df and the
+    // one-row (N, total-tokens) stats frame broadcast; top-k is a
+    // TakeOrderedAndProject. The posting lists materialized are the
+    // pinned query's terms only (the isin filter runs before the tf
+    // agg), so hub terms outside the query never fan out — linear in
+    // corpus size, the bucketed-index shape at 100 TB.
+    "l26_bm25_topk" -> ((s, d) => {
+      val qterms = Seq("dup", "vector", "query")
+      val ftoks = LlmOps.tokens(s, d).select("doc_id", "term")
+        .localCheckpoint(eager = false) // feeds dl, stats, df, tf
+      val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(ftoks.agg(count(lit(1)).as("tot"))) // one row: N, Σdl
+      val dl = ftoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val qt = ftoks.filter(col("term").isin(qterms: _*))
+      val idf = qt.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)).as("idf"))
+      val contrib = col("idf") * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast(DoubleType) /
+            (col("tot").cast(DoubleType) / col("n_docs")))))
+      qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .join(broadcast(idf), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("q_s", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit"), sum(col("q_s")).as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -1828,6 +1879,40 @@ object TrainOps {
          UNION ALL SELECT 3, 'unigram_lm', s3, s2 - s3 FROM c
          UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM c
          UNION ALL SELECT 5, 'decontaminate', s5, s4 - s5 FROM c
-         ORDER BY stage_id"""
+         ORDER BY stage_id""",
+
+    // same pinned constants (k1=1.2, b=0.75, +1-smoothed idf), same op
+    // order as the Spark exprs, and the same micro-unit quantization per
+    // (doc, term) — the top-10 cut is an exact integer comparison with
+    // the doc_id tie-break on both engines
+    "l26_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS tot
+           FROM ftoks),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ftoks GROUP BY 1),
+         q(term) AS (VALUES ('dup'), ('vector'), ('query')),
+         idf AS (
+           SELECT term, ln((n_docs - df + 5e-1) / (df + 5e-1) + 1e0) AS idf
+           FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM ftoks JOIN q USING (term) GROUP BY 1), stats),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM ftoks JOIN q USING (term) GROUP BY 1, 2),
+         scored AS (
+           SELECT doc_id,
+                  CAST(floor(idf * (tf * 22e-1)
+                    / (tf + 12e-1 * (25e-2 + 75e-2
+                       * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs))))
+                    * 1e6 + 5e-1) AS BIGINT) AS q_s
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                CAST(sum(q_s) AS BIGINT) AS score_u
+         FROM scored GROUP BY 1
+         ORDER BY score_u DESC, doc_id LIMIT 10"""
   )
 }
