@@ -1186,6 +1186,81 @@ object TrainOps {
         .agg(count(lit(1)).as("n_hit"), sum(col("q_s")).as("score_u"))
         .orderBy(col("score_u").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // l27: learned quality filter — the classifier stage of the funnel
+    // (the one production cleaning stage l24 didn't have): a logistic
+    // model over the suite's already-verified quality FEATURES — l5's
+    // composite (xq), l14's top-bigram fraction (xbi) and duplicate-
+    // trigram fraction (xtri), l21's unigram-LM cross-entropy (xent) —
+    // with the WEIGHTS PINNED as literals (z = 10·xq − 20·xbi − 30·xtri
+    // − 40·xent + 136; a trained model ships exactly like this: frozen
+    // coefficients over engineered features). Unlike the per-feature
+    // threshold gates, the classifier AGGREGATES evidence: a doc that is
+    // marginal on every axis passes each gate individually but scores
+    // below the keep line (17/500 such flips at sf0.01 — proven on a
+    // fixture in TrainOpsSpec). Portability: z is quantized to integer
+    // MICRO-units BEFORE the sigmoid (the l21 trick), so keep is an
+    // exact integer comparison and both engines take exp() of the same
+    // double. keep = z_u ≥ 1_500_000 (z ≥ 1.5 ≈ this corpus's p20 —
+    // the l24 non-vacuous-threshold lesson). Docs need ≥ 3 tokens for
+    // the trigram feature (all sf docs qualify; shorter docs are
+    // upstream length-filter territory). Plan: one token scan + one
+    // doc scan, per-doc map-side-combinable aggs, a broadcast vocab
+    // join — linear at any corpus size, zero pairwise stage.
+    "l27_quality_classifier" -> ((s, d) => {
+      val toks = LlmOps.tokens(s, d).select("doc_id", "term")
+        .localCheckpoint(eager = false) // feeds qual, vocab, lm
+      val qual = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin("the", "a", "of", "and"), 1)
+            .otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .select(col("doc_id"),
+          (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * least(lit(1.0),
+              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)).as("xq"))
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
+      val rep = t(s, d, "documents").select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3) // trigram feature needs ≥ 3 tokens
+        .withColumn("bgs", grams(2))
+        .withColumn("tgs", grams(3))
+        .withColumn("top_bi", aggregate(array_sort(col("bgs")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")))
+        .select(col("doc_id"),
+          (col("top_bi").cast(DoubleType) / size(col("bgs"))).as("xbi"),
+          (lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
+            / size(col("tgs"))).as("xtri"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("term"),
+          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
+            .cast(LongType).as("q_nll"))
+      val lm = toks.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
+        .select(col("doc_id"), (floor(
+          col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
+          .as("xent"))
+      qual.join(rep, "doc_id").join(lm, "doc_id")
+        .withColumn("z_u", floor(
+          (lit(10.0) * col("xq") - lit(20.0) * col("xbi")
+            - lit(30.0) * col("xtri") - lit(40.0) * col("xent") + lit(136.0))
+            * lit(1e6) + lit(0.5)).cast(LongType))
+        .select(col("doc_id"), col("z_u"),
+          (floor(lit(1.0) / (lit(1.0) + exp(-(col("z_u").cast(DoubleType) / lit(1e6))))
+            * 1e4 + 0.5) / 1e4).as("score"),
+          (col("z_u") >= 1500000L).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1913,6 +1988,72 @@ object TrainOps {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
                 CAST(sum(q_s) AS BIGINT) AS score_u
          FROM scored GROUP BY 1
-         ORDER BY score_u DESC, doc_id LIMIT 10"""
+         ORDER BY score_u DESC, doc_id LIMIT 10""",
+
+    // feature CTEs lifted verbatim from the hash-verified l5/l14/l21
+    // oracles; the linear form and the micro-unit quantization of z match
+    // the Spark exprs op-for-op, so keep is the same integer comparison
+    // and both engines feed exp() the identical double
+    "l27_quality_classifier" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         qual AS (
+           SELECT doc_id,
+                  4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                    + 3e-1 * least(1e0, n_tokens / 1e2)
+                    + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0)
+                    AS xq
+           FROM (SELECT doc_id, count(*) AS n_tokens,
+                        sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                          AS stop_cnt,
+                        sum(length(term)) AS len_sum
+                 FROM ftoks GROUP BY 1)),
+         ptoks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         otoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM ptoks WHERE term <> ''),
+         seq AS (
+           SELECT doc_id, term, lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2
+           FROM otoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         bistats AS (
+           SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM (
+             SELECT doc_id, term || ' ' || t1 AS bg, count(*) AS c
+             FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2)
+           GROUP BY 1),
+         tristats AS (
+           SELECT doc_id, count(*) AS n_tri,
+                  count(DISTINCT term || ' ' || t1 || ' ' || t2) AS d_tri
+           FROM seq WHERE t2 IS NOT NULL GROUP BY 1),
+         rep AS (
+           SELECT doc_id, CAST(top_bi AS DOUBLE) / n_bi AS xbi,
+                  1e0 - CAST(d_tri AS DOUBLE) / n_tri AS xtri
+           FROM bistats JOIN tristats USING (doc_id)),
+         vocab AS (
+           SELECT term,
+                  CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6 + 5e-1)
+                    AS BIGINT) AS q_nll
+           FROM (SELECT term, count(*) AS cnt, sum(count(*)) OVER () AS total
+                 FROM ftoks GROUP BY 1)),
+         lm AS (
+           SELECT doc_id,
+                  floor(CAST(sum(q_nll) AS DOUBLE) / count(*) / 1e6 * 1e4 + 5e-1) / 1e4
+                    AS xent
+           FROM ftoks JOIN vocab USING (term) GROUP BY 1),
+         z AS (
+           SELECT doc_id,
+                  CAST(floor((1e1 * xq - 2e1 * xbi - 3e1 * xtri - 4e1 * xent + 136e0)
+                    * 1e6 + 5e-1) AS BIGINT) AS z_u
+           FROM qual JOIN rep USING (doc_id) JOIN lm USING (doc_id))
+         SELECT doc_id, z_u,
+                floor(1e0 / (1e0 + exp(-(CAST(z_u AS DOUBLE) / 1e6))) * 1e4 + 5e-1)
+                  / 1e4 AS score,
+                z_u >= 1500000 AS keep
+         FROM z ORDER BY doc_id"""
   )
 }

@@ -368,6 +368,62 @@ class TrainOpsSpec extends AnyFunSuite {
       s"dedup must drop exactly the 2 duplicate copies: $f")
   }
 
+  test("l27: the classifier flips a doc every per-feature gate passes — it adds signal") {
+    // The semantics the hash oracle can't see: l27 must not be a mere
+    // conjunction of the l5/l14/l21 threshold gates. The fixture corpus
+    // is built over a 29-token vocab with UNIFORM corpus-wide counts, so
+    // every doc's unigram cross-entropy is exactly ln(29) = 3.3673 —
+    // under l21's 3.41 gate — and the remaining features are controlled
+    // per doc. Doc 0 is marginal on EVERY axis (xq 0.2753 ≥ 0.26,
+    // top-bigram 4/52 = 0.0769 ≤ 0.08 via a 4×-repeated bigram,
+    // dup-trigram 2/51 = 0.0392 ≤ 0.05): each gate passes individually,
+    // but the classifier aggregates the evidence and rejects it
+    // (z_u ≈ 1.346M < the 1.5M keep line). Doc 2 (clean single-pass
+    // vocab walk) must keep — the classifier is not rejecting everything.
+    val s = spark
+    import s.implicits._
+    val text0 = "a ant at ant ax at ax bee cow sun cat dog sky bee elm em elm " +
+      "fog em fog hen ice sun cat dog sky ice id io id jam io jam map oak " +
+      "owl cat dog fox map ox oak ox pig run the run un koi cat dog eel un"
+    val text1 = "a ant at ax bee cow eel elm em fog fox hen ice id io jam koi " +
+      "map oak owl ox pig run sky sun the un a ant at ax bee cow eel elm em " +
+      "fog fox hen ice id io jam koi map oak owl ox pig run sky sun the un " +
+      "a cow eel fox hen koi owl pig the" // complement: keeps corpus counts uniform
+    val text2 = "a ant at ax bee cat cow dog eel elm em fog fox hen ice id " +
+      "io jam koi map oak owl ox pig run sky sun the un"
+    val fixture = Seq((0L, text0, "en"), (1L, text1, "en"), (2L, text2, "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_l27_fixture").toString
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // the per-feature gates, asserted THROUGH the suite's own operators
+    val qual = SparkEntry.queries("l5_text_quality")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(qual(0L) >= 0.26, s"fixture drift: doc 0 quality ${qual(0L)} < 0.26")
+    val rep = SparkEntry.queries("l14_repetition_filter")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(rep(0L), "fixture drift: doc 0 fails the l14 repetition gates")
+    val lm = SparkEntry.queries("l21_unigram_logprob")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(lm(0L), "fixture drift: doc 0 fails the l21 xent gate")
+
+    val clf = SparkEntry.queries("l27_quality_classifier")(spark, dir).collect()
+    val keep = clf.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!keep(0L), "classifier must flip the all-gates-marginal doc 0")
+    assert(keep(2L), "classifier must keep the clean doc 2")
+    clf.foreach { r =>
+      assert(r.getBoolean(3) == (r.getLong(1) >= 1500000L),
+        s"keep disagrees with the z_u >= 1.5M line at doc ${r.getLong(0)}")
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 1.0,
+        s"sigmoid score out of (0,1) at doc ${r.getLong(0)}")
+    }
+    // scores are monotone in z_u (same sigmoid on the quantized logit)
+    clf.sortBy(_.getLong(1)).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(2) <= hi.getDouble(2),
+        s"score not monotone in z_u: ${lo.getLong(0)} vs ${hi.getLong(0)}")
+    }
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
