@@ -1060,8 +1060,7 @@ object TrainOps {
           (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
             + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
             + lit(0.3) * least(lit(1.0),
-              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)
-            >= 0.26).as("q"))
+              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)).as("xq"))
       val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
       def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
@@ -1078,9 +1077,9 @@ object TrainOps {
           },
           acc => acc("best")))
         .select(col("doc_id"),
-          (col("top_bi").cast(DoubleType) / size(col("bgs")) <= 0.08 &&
-            lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
-              / size(col("tgs")) <= 0.05).as("rep"))
+          (col("top_bi").cast(DoubleType) / size(col("bgs"))).as("xbi"),
+          (lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
+            / size(col("tgs"))).as("xtri"))
       val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
         .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
         .select(col("term"),
@@ -1090,8 +1089,8 @@ object TrainOps {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
         .select(col("doc_id"),
-          (floor(col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4
-            <= 3.41).as("lm"))
+          (floor(col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
+            .as("xent"))
       val uniq = docs.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
         .withColumn("m", min(col("doc_id")).over(Window.partitionBy("dig")))
         .select(col("doc_id"), (col("doc_id") === col("m")).as("uniq"))
@@ -1108,11 +1107,20 @@ object TrainOps {
         .join(lm, Seq("doc_id"), "left")
         .join(uniq, Seq("doc_id"), "left")
         .join(dirty, Seq("doc_id"), "left")
-        .select(coalesce(col("q"), lit(false)).as("q"), // token-less docs drop early
-          coalesce(col("rep"), lit(false)).as("rep"),
-          coalesce(col("lm"), lit(false)).as("lm"),
+        .select( // token-less docs: null features → every coalesce drops them
+          coalesce(col("xq") >= 0.26, lit(false)).as("q"),
+          coalesce(col("xbi") <= 0.08 && col("xtri") <= 0.05, lit(false)).as("rep"),
+          coalesce(col("xent") <= 3.41, lit(false)).as("lm"),
           col("uniq"),
-          (!coalesce(col("dirty"), lit(false))).as("clean"))
+          (!coalesce(col("dirty"), lit(false))).as("clean"),
+          // stage 6: l27's pinned-weight classifier on the SAME features
+          // the gate stages already computed — marginal-on-every-axis docs
+          // that slipped through the per-feature gates die here
+          coalesce(floor(
+            (lit(10.0) * col("xq") - lit(20.0) * col("xbi")
+              - lit(30.0) * col("xtri") - lit(40.0) * col("xent") + lit(136.0))
+              * lit(1e6) + lit(0.5)).cast(LongType) >= 1500000L,
+            lit(false)).as("clf"))
       def surv(cs: Column*): Column =
         sum(when(cs.reduce(_ && _), 1L).otherwise(0L))
       val aggRow = flags.agg(
@@ -1121,7 +1129,9 @@ object TrainOps {
         surv(col("q"), col("rep")).as("s2"),
         surv(col("q"), col("rep"), col("lm")).as("s3"),
         surv(col("q"), col("rep"), col("lm"), col("uniq")).as("s4"),
-        surv(col("q"), col("rep"), col("lm"), col("uniq"), col("clean")).as("s5"))
+        surv(col("q"), col("rep"), col("lm"), col("uniq"), col("clean")).as("s5"),
+        surv(col("q"), col("rep"), col("lm"), col("uniq"), col("clean"),
+          col("clf")).as("s6"))
       def row(i: Int, name: String, cur: Column, prevS: Column): Column =
         struct(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
           cur.as("survivors"), (prevS - cur).as("dropped"))
@@ -1131,7 +1141,8 @@ object TrainOps {
           row(2, "repetition", col("s2"), col("s1")),
           row(3, "unigram_lm", col("s3"), col("s2")),
           row(4, "exact_dedup", col("s4"), col("s3")),
-          row(5, "decontaminate", col("s5"), col("s4")))).as("r"))
+          row(5, "decontaminate", col("s5"), col("s4")),
+          row(6, "classifier", col("s6"), col("s5")))).as("r"))
         .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
           col("r.survivors").as("survivors"), col("r.dropped").as("dropped"))
         .orderBy("stage_id")
@@ -1872,7 +1883,7 @@ object TrainOps {
                   4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
                     + 3e-1 * least(1e0, n_tokens / 1e2)
                     + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0)
-                    >= 26e-2 AS q
+                    AS xq
            FROM (SELECT doc_id, count(*) AS n_tokens,
                         sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
                           AS stop_cnt,
@@ -1899,9 +1910,8 @@ object TrainOps {
                   count(DISTINCT term || ' ' || t1 || ' ' || t2) AS d_tri
            FROM seq WHERE t2 IS NOT NULL GROUP BY 1),
          rep AS (
-           SELECT doc_id,
-                  (CAST(top_bi AS DOUBLE) / n_bi <= 8e-2
-                   AND 1e0 - CAST(d_tri AS DOUBLE) / n_tri <= 5e-2) AS rep
+           SELECT doc_id, CAST(top_bi AS DOUBLE) / n_bi AS xbi,
+                  1e0 - CAST(d_tri AS DOUBLE) / n_tri AS xtri
            FROM bistats JOIN tristats USING (doc_id)),
          vocab AS (
            SELECT term,
@@ -1912,7 +1922,7 @@ object TrainOps {
          lm AS (
            SELECT doc_id,
                   floor(CAST(sum(q_nll) AS DOUBLE) / count(*) / 1e6 * 1e4 + 5e-1) / 1e4
-                    <= 3.41 AS lm
+                    AS xent
            FROM ftoks JOIN vocab USING (term) GROUP BY 1),
          uq AS (
            SELECT doc_id,
@@ -1931,9 +1941,13 @@ object TrainOps {
                           ('held out benchmark')),
          dirty AS (SELECT DISTINCT doc_id FROM sh JOIN ev ON shingle = g),
          flags AS (
-           SELECT coalesce(q, false) AS q, coalesce(rep, false) AS rep,
-                  coalesce(lm, false) AS lm, uniq,
-                  d.doc_id NOT IN (SELECT doc_id FROM dirty) AS clean
+           SELECT coalesce(xq >= 26e-2, false) AS q,
+                  coalesce(xbi <= 8e-2 AND xtri <= 5e-2, false) AS rep,
+                  coalesce(xent <= 3.41, false) AS lm, uniq,
+                  d.doc_id NOT IN (SELECT doc_id FROM dirty) AS clean,
+                  coalesce(CAST(floor(
+                      (1e1 * xq - 2e1 * xbi - 3e1 * xtri - 4e1 * xent + 136e0)
+                      * 1e6 + 5e-1) AS BIGINT) >= 1500000, false) AS clf
            FROM documents d
            LEFT JOIN qual USING (doc_id) LEFT JOIN rep USING (doc_id)
            LEFT JOIN lm USING (doc_id) JOIN uq USING (doc_id)),
@@ -1945,7 +1959,9 @@ object TrainOps {
                   CAST(sum(CASE WHEN q AND rep AND lm AND uniq THEN 1 ELSE 0 END)
                     AS BIGINT) AS s4,
                   CAST(sum(CASE WHEN q AND rep AND lm AND uniq AND clean THEN 1 ELSE 0 END)
-                    AS BIGINT) AS s5
+                    AS BIGINT) AS s5,
+                  CAST(sum(CASE WHEN q AND rep AND lm AND uniq AND clean AND clf
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s6
            FROM flags)
          SELECT CAST(0 AS BIGINT) AS stage_id, 'all' AS stage, s0 AS survivors,
                 CAST(0 AS BIGINT) AS dropped FROM c
@@ -1954,6 +1970,7 @@ object TrainOps {
          UNION ALL SELECT 3, 'unigram_lm', s3, s2 - s3 FROM c
          UNION ALL SELECT 4, 'exact_dedup', s4, s3 - s4 FROM c
          UNION ALL SELECT 5, 'decontaminate', s5, s4 - s5 FROM c
+         UNION ALL SELECT 6, 'classifier', s6, s5 - s6 FROM c
          ORDER BY stage_id""",
 
     // same pinned constants (k1=1.2, b=0.75, +1-smoothed idf), same op

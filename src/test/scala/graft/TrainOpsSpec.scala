@@ -333,7 +333,7 @@ class TrainOpsSpec extends AnyFunSuite {
       .collect().sortBy(_.getLong(0))
     val total = spark.read.parquet(s"$sfDup/documents.parquet").count()
     assert(out.map(_.getString(1)).toSeq == Seq("all", "quality", "repetition",
-      "unigram_lm", "exact_dedup", "decontaminate"))
+      "unigram_lm", "exact_dedup", "decontaminate", "classifier"))
     assert(out.head.getLong(2) == total, "stage 'all' must count every doc")
     out.sliding(2).foreach { case Array(prev, cur) =>
       assert(cur.getLong(2) <= prev.getLong(2),
