@@ -39,7 +39,8 @@ object ScaleSmoke {
     // streaming keys get the dedicated bounded-state probe (events clone,
     // one micro-batch per time slice) instead of the generic wall-time run
     val streamProbeKeys =
-      Set("i9_stream_tumbling_append", "i11_stream_session_append")
+      Set("i9_stream_tumbling_append", "i11_stream_session_append",
+        "i12_stream_drift")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -157,17 +158,30 @@ object ScaleSmoke {
       key: String, factor: Int): String = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
+    // the eviction assert below needs ≥ 2 data batches: at factor 1 the
+    // only eviction opportunity is the trailing no-data batch, and a run
+    // where the engine skips it would abort the whole probe series
+    require(factor >= 2,
+      s"stream probe needs factor >= 2 (got $factor): eviction is only " +
+        "observable when the watermark advances between data batches")
     val ev = spark.read.parquet(s"$src/events.parquet") // ts = raw ns (conf)
     val st = ev.agg(min("ts"), max("ts"), max("event_id")).head()
     val span = st.getLong(1) - st.getLong(0)
     val shift = span + 4L * 3600L * 1000000000L // slices never overlap
     val n = st.getLong(2) + 1
-    for (k <- 0 until factor) // sequential writes: mod-time = replay order
+    for (k <- 0 until factor) {
       ev.select((col("event_id") + lit(k * n)).as("event_id"),
           (col("ts") + lit(k.toLong * shift)).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("overwrite")
         .parquet(f"$dir/events_stream_$key/b$k%03d")
+      // FileStreamSource orders by mod-time: the sequential writes above
+      // already land in slice order, but ms-granularity stamps can tie —
+      // pin the replay order explicitly instead of relying on write pacing
+      val sliceDir = new java.io.File(f"$dir/events_stream_$key/b$k%03d")
+      Option(sliceDir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => { f.setLastModified(1000L * (k + 1)): Unit })
+    }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -177,11 +191,14 @@ object ScaleSmoke {
       .option("basePath", s"$dir/events_stream_$key")
       .parquet(s"$dir/events_stream_$key/*")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = if (key.startsWith("i9")) operators.Streaming.tumblingAgg(stream)
-      else operators.Streaming.sessionAgg(stream)
+    // i9 and i12 share the tumblingAgg streaming stage (i12's drift math
+    // is a stateless enrichment over the finalized rows — state-wise the
+    // probe question is identical); i11 probes sessionAgg
+    val agg = if (key.startsWith("i11")) operators.Streaming.sessionAgg(stream)
+      else operators.Streaming.tumblingAgg(stream)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
-    if (key.startsWith("i11")) spark.conf.set(provKey,
+    if (key.startsWith("i11") || key.startsWith("i12")) spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val name = s"smoke_${key}_x$factor"

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -349,6 +350,74 @@ object Streaming {
       runToTable(s, stream, "append")
         .select(epochUs(col("window.start")).as("w_start_us"), col("cnt"))
         .orderBy("w_start_us")
+    }),
+
+    // i12: streaming DRIFT monitor — the streaming twin of the batch l25:
+    // watch the live stream's per-window distribution drift away from the
+    // corpus baseline, attributed per token, BEFORE the data trains. The
+    // stream's categorical token axis is event_type; the streaming stage
+    // is exactly [[tumblingAgg]] (1-hour windows × type) in Append mode
+    // on the RocksDB provider — each window's histogram is emitted once
+    // when the watermark passes its end and its state is evicted in the
+    // same commit, so state stays bounded by the watermark horizon on an
+    // unbounded stream (the ScaleSmoke time-axis probe covers this key).
+    // Drift scoring is a STATELESS enrichment over the finalized rows —
+    // per type, pd·ln(pd/pc) against a broadcast global baseline from
+    // the static table, quantized to integer MICRO-NATS (l25's trick) so
+    // each window's KL is an exact integer sum; in production this
+    // enrichment rides foreachBatch on the same finalized output. The
+    // baseline side is Laplace-smoothed over the static type vocabulary
+    // (l25's union-vocab rule; the stream's types are a subset of the
+    // static table's by construction here). Stateful-op fixed cost is
+    // ∝ state partitions, so the query sizes them to the data (the
+    // i8 lesson) and restores in a finally. Fully oracled: i9's
+    // watermark-horizon cut + the same drift arithmetic in batch SQL.
+    "i12_stream_drift" -> ((s, d) => {
+      import scala.jdk.CollectionConverters._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prevProv = s.conf.getOption(provKey)
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, rocks)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val name = s"graft_stream_${runSeq.incrementAndGet()}"
+        val q = tumblingAgg(eventsStream(s, d))
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", scratch(s, name, "ckpt"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "i12 must run on the RocksDB state store provider " +
+            "(no rocksdb* metrics in the query progress)")
+        val hist = s.table(name)
+          .select(epochUs(col("window.start")).as("w_start_us"),
+            col("event_type"), col("cnt"))
+        val g = Window.partitionBy() // ≤ #types rows — never the stream
+        val base = t(s, d, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("b_cnt"))
+          .withColumn("b_tot", sum(col("b_cnt")).over(g))
+          .withColumn("v", count(lit(1)).over(g))
+        val w = Window.partitionBy("w_start_us")
+        hist.join(broadcast(base), "event_type")
+          .withColumn("w_tot", sum(col("cnt")).over(w))
+          .withColumn("pd", col("cnt").cast(DoubleType) / col("w_tot"))
+          .withColumn("pc",
+            (col("b_cnt") + lit(1L)).cast(DoubleType) / (col("b_tot") + col("v")))
+          .withColumn("q_contrib",
+            floor(col("pd") * log(col("pd") / col("pc")) * 1e6 + 0.5).cast(LongType))
+          .withColumn("w_kl_unats", sum(col("q_contrib")).over(w))
+          .select(col("w_start_us"), col("event_type"), col("cnt"),
+            col("q_contrib"), col("w_kl_unats"))
+          .orderBy("w_start_us", "event_type")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
     })
   )
 
@@ -450,6 +519,40 @@ object Streaming {
       """SELECT c_mktsegment, count(*) AS cnt
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    // i12 = i9's watermark-horizon histogram cut + l25's drift arithmetic
+    // in batch SQL: same op order (pd, pc, then floor(pd·ln(pd/pc)·1e6 +
+    // 5e-1) per type), baseline Laplace-smoothed over the static type
+    // vocabulary, per-window KL as the exact integer micro-nat sum
+    "i12_stream_drift" ->
+      """WITH hist AS (
+           SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events
+           WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+                 <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+           GROUP BY 1, 2),
+         base AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS b_cnt,
+                  CAST(sum(count(*)) OVER () AS BIGINT) AS b_tot,
+                  CAST(count(*) OVER () AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         tot AS (
+           SELECT w_start_us, event_type, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY w_start_us) AS BIGINT) AS w_tot,
+                  b_cnt, b_tot, v
+           FROM hist JOIN base USING (event_type)),
+         contrib AS (
+           SELECT w_start_us, event_type, cnt,
+                  CAST(floor((CAST(cnt AS DOUBLE) / w_tot)
+                    * ln((CAST(cnt AS DOUBLE) / w_tot)
+                         / (CAST(b_cnt + 1 AS DOUBLE) / (b_tot + v))) * 1e6 + 5e-1)
+                    AS BIGINT) AS q_contrib
+           FROM tot)
+         SELECT w_start_us, event_type, cnt, q_contrib,
+                CAST(sum(q_contrib) OVER (PARTITION BY w_start_us) AS BIGINT)
+                  AS w_kl_unats
+         FROM contrib ORDER BY w_start_us, event_type""",
 
     // µs-space comparisons on both engines: DuckDB's epoch_us truncates
     // the ns-resolution parquet timestamps exactly like the Spark loader
