@@ -71,10 +71,15 @@ object Tables {
     * temp sibling (marker written inside, last) and is ATOMICALLY renamed
     * into place — a concurrent JVM (sbt test vs a driver Verify/Bench run
     * hitting the same sf dir) sees either the complete published tree or
-    * none of it, never a half-built one; rename losers accept the winner's
-    * tree. A markerless tree at the final path can only be a crash remnant
-    * of the pre-atomic protocol — evicted before publishing. Bump
-    * FixtureVersion whenever a cached fixture's layout or contents change.
+    * none of it, never a half-built one. EVERY mutation of the final path
+    * (crash-remnant cleanup AND the publish rename) runs under one
+    * advisory file lock (+ a JVM-internal monitor, since OS file locks
+    * are per-process): with publishes serialized, a markerless tree seen
+    * under the lock is PROVABLY a crash remnant — no concurrent publish
+    * can be in flight — so a freshly published tree can never become the
+    * delete target (the r10 ADVICE interleaving). Lock losers re-check
+    * the marker and accept the winner's tree. Bump FixtureVersion
+    * whenever a cached fixture's layout or contents change.
     */
   val FixtureVersion = 1
   def cachedFixture(spark: SparkSession, d: String, tag: String)
@@ -109,35 +114,38 @@ object Tables {
       val tmp = new java.io.File(
         s"$dir.build-${java.util.UUID.randomUUID.toString.take(8)}")
       tmp.mkdirs()
-      build(tmp.getPath)
+      build(tmp.getPath) // outside the lock: only the publish serializes
       if (!new java.io.File(tmp, marker.getName).createNewFile())
         sys.error(s"fixture marker create failed in $tmp")
       dir.getParentFile.mkdirs()
-      def publish(): Boolean =
+      // one monitor per final path (file locks are per-PROCESS: a second
+      // thread of this JVM must queue here, not hit Overlapping…Exception)
+      val monitor = fixtureMonitors.computeIfAbsent(dir.getPath, _ => new Object)
+      monitor.synchronized {
+        val ch = java.nio.channels.FileChannel.open(
+          new java.io.File(s"$dir.lock").toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
         try {
-          java.nio.file.Files.move(tmp.toPath, dir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          true
-        } catch { case _: java.nio.file.FileSystemException => false }
-      var published = publish()
-      if (!published && !marker.exists()) {
-        // a markerless tree occupies the final path: a crash remnant of
-        // the pre-atomic protocol. Deleting it HERE is race-free where
-        // deleting before the first publish attempt was not: while any
-        // non-empty tree sits at the path, every concurrent ATOMIC_MOVE
-        // fails too, so no winner can publish between this marker check
-        // and the delete — the tree we remove is provably the remnant.
-        deleteRec(dir)
-        published = publish()
-      }
-      if (!published) {
-        deleteRec(tmp) // a concurrent build won the rename — use theirs
-        if (!marker.exists())
-          sys.error(s"fixture publish lost the rename race but $marker is absent")
+          val fl = ch.lock() // blocks until any concurrent publisher exits
+          try {
+            if (!marker.exists()) {
+              // under the publish lock a markerless occupant is PROVABLY a
+              // crash remnant — no publish can be in flight — so this
+              // delete can never target a freshly published valid tree
+              if (dir.exists()) deleteRec(dir)
+              java.nio.file.Files.move(tmp.toPath, dir.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            } else deleteRec(tmp) // a locked-out builder won — use theirs
+          } finally fl.release()
+        } finally ch.close()
       }
     }
     dir.getPath
   }
+
+  private val fixtureMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
