@@ -305,7 +305,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val allowed = Set("c8_join_cross", "e7_win_distribution",
       "e10_resample_gapfill", // 1-row broadcast bounds frame × 5-row types spine
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
-      "l2_sim_embedding_nn", "l3_ann_ivf_topk")
+      "l2_sim_embedding_nn", "l3_ann_ivf_topk",
+      "l26_bm25_topk") // 1-row broadcast (N, Σdl) stats frame, twice
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
