@@ -1272,6 +1272,37 @@ object TrainOps {
             * 1e4 + 0.5) / 1e4).as("score"),
           (col("z_u") >= 1500000L).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // l28: PARTITION-PRUNED lake read — the #1 100-TB lever promoted
+    // from the ScaleSmoke layout probe (SPARK_GRAFT_LAYOUT=lang) to a
+    // first-class oracled key: documents laid out PARTITIONED BY lang
+    // (the hive-style lake layout a production corpus ships in — one
+    // directory per language), and a lang-scoped job whose scan must
+    // touch ONE partition's files. Pruning is asserted FAIL-LOUD from
+    // the executed plan — a `PartitionFilters` entry on the scan, not a
+    // post-scan row filter — and pinned again in PlanShapeSpec together
+    // with column pruning (the scan reads only source/n_chars: at
+    // 100 TB this query reads lang=en's two thin columns, nothing
+    // else). The layout is a cached fixture (one partitionBy write per
+    // machine per source-data signature); results are layout-invariant,
+    // so the oracle reads the FLAT table with a WHERE — the key proves
+    // the partitioned path returns byte-identical answers while
+    // provably skipping the other partitions' files.
+    "l28_partition_pruned_scan" -> ((s, d) => {
+      val dir = cachedFixture(s, d, "langpart_docs") { tmp =>
+        s.read.parquet(s"$d/documents.parquet")
+          .write.partitionBy("lang").parquet(s"$tmp/documents_by_lang")
+      }
+      val scan = s.read.parquet(s"$dir/documents_by_lang")
+        .filter(col("lang") === "en")
+        .select("source", "n_chars")
+      val p = scan.queryExecution.executedPlan.toString
+      require(p.contains("PartitionFilters: [isnotnull(lang"),
+        s"lang filter did not prune the partitioned layout:\n$p")
+      scan.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")
     })
   )
 
@@ -2071,6 +2102,15 @@ object TrainOps {
                 floor(1e0 / (1e0 + exp(-(CAST(z_u AS DOUBLE) / 1e6))) * 1e4 + 5e-1)
                   / 1e4 AS score,
                 z_u >= 1500000 AS keep
-         FROM z ORDER BY doc_id"""
+         FROM z ORDER BY doc_id""",
+
+    // the oracle reads the FLAT table — the partitioned layout must be
+    // answer-invariant; the pruning itself is pinned by the query's own
+    // fail-loud require + PlanShapeSpec
+    "l28_partition_pruned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY 1 ORDER BY 1"""
   )
 }

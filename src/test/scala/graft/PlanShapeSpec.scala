@@ -325,6 +325,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }
 
+  test("l28: the lake read prunes partitions AND columns at the scan") {
+    val p = plan("l28_partition_pruned_scan")
+    // partition pruning: a PartitionFilters entry on the scan — lang is a
+    // directory, not data, so non-en partitions' files are never opened
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter is not a partition filter:\n$p")
+    // column pruning: the scan reads exactly the two projected columns
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"scan not pruned to source/n_chars:\n$p")
+    // and the lang predicate must NOT survive as a post-scan row filter
+    assert(!p.contains("Filter (isnotnull(lang"),
+      s"lang re-filtered after the scan:\n$p")
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
