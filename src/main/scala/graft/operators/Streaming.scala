@@ -70,13 +70,27 @@ object Streaming {
     * store files) is pinned to the app-keyed tmpfs scratch tree: the
     * default temp checkpoint lands under /tmp on this VM's throttled
     * virtio disk, whose stalls dominate the stateful ops' timings (worst
-    * for the stream-stream join, which checkpoints both sides' rows). */
+    * for the stream-stream join, which checkpoints both sides' rows).
+    *
+    * State partitioning is sized to the DATA (8 partitions ≈ 12.5 k
+    * events each at sf0.1) instead of inheriting the session's 32 — the
+    * i8 r10 lesson applied to every streaming key: per micro-batch every
+    * state partition opens/commits its store, so the fixed machinery
+    * cost is ∝ partitions. The conf is read at query START (fresh
+    * checkpoint each run), set here and restored in a finally; results
+    * are partition-count-invariant, so the oracles are untouched. On a
+    * real cluster this is the same "size state partitions to executors ×
+    * state size" rule, and the per-batch fixed cost amortizes to noise. */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", scratch(s, name, "ckpt"))
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratch(s, name, "ckpt"))
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -260,11 +274,15 @@ object Streaming {
       val out = tumblingAgg(eventsStream(s, d))
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
-      val q = out.writeStream.format("graft.sources.CsvDirSink")
-        .option("path", dir)
-        .option("checkpointLocation", scratch(s, dir, "ckpt"))
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
+      try {
+        val q = out.writeStream.format("graft.sources.CsvDirSink")
+          .option("path", dir)
+          .option("checkpointLocation", scratch(s, dir, "ckpt"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val published = new java.io.File(dir).list()
       require(published != null && published.exists(_.startsWith("_graft_epoch_")),
         "CsvDirSink epoch marker missing — streaming write did not publish")
@@ -296,7 +314,9 @@ object Streaming {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       val prev = s.conf.getOption(key)
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(key, rocks)
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
       try {
         val name = s"graft_stream_${runSeq.incrementAndGet()}"
         val q = sessionAgg(eventsStream(s, d))
@@ -312,6 +332,7 @@ object Streaming {
           .select("user_id", "n_events", "sess_start_us", "sess_end_us")
           .orderBy("user_id", "sess_start_us")
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
         prev match {
           case Some(v) => s.conf.set(key, v)
           case None => s.conf.unset(key)

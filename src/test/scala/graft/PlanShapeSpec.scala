@@ -325,6 +325,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }
 
+  test("l26: top-10 is a pushed TakeOrdered, and df/idf reach the docs via broadcast") {
+    val p = plan("l26_bm25_topk")
+    // the top-k must NOT be a global sort + limit — TakeOrderedAndProject
+    // keeps it a per-partition heap + driver merge at any corpus size
+    assert(p.contains("TakeOrderedAndProject"), s"l26 lost the top-k pushdown:\n$p")
+    // the ≤|query|-row idf side and one-row stats frame broadcast — the
+    // corpus-sized tf/dl side never reshuffles for them
+    assert(p.contains("BroadcastHashJoin"), s"l26 lost the idf broadcast:\n$p")
+  }
+
+  test("l27: the vocab join broadcasts — the token scan never shuffles for it") {
+    val p = plan("l27_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), s"l27 lost the vocab broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"l27 degenerated to an all-pairs join:\n$p")
+  }
+
   test("l28: the lake read prunes partitions AND columns at the scan") {
     val p = plan("l28_partition_pruned_scan")
     // partition pruning: a PartitionFilters entry on the scan — lang is a
