@@ -1303,6 +1303,80 @@ object TrainOps {
       scan.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("source")
+    }),
+
+    // l29: SUB-DOCUMENT dedup on CONTENT-DEFINED chunks — the C4-style
+    // "repeated boilerplate paragraph" pass (drop the newsletter footer,
+    // keep the article) that whole-doc dedup (j1) structurally misses.
+    // Fixed-grid segmentation can't do this: a shared passage at
+    // different offsets lands on different grid cells and never matches.
+    // Content-defined chunking (the LBFS/winnowing idea) cuts AFTER
+    // token i iff md5(token_i ∥ ' ' ∥ token_i+1) < '1' (≈ 1/16 rate,
+    // mean chunk ~16 tokens): boundaries depend only on LOCAL content,
+    // so a shared passage chunks identically at any offset in any doc.
+    // The corpus has no cross-doc passages, so one is PLANTED (the l23
+    // idiom): a 51-token boilerplate footer appended to the md5(doc_id)
+    // < '8' half — its interior chunks (5 at sf0.01) repeat across all
+    // 250 planted docs while its junction chunk stays doc-unique; the
+    // 31-token vocab also repeats short chunks naturally (103 repeated
+    // hashes), so the op is non-vacuous beyond the plant. Canonical
+    // occurrence = lexicographic-min (doc_id, chunk_id) per hash,
+    // computed as two map-side-combinable aggs (min doc, then min chunk
+    // within it) — NOT a per-hash window, so a hot boilerplate hash
+    // partial-aggregates instead of single-partition sorting. keep =
+    // dup_frac ≤ 0.4 as the exact integer comparison 5·n_dup ≤
+    // 2·n_chunks (≈ corpus median — the l24 non-vacuous rule: 227/500
+    // drop at sf0.01). Chunking is the POSITIONAL window formulation
+    // (posexplode → lead/cumsum per doc → group to chunks — the l6/l13
+    // shape: one hash-shuffle by doc_id, in-partition sort): a first
+    // draft built chunks per-row with an `aggregate` HOF over a
+    // struct(array,string) accumulator, and the ScaleSmoke 8× probe
+    // caught it at 443 s — the interpreted array-accumulator copy per
+    // element is pathologically slow; the window form runs the same
+    // probe in seconds. The aggs/joins shuffle 32-hex hashes and ids,
+    // never text. Linear at any corpus size.
+    "l29_dedup_cdc_chunks" -> ((s, d) => {
+      val boiler = "subscribe now for weekly updates and exclusive offers " +
+        "delivered straight to your inbox unsubscribe anytime with one click " +
+        "terms and conditions apply see our privacy policy for details about " +
+        "how we handle your data and cookies follow us on social media for " +
+        "breaking news and special announcements thank you for reading"
+      val gate = substring(md5(col("doc_id").cast(StringType)
+        .cast(BinaryType)), 1, 1) < "8"
+      val ws = filter(split(lower(
+        when(gate, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text"))), "[^a-z]+"), x => x =!= "")
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(ws).as(Seq("pos", "term")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val nxt = lead(col("term"), 1).over(w)
+      val occ = toks
+        .withColumn("b", when(nxt.isNotNull &&
+          md5(concat(col("term"), lit(" "), nxt).cast(BinaryType)) < "1", 1L)
+          .otherwise(0L))
+        .withColumn("chunk_id", coalesce(
+          sum(col("b")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .groupBy("doc_id", "chunk_id")
+        .agg(collect_list(struct(col("pos"), col("term"))).as("ts"))
+        .select(col("doc_id"), col("chunk_id"),
+          md5(concat_ws(" ",
+            transform(array_sort(col("ts")), x => x.getField("term")))
+            .cast(BinaryType)).as("h"))
+        .localCheckpoint(eager = false) // feeds both canonical aggs + the mark join
+      val cd = occ.groupBy("h").agg(min(col("doc_id")).as("cd"))
+      val cs = occ.join(cd, "h").filter(col("doc_id") === col("cd"))
+        .groupBy("h", "cd").agg(min(col("chunk_id")).as("co"))
+      occ.join(cs, "h")
+        .select(col("doc_id"),
+          (!(col("doc_id") === col("cd") && col("chunk_id") === col("co"))).as("dup"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          (floor(col("n_dup").cast(DoubleType) / col("n_chunks") * 1e4 + 0.5) / 1e4)
+            .as("dup_frac"),
+          (col("n_dup") * 5L <= col("n_chunks") * 2L).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2111,6 +2185,61 @@ object TrainOps {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents WHERE lang = 'en'
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // same planted footer (md5 gate), same content-defined cut rule
+    // (md5 of the adjacent-token bigram < '1'), chunk text assembled
+    // with the same ' ' separator, and the same two-level canonical
+    // min — the keep line is the identical integer comparison
+    "l29_dedup_cdc_chunks" ->
+      ("""WITH docs AS (
+           SELECT doc_id,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                       THEN text || ' subscribe now for weekly updates and """ +
+      """exclusive offers delivered straight to your inbox unsubscribe """ +
+      """anytime with one click terms and conditions apply see our privacy """ +
+      """policy for details about how we handle your data and cookies """ +
+      """follow us on social media for breaking news and special """ +
+      """announcements thank you for reading'
+                       ELSE text END AS text2
+           FROM documents),
+         ptoks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text2), '[^a-z]+') AS w
+                 FROM docs)),
+         otoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM ptoks WHERE term <> ''),
+         brk AS (
+           SELECT doc_id, ord, term,
+                  CASE WHEN lead(term) OVER w IS NOT NULL
+                         AND md5(term || ' ' || lead(term) OVER w) < '1'
+                       THEN 1 ELSE 0 END AS b
+           FROM otoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         cid AS (
+           SELECT doc_id, ord, term,
+                  CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS chunk_id
+           FROM brk),
+         chunks AS (
+           SELECT doc_id, chunk_id, md5(string_agg(term, ' ' ORDER BY ord)) AS h
+           FROM cid GROUP BY 1, 2),
+         cd AS (SELECT h, min(doc_id) AS cd FROM chunks GROUP BY 1),
+         cs AS (SELECT h, cd, min(chunk_id) AS co
+                FROM chunks JOIN cd USING (h) WHERE doc_id = cd GROUP BY 1, 2),
+         marked AS (
+           SELECT c.doc_id,
+                  NOT (c.doc_id = cs.cd AND c.chunk_id = cs.co) AS dup
+           FROM chunks c JOIN cs USING (h)),
+         per_doc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           FROM marked GROUP BY 1)
+         SELECT doc_id, n_chunks, n_dup,
+                floor(CAST(n_dup AS DOUBLE) / n_chunks * 1e4 + 5e-1) / 1e4 AS dup_frac,
+                n_dup * 5 <= n_chunks * 2 AS keep
+         FROM per_doc ORDER BY doc_id""")
   )
 }

@@ -424,6 +424,44 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("l29: CDC chunking detects a shared passage at DIFFERENT offsets — the grid-segmentation failure mode") {
+    // The semantics the hash oracle can't see: content-defined boundaries
+    // depend only on local content, so a passage shared by two docs at
+    // different offsets must chunk identically in both. The passage
+    // 'charlie alpha foxtrot delta bravo hotel echo' cuts after 'alpha'
+    // and after 'bravo' (verified md5-bigram breaks) → its interior chunk
+    // [foxtrot delta bravo] is context-independent. doc 0 embeds it at
+    // offset 2, doc 1 at offset 5: doc 1's copy must be flagged as a
+    // duplicate (doc 0 holds the canonical (min doc, min chunk)
+    // occurrence); the passage-free doc 2 must have zero dups. Fixture
+    // doc_ids 0-2 all sit OUTSIDE the md5 boilerplate-plant gate, so the
+    // only sharing is the embedded passage.
+    val s = spark
+    import s.implicits._
+    val passage = "charlie alpha foxtrot delta bravo hotel echo"
+    val fixture = Seq(
+      (0L, s"golf india $passage kilo", "en"),
+      (1L, s"lima mike november oscar papa $passage quebec", "en"),
+      (2L, "romeo sierra tango uniform victor", "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_l29_fixture").toString
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("l29_dedup_cdc_chunks")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 >= 1,
+      s"doc 1's offset-shifted copy of the shared passage was not flagged: $out")
+    assert(out(2L)._2 == 0, s"passage-free doc 2 must have zero dup chunks: $out")
+    assert(out(0L)._2 < out(0L)._1, "doc 0 cannot be all-duplicate")
+    // and on the real corpus the planted footer must dominate: the
+    // interior boilerplate chunks repeat across ~250 docs at sf0.01
+    val corpus = SparkEntry.queries("l29_dedup_cdc_chunks")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(corpus.count(_.getLong(2) > 0) > 250,
+      "the planted boilerplate should give most gated docs dup chunks")
+    assert(corpus.count(r => !r.getBoolean(4)) > 100,
+      "the keep line should be non-vacuous at sf0.01")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
