@@ -1377,6 +1377,42 @@ object TrainOps {
             .as("dup_frac"),
           (col("n_dup") * 5L <= col("n_chunks") * 2L).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // l30: multimodal FRAME SAMPLING — the remaining plumbing op of the
+    // brief's multimodal family (decode = l7, join = j10): pull every
+    // 4th frame (capped at 8) out of an opaque media blob by pure byte
+    // math, the Spark-side shape of "sample video frames for the vision
+    // encoder". Frames here are the fake-but-typed layout l7 decodes:
+    // after the 16-byte header the body is channels·4-byte frames. The
+    // sampler is entirely expression-level (explode over an index
+    // sequence + binary substring per frame + md5 content digest): a
+    // map fused into the scan — no UDF, no shuffle beyond the contract
+    // sort, the same plan at any corpus size. Hex images are lowercased
+    // on BOTH engines before slicing/hashing (Spark and DuckDB both
+    // emit uppercase hex; md5 of the hex STRING is case-sensitive).
+    "l30_multimodal_frame_sample" -> ((s, d) => {
+      val width = lit(16L) + col("doc_id") % 1017L
+      val height = lit(16L) + (col("doc_id") * 3L) % 737L
+      val chans = lit(1L) + col("doc_id") % 4L
+      def be32(c: Column): Column = lpad(hex(c), 8, "0") // l7's blob, verbatim
+      t(s, d, "documents").select(col("doc_id"),
+          concat(
+            unhex(concat(lit("47524654"), be32(width), be32(height), be32(chans))),
+            col("text").cast(BinaryType)).as("payload"),
+          (chans * 4L).as("fb"))
+        .withColumn("n_frames", expr("(length(payload) - 16) div fb"))
+        .filter(col("n_frames") >= 1L)
+        .withColumn("n_samp", least(lit(8L), expr("(n_frames - 1) div 4") + 1L))
+        .select(col("doc_id"), col("payload"), col("fb"),
+          explode(sequence(lit(0L), col("n_samp") - 1L)).as("i"))
+        .withColumn("frame_idx", col("i") * 4L)
+        .withColumn("off_bytes", lit(16L) + col("frame_idx") * col("fb"))
+        .withColumn("frame_hex",
+          lower(hex(expr("substring(payload, off_bytes + 1, fb)"))))
+        .select(col("doc_id"), col("frame_idx"), col("off_bytes"),
+          col("frame_hex"), md5(col("frame_hex").cast(BinaryType)).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -2240,6 +2276,36 @@ object TrainOps {
          SELECT doc_id, n_chunks, n_dup,
                 floor(CAST(n_dup AS DOUBLE) / n_chunks * 1e4 + 5e-1) / 1e4 AS dup_frac,
                 n_dup * 5 <= n_chunks * 2 AS keep
-         FROM per_doc ORDER BY doc_id""")
+         FROM per_doc ORDER BY doc_id"""),
+
+    // l7's blob construction verbatim; frames sliced out of the SAME
+    // lowercased hex image on both engines, digests over the hex string
+    "l30_multimodal_frame_sample" ->
+      """WITH media AS (
+           SELECT doc_id,
+                  from_hex('47524654'
+                    || lpad(hex(16 + doc_id % 1017), 8, '0')
+                    || lpad(hex(16 + (doc_id * 3) % 737), 8, '0')
+                    || lpad(hex(1 + doc_id % 4), 8, '0')) || encode(text)
+                    AS payload,
+                  (1 + doc_id % 4) * 4 AS fb
+           FROM documents),
+         sized AS (
+           SELECT doc_id, lower(hex(payload)) AS hx, fb,
+                  (octet_length(payload) - 16) // fb AS n_frames
+           FROM media),
+         samp AS (
+           SELECT doc_id, hx, fb,
+                  least(8, (n_frames - 1) // 4 + 1) AS n_samp
+           FROM sized WHERE n_frames >= 1),
+         idx AS (
+           SELECT doc_id, hx, fb,
+                  unnest(generate_series(0, n_samp - 1)) * 4 AS frame_idx
+           FROM samp)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(16 + frame_idx * fb AS BIGINT) AS off_bytes,
+                substr(hx, (16 + frame_idx * fb) * 2 + 1, fb * 2) AS frame_hex,
+                md5(substr(hx, (16 + frame_idx * fb) * 2 + 1, fb * 2)) AS frame_md5
+         FROM idx ORDER BY doc_id, frame_idx"""
   )
 }
