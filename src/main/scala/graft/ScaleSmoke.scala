@@ -106,7 +106,8 @@ object ScaleSmoke {
       "l20_sample_by_weight", "l21_unigram_logprob", "l22_containment_ngram",
       "l23_pii_redact", "l24_filter_funnel", "l25_token_drift",
       "l26_bm25_topk", "l27_quality_classifier", "l28_partition_pruned_scan",
-      "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample")
+      "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
+      "i13_stream_ingest_gate")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1

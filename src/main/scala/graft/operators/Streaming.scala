@@ -439,6 +439,45 @@ object Streaming {
           case None => s.conf.unset(provKey)
         }
       }
+    }),
+
+    // i13: STATELESS streaming ingest gate — the live corpus-ingest
+    // shape the rest of the I-family doesn't cover: documents arrive as
+    // files and the l5/l24 quality cut runs INLINE as per-row
+    // expressions — no state store, no watermark, no shuffle; rows emit
+    // in their own micro-batch and the plan is a map over the stream.
+    // Production LLM ingest is mostly THIS (gate at the edge), with the
+    // stateful monitors (i12) downstream of it. Token stats computed
+    // array-side (size/filter/concat_ws over the split — identical
+    // VALUES to the batch explode path), quality formula and 0.26 keep
+    // line lifted verbatim from l5/l24. Fully oracled: stateless append
+    // over AvailableNow emits every row, so the batch l5-style SQL is
+    // the exact result.
+    "i13_stream_ingest_gate" -> ((s, d) => {
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(docsSchema)
+        .option("basePath", d).parquet(s"$d/documents.parquet*")
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      val gated = stream
+        .select(col("doc_id"), ws.as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast(LongType).as("n_tokens"),
+          size(filter(col("ws"), x => x === "the" || x === "a" ||
+            x === "of" || x === "and")).cast(LongType).as("stop_cnt"),
+          length(concat_ws("", col("ws"))).cast(LongType).as("len_sum"))
+        .filter(col("n_tokens") >= 1L)
+        .withColumn("raw_q", lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+          + lit(0.3) * least(lit(1.0),
+            col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0))
+        .select(col("doc_id"), col("n_tokens"),
+          (floor(col("raw_q") * 1e4 + 0.5) / 1e4).as("quality"),
+          (col("raw_q") >= 0.26).as("keep"))
+      runToTable(s, gated, "append")
+        .orderBy("doc_id")
     })
   )
 
@@ -574,6 +613,33 @@ object Streaming {
                 CAST(sum(q_contrib) OVER (PARTITION BY w_start_us) AS BIGINT)
                   AS w_kl_unats
          FROM contrib ORDER BY w_start_us, event_type""",
+
+    // stateless append emits every row over AvailableNow, so the oracle
+    // is plain batch SQL: token stats from the unnest path (identical
+    // values to the stream's array-side computation), l5/l24's quality
+    // formula and raw-value 0.26 keep line verbatim
+    "i13_stream_ingest_gate" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         stats AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stop_cnt,
+                  CAST(sum(length(term)) AS BIGINT) AS len_sum
+           FROM ftoks GROUP BY 1),
+         scored AS (
+           SELECT doc_id, n_tokens,
+                  4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                    + 3e-1 * least(1e0, n_tokens / 1e2)
+                    + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0)
+                    AS raw_q
+           FROM stats WHERE n_tokens >= 1)
+         SELECT doc_id, n_tokens,
+                floor(raw_q * 1e4 + 5e-1) / 1e4 AS quality,
+                raw_q >= 26e-2 AS keep
+         FROM scored ORDER BY doc_id""",
 
     // µs-space comparisons on both engines: DuckDB's epoch_us truncates
     // the ns-resolution parquet timestamps exactly like the Spark loader
