@@ -155,4 +155,52 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(multi.exists(_ >= 2), "fixture never split a doc — invariants vacuous")
   }
+
+  test("l29 CDC dedup invariants on random corpora: exact copy ⇒ all-dup, disjoint vocab ⇒ no-dup") {
+    // Random-input invariants of the content-defined chunker that the
+    // fixed fixtures can't sweep: (1) a byte-identical copy of a doc has
+    // EVERY chunk flagged dup (boundaries are content-defined, so the
+    // copy chunks identically and the original owns every canonical);
+    // (2) docs built of DISTINCT tokens from pairwise-DISJOINT alphabets
+    // can never repeat a chunk — within a doc (distinct tokens ⇒ chunks
+    // hold disjoint token sets) or across docs (disjoint alphabets) —
+    // so their n_dup is 0; (3) accounting: 1 ≤ n_chunks and
+    // 0 ≤ n_dup ≤ n_chunks. (Sampling WITH replacement is deliberately
+    // avoided: an intra-doc chunk repeat is a REAL duplicate — the first
+    // draft of this test generated one and correctly failed.) Doc ids
+    // 0–3 all sit outside the md5 boilerplate-plant gate (first hex of
+    // md5("0".."3") ≥ '8'), so the texts compared are exactly the texts
+    // written.
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    // 3 disjoint 40-token alphabets: prefix × two-letter suffix (letters
+    // only — digits would vanish in the [a-z]+ tokenizer)
+    val alphabets = Seq("k", "m", "z").map { p =>
+      (for (a <- 'a' to 'h'; b <- 'a' to 'e') yield s"$p$a$b").toSeq
+    }
+    (1 to 3).foreach { iter =>
+      def doc(ab: Seq[String], n: Int): String =
+        rnd.shuffle(ab).take(n).mkString(" ") // distinct tokens
+      val d0 = doc(alphabets(0), 20 + rnd.nextInt(20))
+      val fixture = Seq(
+        (0L, d0, "en"), (1L, d0, "en"), // byte-identical copy
+        (2L, doc(alphabets(1), 20 + rnd.nextInt(20)), "en"),
+        (3L, doc(alphabets(2), 20 + rnd.nextInt(20)), "en"))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_l29_prop_$iter").toString
+      fixture.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = SparkEntry.queries("l29_dedup_cdc_chunks")(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      out.foreach { case (id, (nc, nd)) =>
+        assert(nc >= 1 && nd >= 0 && nd <= nc, s"iter $iter doc $id: $nc/$nd")
+      }
+      assert(out(1L)._2 == out(1L)._1,
+        s"iter $iter: the byte-identical copy must be ALL dup chunks: ${out(1L)}")
+      assert(out(0L)._2 == 0, s"iter $iter: the original owns every canonical")
+      assert(out(2L)._2 == 0 && out(3L)._2 == 0,
+        s"iter $iter: disjoint-alphabet docs cannot share a chunk: $out")
+    }
+  }
 }
