@@ -403,6 +403,29 @@ object LlmOps {
           o.filter(col("o_custkey").isNull)))
         .withColumn("pass", col("violations") === 0)
         .orderBy("check_name")
+    }),
+
+    // j15: SCD Type-2 validity-interval history — the other classic
+    // warehouse-load shape next to j12's last-write-wins compaction.
+    // Each event opens a version of its (user_id, event_type) dimension
+    // key; the version closes when the next event for the same key
+    // arrives (effective_to = lead(ts), NULL = current). version /
+    // effective_to / is_current all derive from the SAME sort, so
+    // Catalyst plans ONE Window over ONE hash exchange on the dimension
+    // key — at 100 TB the history build costs exactly the shuffle the
+    // dimension load needs anyway.
+    "j15_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("version", row_number().over(w))
+        .withColumn("effective_to_us", lead(epochUs(col("ts")), 1).over(w))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          epochUs(col("ts")).as("effective_from_us"),
+          col("effective_to_us"),
+          col("effective_to_us").isNull.as("is_current"),
+          col("version"), col("value"))
+        .orderBy("user_id", "event_type", "version")
     })
   )
 
@@ -553,6 +576,17 @@ object LlmOps {
            UNION ALL
            SELECT 'orders.o_custkey not null', CAST(count(*) AS BIGINT)
            FROM orders WHERE o_custkey IS NULL)
-         ORDER BY check_name"""
+         ORDER BY check_name""",
+
+    "j15_scd2_history" ->
+      """SELECT user_id, event_type, event_id,
+           epoch_us(ts) AS effective_from_us,
+           lead(epoch_us(ts)) OVER w AS effective_to_us,
+           lead(epoch_us(ts)) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS INTEGER) AS version,
+           value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         ORDER BY user_id, event_type, version"""
   )
 }
