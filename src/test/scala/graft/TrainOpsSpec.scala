@@ -194,6 +194,91 @@ class TrainOpsSpec extends AnyFunSuite {
         s"${(at8 diff at2) ++ (at2 diff at8)}")
   }
 
+  test("l31: SemDeDup catches same-cell near-dups, misses the cross-cell pair — the recall trade-off, measured") {
+    import scala.collection.JavaConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Geometry: 16 mutually orthogonal init directions d_0..d_15 (ids
+    // 0..15 = the trainer's init). Same-cell pair: ids 100/101 within
+    // 0.03 rad of d_3 (mutual cos ≈ 0.9993, cos to d_3 ≥ 0.9996) — all
+    // three quantize to cell 3 and the pair stage must find them.
+    // Cross-cell pair: ids 200/201 on the d_5/d_6 bisector, rotated
+    // ±0.12 rad toward d_5 resp. d_6 (mutual cos(0.24) ≈ 0.9713 ≥ the
+    // 0.95 spec threshold) — they straddle the cell boundary BY
+    // CONSTRUCTION, so cell-scoped SemDeDup cannot form the pair. That
+    // miss is the algorithm's documented recall trade-off, not a bug.
+    val rnd = new scala.util.Random(31)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def gramSchmidt(base: Seq[Array[Double]]): Array[Double] = {
+      var w = unit()
+      for (u <- base) {
+        val d = u.zip(w).map { case (a, b) => a * b }.sum
+        w = w.zip(u).map { case (a, b) => a - d * b }
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    def rot(u: Array[Double], w: Array[Double], t: Double): Seq[Float] =
+      u.zip(w).map { case (a, b) => (math.cos(t) * a + math.sin(t) * b).toFloat }.toSeq
+
+    val dirs = (0 until 16).foldLeft(Vector.empty[Array[Double]])((acc, _) =>
+      acc :+ gramSchmidt(acc))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    for (i <- 0 until 16) rows += ((i.toLong, dirs(i).map(_.toFloat).toSeq))
+    rows += ((100L, rot(dirs(3), gramSchmidt(Vector(dirs(3))), 0.02)))
+    rows += ((101L, rot(dirs(3), gramSchmidt(Vector(dirs(3))), 0.03)))
+    val bis = dirs(5).zip(dirs(6)).map { case (a, b) => (a + b) / math.sqrt(2.0) }
+    val o56 = dirs(5).zip(dirs(6)).map { case (a, b) => (a - b) / math.sqrt(2.0) }
+    rows += ((200L, rot(bis, o56, 0.12)))  // leans d_5 -> cell 5
+    rows += ((201L, rot(bis, o56, -0.12))) // leans d_6 -> cell 6
+    for (k <- 0 until 10) rows += ((300L + k, unit().map(_.toFloat).toSeq))
+
+    val schema = StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    val df = spark.createDataFrame(
+      rows.map { case (id, v) => Row(id, v) }.asJava, schema)
+    val e = df.withColumn("norm",
+      sqrt(functions.VectorFunctions.floatDot(col("embedding"), col("embedding"))))
+
+    val out = operators.TrainOps.semDedupCells(e, e, iters = 2, thresh = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(4))).toMap
+    def cell(id: Long) = out(id)._1
+    def dupOf(id: Long) = out(id)._2
+    def keep(id: Long) = out(id)._3
+
+    // fixture validity: the cross pair really is similar AND really straddles
+    def cos(a: Long, b: Long): Double = {
+      val va = rows.find(_._1 == a).get._2.map(_.toDouble).toArray
+      val vb = rows.find(_._1 == b).get._2.map(_.toDouble).toArray
+      va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    }
+    assert(cos(200L, 201L) >= 0.95, s"cross pair cos ${cos(200L, 201L)} under threshold")
+    assert(cell(200L) != cell(201L),
+      s"fixture not adversarial: bisector pair landed in one cell ${cell(200L)}")
+
+    // same-cell near-dups caught; canonical survivor = smallest id (= d_3)
+    assert(cell(100L) == cell(3L) && cell(101L) == cell(3L),
+      "planted near-dups must quantize with their anchor d_3")
+    assert(keep(3L), "the smallest-id member of the dup cluster survives")
+    assert(!keep(100L) && dupOf(100L).contains(3L), s"100: ${out(100L)}")
+    assert(!keep(101L) && dupOf(101L).contains(3L), s"101: ${out(101L)}")
+
+    // cross-cell pair missed (both kept) — the measured recall trade-off
+    assert(keep(200L) && keep(201L),
+      "cell-scoped dedup must NOT form the cross-cell pair")
+
+    // strangers and the remaining init vectors are untouched
+    val dropped = out.filterNot(_._2._3).keySet
+    assert(dropped == Set(100L, 101L), s"unexpected drops: $dropped")
+  }
+
   test("l4: 5-way langid is non-degenerate — per-lang accuracy 1.0 on a real multilingual fixture") {
     // The shipped corpus text carries NO lexical language signal (31-token
     // vocabulary shared uniformly across the 5 labels — measured in SURVEY
