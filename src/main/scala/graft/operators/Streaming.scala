@@ -478,6 +478,39 @@ object Streaming {
           (col("raw_q") >= 0.26).as("keep"))
       runToTable(s, gated, "append")
         .orderBy("doc_id")
+    }),
+
+    // i14: the STREAMING LAKE SINK — i10's epoch-idempotent DSv2 publish
+    // protocol composed with l28's hive-partitioned parquet layout
+    // (graft.sources.ParquetDirSink): the i9 Append aggregate lands as
+    // `event_type=<v>/part-<epoch>-<p>-<n>.parquet`, the production shape
+    // of "a stream keeps a partitioned lake current". The read-back uses
+    // Spark partition DISCOVERY (event_type reconstructed from the path —
+    // it is not in the data files), so downstream scans partition-prune
+    // exactly like l28. Oracled with i9's watermark-horizon cut: parquet
+    // INT64/BINARY carry the values bit-exactly, so the lake roundtrip
+    // must not change a single row. Epoch replay / crash-orphan sweep
+    // pinned in SinkSpec's parquet cases.
+    "i14_stream_lake_sink" -> ((s, d) => {
+      val dir = scratch(s, s"i14_${runSeq.incrementAndGet()}", "lake")
+      val out = tumblingAgg(eventsStream(s, d))
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
+      try {
+        val q = out.writeStream.format("graft.sources.ParquetDirSink")
+          .option("path", dir).option("partitionBy", "event_type")
+          .option("checkpointLocation", scratch(s, dir, "ckpt"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val published = new java.io.File(dir).list()
+      require(published != null && published.exists(_.startsWith("_graft_epoch_")),
+        "ParquetDirSink epoch marker missing — streaming write did not publish")
+      s.read.parquet(dir)
+        .select(col("w_start_us"), col("event_type").cast(StringType), col("cnt"))
+        .orderBy("w_start_us", "event_type")
     })
   )
 
@@ -560,6 +593,16 @@ object Streaming {
     // identical horizon cut to i9: the sink roundtrip must not change a
     // single value (exact long/string serialization in CsvDirSink)
     "i10_stream_custom_sink" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS cnt
+         FROM events
+         WHERE epoch_us(date_trunc('hour', ts)) + 3600000000
+               <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical horizon cut again: the partitioned parquet lake roundtrip
+    // (event_type reconstructed from the hive path) must be value-exact
+    "i14_stream_lake_sink" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
          FROM events

@@ -122,6 +122,64 @@ class SinkSpec extends AnyFunSuite {
       s"replayed epoch did not publish: $after")
   }
 
+  test("parquet lake leg: hive layout + first-commit-wins epoch replay") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = freshDir("lake_replay")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("w LONG, event_type STRING, v DOUBLE")
+    val sw = new graft.sources.ParquetDirStreamingWrite(dir, schema, "event_type")
+    def runEpoch(epochId: Long, taskId: Long, rows: Seq[(Long, String, Double)]): Unit = {
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, taskId, epochId)
+      rows.foreach { case (k, et, v) =>
+        w.write(InternalRow(k, UTF8String.fromString(et), v))
+      }
+      sw.commit(epochId, Array(w.commit()))
+    }
+    runEpoch(7L, 1L, Seq((1L, "click", 1.5), (2L, "view", 2.5)))
+    runEpoch(7L, 2L, Seq((9L, "click", 9.9))) // replayed epoch: must be discarded
+    val top = new File(dir).list().toSet
+    assert(top == Set("event_type=click", "event_type=view", "_graft_epoch_7"),
+      s"unexpected layout: $top")
+    assert(!top.exists(_.startsWith("_staged-")), s"staged leftovers: $top")
+    val back = spark.read.parquet(dir)
+      .collect().map(r => (r.getAs[Long]("w"), r.getAs[String]("event_type"),
+        r.getAs[Double]("v"))).toSet
+    assert(back == Set((1L, "click", 1.5), (2L, "view", 2.5)),
+      s"replay overwrote the first commit or partition column broke: $back")
+
+    // crash window: shards renamed but marker never written — the replay
+    // must sweep the dead attempt's orphans from the value dirs first
+    val orphan = new File(dir, "event_type=click/part-9-5-0.parquet")
+    java.nio.file.Files.writeString(orphan.toPath, "not-a-parquet-footer")
+    runEpoch(9L, 3L, Seq((3L, "click", 3.5)))
+    assert(!orphan.exists(), "crashed attempt's orphan shard survived the replay")
+    assert(new File(dir, "_graft_epoch_9").exists(), "replayed epoch did not publish")
+    assert(spark.read.parquet(dir).count() == 3,
+      "epoch 9 rows missing or orphan leaked into the read set")
+  }
+
+  test("parquet lake leg: downstream scan partition-prunes on the hive layout") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = freshDir("lake_prune")
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("w LONG, event_type STRING, v DOUBLE")
+    val sw = new graft.sources.ParquetDirStreamingWrite(dir, schema, "event_type")
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 1L, 0L)
+    Seq((1L, "click", 1.0), (2L, "view", 2.0), (3L, "purchase", 3.0))
+      .foreach { case (k, et, v) => w.write(InternalRow(k, UTF8String.fromString(et), v)) }
+    sw.commit(0L, Array(w.commit()))
+    val q = spark.read.parquet(dir).filter(col("event_type") === "view")
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "filter on the hive partition column must become a PartitionFilter")
+    assert(q.collect().map(_.getAs[Long]("w")).toSeq == Seq(2L))
+  }
+
   test("nulls and unsupported types are rejected loudly") {
     import spark.implicits._
     val dirN = freshDir("nulls")
