@@ -80,7 +80,17 @@ object Streaming {
     * checkpoint each run), set here and restored in a finally; results
     * are partition-count-invariant, so the oracles are untouched. On a
     * real cluster this is the same "size state partitions to executors ×
-    * state size" rule, and the per-batch fixed cost amortizes to noise. */
+    * state size" rule, and the per-batch fixed cost amortizes to noise.
+    *
+    * SEQUENTIAL-EXECUTION ASSUMPTION (here and in the i10/i11/i12/i14
+    * inline copies): the capture-in-prev/restore-in-finally mutation of
+    * the session-global `spark.sql.shuffle.partitions` is only safe
+    * because the Verify/Bench/test harnesses run queries one at a time
+    * on the shared session. Two queries interleaving on one session
+    * could capture "8" as prev and strand the session at 8 partitions.
+    * If concurrent query execution is ever introduced, scope the
+    * override per-query instead (a cloned `spark.newSession` sharing
+    * the state, or the writeStream-level conf). */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")

@@ -1302,6 +1302,13 @@ object TrainOps {
             - lit(30.0) * col("xtri") - lit(40.0) * col("xent") + lit(136.0))
             * lit(1e6) + lit(0.5)).cast(LongType))
         .select(col("doc_id"), col("z_u"),
+          // residual-risk note (ADVICE r11): both engines feed exp() the
+          // identical double (z_u is quantized first), but Math.exp vs
+          // DuckDB's std::exp may differ by 1 ulp, which at an exact
+          // .00005 boundary could flip this cosmetic 4-dp rounding and
+          // the hash. z_u is the authoritative integer value (emitted
+          // alongside) and keep cuts on z_u exactly — a flip here would
+          // be display-only. Accepted, same class as the j6/l21 ln pins.
           (floor(lit(1.0) / (lit(1.0) + exp(-(col("z_u").cast(DoubleType) / lit(1e6))))
             * 1e4 + 0.5) / 1e4).as("score"),
           (col("z_u") >= 1500000L).as("keep"))
@@ -1331,9 +1338,16 @@ object TrainOps {
       val scan = s.read.parquet(s"$dir/documents_by_lang")
         .filter(col("lang") === "en")
         .select("source", "n_chars")
-      val p = scan.queryExecution.executedPlan.toString
-      require(p.contains("PartitionFilters: [isnotnull(lang"),
-        s"lang filter did not prune the partitioned layout:\n$p")
+      // fail-loud pruning gate on the PLAN TREE (not the formatted string,
+      // which a Spark version bump may reformat): the lang predicate must
+      // surface as a partitionFilter on the file scan node
+      val pruned = scan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.partitionFilters.exists(_.references.exists(_.name == "lang"))
+      }
+      require(pruned.nonEmpty && pruned.forall(identity),
+        "lang filter did not prune the partitioned layout:\n" +
+          scan.queryExecution.executedPlan.toString)
       scan.groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("source")
