@@ -175,7 +175,26 @@ object Aggregates {
       partial.groupBy("event_type")
         .agg(sum(col("pc")).as("cnt"), dbl(sum(col("ps"))).as("sum_value"))
         .orderBy("event_type")
-    })
+    }),
+
+    // d17: heavy hitters / frequent items — the third sketch family next
+    // to HLL distinct (d4) and KLL quantiles (d16): top-k terms WITHOUT a
+    // full-vocabulary aggregation, via Spark 4.1's approx_top_k
+    // (DataSketches frequent-items): each partition keeps a bounded
+    // 1000-item map, partials merge associatively — the 100-TB shape
+    // where a full token groupBy would shuffle the whole vocabulary while
+    // the sketch ships one bounded map per partition. ORACLED, not
+    // tolerance-tested: DataSketches ItemsSketch is EXACT while distinct
+    // items ≤ capacity, and the shipped corpus has a 31-token vocabulary
+    // ≤ the pinned 1000 (the rank-20 boundary is tie-free at sf0.01:
+    // 888 vs 886, so selection is unambiguous); ApproxSpec covers the
+    // genuinely-approximate over-capacity regime on a skewed fixture.
+    "d17_agg_approx_topk" -> ((s, d) =>
+      LlmOps.tokens(s, d)
+        .agg(expr("approx_top_k(term, 20, 1000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("term")))
   )
 
   private val q1Money =
@@ -279,6 +298,17 @@ object Aggregates {
     "d15_agg_salted_skew" ->
       """SELECT event_type, count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // exact because the sketch is under capacity (31-token vocab ≤ 1000)
+    // and the rank-20 boundary is tie-free — see the query-side note
+    "d17_agg_approx_topk" ->
+      """SELECT term, cnt FROM (
+           SELECT term, count(*) AS cnt FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             FROM documents)
+           WHERE term <> '' GROUP BY term
+           ORDER BY cnt DESC, term LIMIT 20)
+         ORDER BY cnt DESC, term"""
   )
 }

@@ -20,6 +20,34 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("d17: over-capacity sketch still finds the true heavy hitters (the regime the oracle can't see)") {
+    // The oracled d17 runs UNDER capacity (31-token vocab ≤ 1000 tracked)
+    // where DataSketches is exact; this covers the genuinely-approximate
+    // production regime — distinct items ≫ capacity — where the sketch's
+    // guarantee is "items with frequency > N/maxMapSize surface, with
+    // bounded over-estimate". 3 planted heavy items among 2000 singleton
+    // tails, capacity 64: the heavy trio must come back first, in order,
+    // with estimates within the sketch's additive error (≈ N/capacity).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val heavy = Seq.fill(1000)("alpha") ++ Seq.fill(800)("beta") ++ Seq.fill(600)("gamma")
+    val tail = (0 until 2000).map(i => s"tail_$i")
+    val n = heavy.size + tail.size
+    val topk = (heavy ++ tail).toDF("t")
+      .agg(expr("approx_top_k(t, 3, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(topk.map(_._1).toSeq == Seq("alpha", "beta", "gamma"),
+      s"heavy hitters missing or misordered: ${topk.mkString(",")}")
+    val err = n / 64 + 1
+    Seq(("alpha", 1000L), ("beta", 800L), ("gamma", 600L)).foreach { case (item, ex) =>
+      val est = topk.toMap.apply(item)
+      assert(est >= ex && est <= ex + err,
+        s"$item: estimate $est outside [$ex, ${ex + err}]")
+    }
+  }
+
   test("d16: approx quantiles within 1% of exact d11 per group") {
     def rows(key: String) = SparkEntry.queries(key)(spark, sfTiny)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
