@@ -40,7 +40,7 @@ object ScaleSmoke {
     // one micro-batch per time slice) instead of the generic wall-time run
     val streamProbeKeys =
       Set("i9_stream_tumbling_append", "i11_stream_session_append",
-        "i12_stream_drift")
+        "i12_stream_drift", "i14_stream_lake_sink")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -107,7 +107,7 @@ object ScaleSmoke {
       "l23_pii_redact", "l24_filter_funnel", "l25_token_drift",
       "l26_bm25_topk", "l27_quality_classifier", "l28_partition_pruned_scan",
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
-      "i13_stream_ingest_gate")
+      "i13_stream_ingest_gate", "d17_agg_approx_topk")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -115,6 +115,22 @@ object ScaleSmoke {
         .select((col("vec_id") + col("clone") * m).as("vec_id"),
           col("embedding"), col("label"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    // Batch keys over `events` (j15's SCD2 history) scale on the KEY axis:
+    // clone k shifts user_id (and event_id for uniqueness), so the clone
+    // multiplies (user_id, event_type) version chains — the realistic
+    // growth axis of a dimension-history build — while chain LENGTH stays
+    // fixed. ts is the raw-ns long here (nanosAsLong session).
+    val eventsBatchKeys = Set("j15_scd2_history")
+    if (keys.exists(eventsBatchKeys)) {
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val st = ev.agg(max("event_id"), max("user_id")).head()
+      val (ne, nu) = (st.getLong(0) + 1, st.getLong(1) + 1)
+      ev.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
+        .select((col("event_id") + col("clone") * ne).as("event_id"),
+          col("ts"), (col("user_id") + col("clone") * nu).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
     val rows = spark.read.parquet(s"$dir/documents.parquet").count()
 
@@ -205,8 +221,21 @@ object ScaleSmoke {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val name = s"smoke_${key}_x$factor"
+      // i14 probes the LAKE leg: same tumblingAgg state question, but the
+      // finalized windows publish through ParquetDirSink — one epoch per
+      // micro-batch, so the probe also demonstrates the partitioned lake
+      // accumulating across epochs (the single-batch oracle run cannot)
+      val isLake = key.startsWith("i14")
+      val lakeDir = Tables.scratch(spark, s"$dir/$key", "lake")
       val t0 = System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(name)
+      val writer =
+        if (isLake)
+          agg.select(Tables.epochUs(col("window.start")).as("w_start_us"),
+              col("event_type"), col("cnt"))
+            .writeStream.format("graft.sources.ParquetDirSink")
+            .option("path", lakeDir).option("partitionBy", "event_type")
+        else agg.writeStream.format("memory").queryName(name)
+      val q = writer
         .option("checkpointLocation",
           Tables.scratch(spark, s"$dir/$key", "ckpt"))
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -215,7 +244,14 @@ object ScaleSmoke {
       val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
       val maxState = ops.map(_.numRowsTotal).max
       val removed = ops.map(_.numRowsRemoved).sum
-      val emitted = spark.table(name).count()
+      val emitted =
+        if (isLake) {
+          val markers = Option(new java.io.File(lakeDir).list())
+            .getOrElse(Array.empty).count(_.startsWith("_graft_epoch_"))
+          require(markers >= 2,
+            s"$key probe: expected multi-epoch lake publish, got $markers markers")
+          spark.read.parquet(lakeDir).count()
+        } else spark.table(name).count()
       val rocksMem = ops.flatMap { o =>
         import scala.jdk.CollectionConverters._
         o.customMetrics.asScala.collect {
