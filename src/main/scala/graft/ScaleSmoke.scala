@@ -107,7 +107,8 @@ object ScaleSmoke {
       "l23_pii_redact", "l24_filter_funnel", "l25_token_drift",
       "l26_bm25_topk", "l27_quality_classifier", "l28_partition_pruned_scan",
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
-      "i13_stream_ingest_gate", "d17_agg_approx_topk")
+      "i13_stream_ingest_gate", "d17_agg_approx_topk",
+      "l32_dedup_cluster_cc")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -121,7 +122,7 @@ object ScaleSmoke {
     // multiplies (user_id, event_type) version chains — the realistic
     // growth axis of a dimension-history build — while chain LENGTH stays
     // fixed. ts is the raw-ns long here (nanosAsLong session).
-    val eventsBatchKeys = Set("j15_scd2_history")
+    val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

@@ -426,6 +426,45 @@ object LlmOps {
           col("effective_to_us").isNull.as("is_current"),
           col("version"), col("value"))
         .orderBy("user_id", "event_type", "version")
+    }),
+
+    // j16: MERGE-style upsert — the third classic warehouse-load shape
+    // next to j12 (SCD1 compaction) and j15 (SCD2 history): a compacted
+    // BASE dimension (state as of the j11 cutoff) merged with a DELTA
+    // (events after the cutoff, compacted the same way). Matched key →
+    // the delta row wholesale ('update'); delta-only key → 'insert';
+    // base-only key → 'keep'. The delta row is picked by a null-check on
+    // the delta KEY (not per-column coalesce — MERGE takes the source row
+    // even where its payload is NULL). Both sides window-compact on the
+    // SAME (user_id, event_type) key the full-outer join then uses, so
+    // Catalyst reuses one hash exchange per side and the merge costs
+    // exactly the dimension key's shuffle — the plan a 100-TB MERGE INTO
+    // compiles to under any lakehouse engine.
+    "j16_merge_upsert" -> ((s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def lastWins(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          epochUs(col("ts")).as("ts_us"), col("value"))
+      val ev = t(s, d, "events")
+      val base = lastWins(ev.filter(col("ts") <= cutoff))
+      val delta = lastWins(ev.filter(col("ts") > cutoff))
+      val matched = col("d.user_id").isNotNull
+      def pick(c: String) =
+        when(matched, col(s"d.$c")).otherwise(col(s"b.$c")).as(c)
+      base.as("b").join(delta.as("d"),
+          col("b.user_id") === col("d.user_id") &&
+            col("b.event_type") === col("d.event_type"), "full_outer")
+        .select(
+          coalesce(col("b.user_id"), col("d.user_id")).as("user_id"),
+          coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+          pick("event_id"), pick("ts_us"), pick("value"),
+          when(!matched, lit("keep"))
+            .when(col("b.user_id").isNull, lit("insert"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy("user_id", "event_type")
     })
   )
 
@@ -587,6 +626,34 @@ object LlmOps {
            value
          FROM events
          WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-         ORDER BY user_id, event_type, version"""
+         ORDER BY user_id, event_type, version""",
+
+    // the CASE picks the delta row by a null-check on its KEY, mirroring
+    // the Spark side's `matched` guard (per-column coalesce would differ
+    // wherever a delta payload column is NULL)
+    "j16_merge_upsert" ->
+      """WITH base AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1),
+         delta AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1)
+         SELECT coalesce(b.user_id, d.user_id) AS user_id,
+                coalesce(b.event_type, d.event_type) AS event_type,
+                CASE WHEN d.user_id IS NOT NULL THEN d.event_id ELSE b.event_id END AS event_id,
+                CASE WHEN d.user_id IS NOT NULL THEN d.ts_us ELSE b.ts_us END AS ts_us,
+                CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END AS value,
+                CASE WHEN d.user_id IS NULL THEN 'keep'
+                     WHEN b.user_id IS NULL THEN 'insert'
+                     ELSE 'update' END AS action
+         FROM base b FULL OUTER JOIN delta d
+           ON b.user_id = d.user_id AND b.event_type = d.event_type
+         ORDER BY user_id, event_type"""
   )
 }

@@ -1482,6 +1482,47 @@ object TrainOps {
       val e = LlmOps.embs(s, d)
       val train = e.filter(col("vec_id") < 16 || idBelow(col("vec_id"), "80"))
       semDedupCells(e, train, iters = 2, thresh = 0.40)
+    }),
+
+    // l32: connected-component dedup CLUSTERING — the canonical post-pass
+    // of every near-dup pipeline: verified pairs → transitive closure →
+    // per-doc (cluster_id, cluster size, canonical flag), i.e. the actual
+    // keep/drop list a 100-TB dedup job ships. Pairs come from the l9
+    // PPJoin kernel verbatim (the ORACLED exact-Jaccard producer); the
+    // closure is LlmOps.minLabelClosure — the same hash-to-min propagation
+    // j2/l1/l12 already rely on internally, promoted here to a first-class
+    // DuckDB-oracled key (recursive-CTE min-reachability). The sf0.01 dup
+    // graph is 22 pairs + one TRIANGLE (similarity is bimodal there), so
+    // the hash pins end-to-end pair production + labels/sizes/flags but
+    // NOT transitivity; the chain case a one-hop formulation gets wrong
+    // is pinned by TrainOpsSpec's planted 3-doc chain run through this
+    // whole query, and by PropertySpec's random-graph union-find
+    // property on minLabelClosure itself. Scale: closure
+    // state is (doc_id, cluster_id) longs for dup-subgraph nodes ONLY
+    // (singletons re-join at the end), each round shuffles O(dup docs) —
+    // never text — and rounds ≤ component diameter (near-dup clusters are
+    // shallow hubs; an adversarial long-chain corpus would call for the
+    // large-star/small-star doubling variant).
+    "l32_dedup_cluster_cc" -> ((s, d) => {
+      val shing = LlmOps.shingleRows(s, d)
+        .localCheckpoint(eager = false) // feeds df, prefixes, verification
+      val pref = prefixIndex(shing, 4, 5)
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+        .localCheckpoint(eager = false) // feeds the doc-id semi-join + edges
+      val pairs = verifyJaccard(cand, shing).select("a_id", "b_id")
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .localCheckpoint(eager = false) // re-read every closure round
+      val clusters = LlmOps.minLabelClosure(
+        t(s, d, "documents").select("doc_id"), edges)
+      val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      clusters.join(csize, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("csize"),
+          (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1806,6 +1847,52 @@ object TrainOps {
                 d.dup_of IS NULL AS keep
          FROM assigned s LEFT JOIN dups d USING (vec_id)
          ORDER BY s.vec_id""",
+
+    // l9's pair CTEs verbatim (prefix filtering is lossless, so the full
+    // inverted-index join is the same pair set), then min-reachability by
+    // recursive CTE: r holds every (src, reachable node); min(dst) per src
+    // IS the component minimum — the same label minLabelClosure converges
+    // to. UNION (distinct) bounds the recursion.
+    "l32_dedup_cluster_cc" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a_id, b_id FROM common
+           JOIN sz sa ON sa.doc_id = a_id
+           JOIN sz sb ON sb.doc_id = b_id
+           WHERE 5 * c >= 4 * (sa.n + sb.n - c)),
+         edges AS (SELECT a_id, b_id FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         reach AS (
+           WITH RECURSIVE r(src, dst) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b_id FROM r JOIN edges e ON e.a_id = r.dst)
+           SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src),
+         cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+                FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id, csize, doc_id = cluster_id AS is_canonical
+         FROM reach JOIN cs USING (cluster_id)
+         ORDER BY doc_id""",
 
     // same 5-way argmax as the Spark side: the CASE chain checks langs in
     // alphabetical order with >= against every LATER set = argmax with

@@ -191,9 +191,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("c12_join_bucketed").contains("SortMergeJoin"))
   }
 
-  test("j2/l1/l9/l12/l18/l22: near-dedup candidate joins are equi-joins, never all-pairs") {
+  test("j2/l1/l9/l12/l18/l22/l32: near-dedup candidate joins are equi-joins, never all-pairs") {
     Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-      "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram")
+      "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram",
+      "l32_dedup_cluster_cc")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -254,6 +255,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-prep degenerated to an all-pairs join:\n$p")
   }
 
+  test("j16: merge costs one hash exchange per side — the windows' partitioning feeds the join") {
+    // SURVEY §2-J's scale claim for the MERGE shape: base and delta each
+    // window-compact on (user_id, event_type), and the full-outer join
+    // runs on the SAME key, so its distribution requirement is satisfied
+    // by the windows' hashpartitioning — 2 data shuffles total, plus the
+    // contract's final range sort. A 3rd hash Exchange means the join
+    // stopped inheriting the windows' partitioning (e.g. a key-expression
+    // drift between the compaction and the join).
+    val p = plan("j16_merge_upsert")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 2, s"expected 2 hash Exchanges, found $hashShuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge degenerated to an all-pairs join:\n$p")
+  }
+
   test("l20/l21: the weights/vocab join broadcasts — the corpus side never shuffles for it") {
     // both ops join the full corpus against a tiny derived table (≤#sources
     // mix weights; vocabulary-bounded log-probs); losing the broadcast
@@ -312,7 +328,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // no-cartesian test above — skip them here to avoid re-executing them
     val coveredElsewhere =
       Set("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-        "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram")
+        "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram",
+        "l32_dedup_cluster_cc")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("i")) // streaming fns run a real stream; covered by their own specs
       .filterNot(allowed)

@@ -547,6 +547,45 @@ class TrainOpsSpec extends AnyFunSuite {
       "the keep line should be non-vacuous at sf0.01")
   }
 
+  test("l32: a planted 3-doc CHAIN lands in one cluster through the FULL pipeline") {
+    // The semantics the sf0.01 hash can't see: that corpus's dup graph is
+    // 22 pairs + one TRIANGLE (similarity is bimodal — true pairs ≥ 0.9
+    // Jaccard, everything else < 0.3 at any threshold), so its min-labels
+    // coincide with one-hop neighbourhood minima. This fixture plants the
+    // chain case a one-hop formulation gets WRONG: A = 22 distinct tokens
+    // (20 shingles), B = A + 4 tail tokens (24 shingles, J(A,B) = 20/24 ≈
+    // 0.83 ≥ 0.8), C = B + 4 more (28 shingles, J(B,C) = 24/28 ≈ 0.86,
+    // J(A,C) = 20/28 ≈ 0.71 < 0.8 — the ENDPOINTS SHARE NO EDGE). After
+    // one propagation round C still carries B's id; only the iterated
+    // closure relabels it to A's. Exercises shingling, prefix filtering,
+    // verification, AND the closure — not minLabelClosure in isolation
+    // (PropertySpec covers that on random graphs).
+    val s = spark
+    import s.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor"
+    val mid = base + " apple berry cedar dates"
+    val far = mid + " elm fig grape holly"
+    val fixture = Seq(
+      (10L, base, "en"), (11L, mid, "en"), (12L, far, "en"),
+      (13L, "zebra yak wolf vole toad", "en")) // singleton control
+    val dir = java.nio.file.Files.createTempDirectory("graft_l32_fixture").toString
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("l32_dedup_cluster_cc")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    Seq(10L, 11L, 12L).foreach { id =>
+      assert(out(id)._1 == 10L,
+        s"doc $id not labelled with the chain minimum: $out")
+      assert(out(id)._2 == 3L, s"doc $id csize: $out")
+    }
+    assert(out(10L)._3 && !out(11L)._3 && !out(12L)._3,
+      s"canonical flag must mark exactly the min member: $out")
+    assert(out(13L) == ((13L, 1L, true)), s"singleton mishandled: $out")
+  }
+
   test("l3: IVF ANN recall vs the exact top-10 (j4) is useful, not just self-consistent") {
     val ivf = SparkEntry.queries("l3_ann_ivf_topk")(spark, sfTiny)
       .collect().map(_.getLong(0)).toSet
