@@ -9,8 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Project-level so it reaches runMain too: `run / fork` alone does NOT —
+// task-axis delegation never falls through runMain → run, so for 11 rounds
+// every `sbt "runMain graft.{Verify,Bench,ScaleSmoke}"` silently ran
+// IN-PROCESS in the sbt launcher JVM (SBT_OPTS -Xmx4g) and the javaOptions
+// below (add-opens, SPARK_DRIVER_MEM heap) were dead config. A 4 g heap
+// under local[32] explains both the historical bench spread (full-GC
+// pauses read as "VM stall spikes") and heavy probe legs dying at 32×.
+fork := true
 Test / fork := true
-run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
