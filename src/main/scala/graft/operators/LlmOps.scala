@@ -137,6 +137,62 @@ object LlmOps {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** [[minLabelClosure]] with POINTER DOUBLING: each round hooks (adopt the
+    * min label among self + neighbours — one shuffle, same as the plain
+    * closure) and then SHORTCUTS L(u) ← min(L(u), L(L(u))) via a self-join
+    * of the label table on the label value. Hook alone moves a label one
+    * hop per round (rounds = component diameter); the shortcut jumps to
+    * wherever the label's own node has already reached, so the covered
+    * distance ~doubles per round and convergence is O(log diameter) — the
+    * per-round doubling that makes large-star/small-star [CC in MapReduce,
+    * Kiveris et al.] viable on path-shaped components. PropertySpec pins
+    * equality with union-find on random graphs AND ≤15 rounds on a planted
+    * 256-node path — the graph the plain closure's 30-round cap fail-louds
+    * on (also pinned). Trade-off, and why j2/l1/l12 keep the plain
+    * closure: the shortcut costs a SECOND shuffle per round, which buys
+    * nothing on the clique/hub components banded near-dup candidates form
+    * (1–2 rounds either way); it pays off when component diameter is
+    * unknown — exactly the contract of the user-facing clustering key
+    * (l32), which takes an ARBITRARY verified-pair graph.
+    *
+    * Label values are always ids of nodes inside the label table (own ids
+    * initially, mins of those afterwards), so the shortcut join always
+    * finds its target; the left join + coalesce keeps the frame total
+    * anyway. Returns (labels over `ids`, rounds ran) — the round count is
+    * the observable the log-convergence spec pins. */
+  private[graft] def minLabelClosureLog(ids: DataFrame, edges: DataFrame): (DataFrame, Int) = {
+    val e = edges
+    var labels = e.select(col("a_id").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var rounds = 0
+    val maxRounds = 20 // log2(diameter) + slack; 2^20-hop paths don't happen
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = e.join(labels, e("b_id") === labels("doc_id"))
+        .groupBy(e("a_id").as("doc_id")).agg(min(col("cluster_id")).as("nbr_min"))
+      val hooked = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val ptr = hooked
+        .select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val step = hooked.join(ptr, hooked("cluster_id") === ptr("p_id"), "left")
+        .select(col("doc_id"), col("old_id"),
+          least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(eager = false)
+      changed = step.filter(col("cluster_id") < col("old_id")).count()
+      labels = step.select("doc_id", "cluster_id")
+      rounds += 1
+    }
+    require(changed == 0,
+      s"pointer-doubling closure did not converge in $maxRounds rounds")
+    (ids.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")), rounds)
+  }
+
   val queries: Map[String, Q] = Map(
     // exact dedup: keep min doc_id per sha256(text)
     "j1_dedup_exact" -> ((s, d) =>

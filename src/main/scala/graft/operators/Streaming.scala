@@ -253,6 +253,51 @@ object Streaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // i15: stream-stream LEFT OUTER join — the OTHER half of the i8
+    // attribution shape, and semantics no batch rewrite gets for free:
+    // matched (click, purchase) pairs emit like i8's inner join, but an
+    // UNMATCHED click emits (with null purchase columns) only when the
+    // watermark proves no matching purchase can arrive any more — i.e.
+    // when it passes click_ts + 30 min, the upper bound of the join's
+    // event-time window. That is the state-EVICTION moment: outer-join
+    // null emission and state cleanup are the same commit, so join state
+    // stays bounded by the watermark horizon on an unbounded stream
+    // exactly as in i8. Over AvailableNow the final watermark is
+    // max(ts) − 1 h (ms-truncated, the i9 rule) and the trailing no-data
+    // batch performs the eviction — so the result is a batch-expressible
+    // cut: all matched pairs + unmatched clicks with click_ts + 30 min
+    // STRICTLY below the final watermark (boundary pinned empirically by
+    // StreamingSpec's planted boundary-click fixture: a click sitting
+    // exactly at wm − 30 min does NOT emit). Output order sorts on
+    // coalesce(purchase_id, −1): Spark sorts NULLS FIRST ascending,
+    // DuckDB NULLS LAST — the coalesce removes the engine disagreement
+    // instead of papering over it per engine.
+    "i15_stream_stream_left_join" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = eventsStream(s, d).withWatermark("ts", "1 hour")
+        val clicks = ev
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = ev
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+            col("ts").as("purchase_ts"))
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        runToTable(s, joined, "append")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            epochUs(col("click_ts")).as("click_ts_us"),
+            epochUs(col("purchase_ts")).as("purchase_ts_us"))
+          .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // i9: the PRODUCTION output mode of the i1 tumbling aggregation —
     // Append: a window is emitted exactly once, when the watermark passes
     // its end, and its state-store entry is EVICTED in the same commit;
@@ -704,6 +749,32 @@ object Streaming {
           AND epoch_us(p.ts) >= epoch_us(c.ts)
           AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-         ORDER BY click_id, purchase_id"""
+         ORDER BY click_id, purchase_id""",
+
+    // i8's join + the outer leg: an unmatched click survives the final
+    // eviction cut only when click_ts + 30 min sits STRICTLY below the
+    // i9-rule watermark (max(ts) − 1 h, ms-truncated) — the boundary
+    // pinned by StreamingSpec's planted boundary-click case. The sort
+    // key coalesces null purchase_id to −1 (Spark NULLS FIRST vs DuckDB
+    // NULLS LAST would otherwise order the same rows differently).
+    "i15_stream_stream_left_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                           epoch_us(ts) AS click_ts_us
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id,
+                      epoch_us(ts) AS purchase_ts_us
+               FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts_us,
+                      p.purchase_ts_us
+               FROM c LEFT JOIN p
+                 ON c.user_id = p.user_id
+                AND p.purchase_ts_us >= c.click_ts_us
+                AND p.purchase_ts_us - c.click_ts_us <= 1800000000)
+         SELECT click_id, purchase_id, user_id, click_ts_us, purchase_ts_us
+         FROM j
+         WHERE purchase_id IS NOT NULL
+            OR click_ts_us + 1800000000 <
+               (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+         ORDER BY click_id, coalesce(purchase_id, -1)"""
   )
 }

@@ -1497,12 +1497,15 @@ object TrainOps {
     // NOT transitivity; the chain case a one-hop formulation gets wrong
     // is pinned by TrainOpsSpec's planted 3-doc chain run through this
     // whole query, and by PropertySpec's random-graph union-find
-    // property on minLabelClosure itself. Scale: closure
+    // property on the closure itself. Scale: closure
     // state is (doc_id, cluster_id) longs for dup-subgraph nodes ONLY
     // (singletons re-join at the end), each round shuffles O(dup docs) —
-    // never text — and rounds ≤ component diameter (near-dup clusters are
-    // shallow hubs; an adversarial long-chain corpus would call for the
-    // large-star/small-star doubling variant).
+    // never text — and this key uses minLabelClosureLog, the pointer-
+    // doubling (hook + shortcut) variant, so rounds are O(log component
+    // diameter): the user-facing clustering key takes an ARBITRARY
+    // verified-pair graph, and a path-shaped component must not cost
+    // diameter rounds (PropertySpec pins ≤15 rounds on a 256-node path,
+    // where the plain closure's 30-round cap fail-louds).
     "l32_dedup_cluster_cc" -> ((s, d) => {
       val shing = LlmOps.shingleRows(s, d)
         .localCheckpoint(eager = false) // feeds df, prefixes, verification
@@ -1516,12 +1519,71 @@ object TrainOps {
       val edges = pairs
         .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .localCheckpoint(eager = false) // re-read every closure round
-      val clusters = LlmOps.minLabelClosure(
-        t(s, d, "documents").select("doc_id"), edges)
+      val clusters = LlmOps.minLabelClosureLog(
+        t(s, d, "documents").select("doc_id"), edges)._1
       val csize = clusters.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
       clusters.join(csize, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("csize"),
           (col("doc_id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // l33: DSIR-style importance weighting [Xie et al., NeurIPS'23] — the
+    // data-SELECTION op of the brief's training-data family: score every
+    // doc by how much more likely its hashed n-gram features are under a
+    // TARGET domain sample than under the raw pool, keep docs whose
+    // log-likelihood ratio is positive ("more target-like than not" — the
+    // hard-threshold variant of DSIR's importance resampling). Features =
+    // unigrams + word bigrams hashed into 64 buckets (md5 first-6-hex mod
+    // 64 — the l10/l20 determinism idiom, engine-portable); target = the
+    // src0–src4 curated slice (125/500 docs at sf0.01); both bucket
+    // distributions Laplace-smoothed over the 64 buckets; per-bucket
+    // log-ratio quantized to integer MICRO-NATS (l21's trick) so each
+    // doc's sum is exact integer arithmetic and summation order can never
+    // flip the keep. keep = llr_munats >= 0 is non-vacuous by
+    // construction at this corpus (213/500 keep; min |llr| = 104 munats,
+    // comfortably off the boundary — the residual 1-ulp ln risk is the
+    // same accepted class as l21/j6/l27). Scale: the gram stream is a
+    // flat map fused into the scan; the histogram agg's OUTPUT is
+    // 64 rows regardless of corpus size (map-side combinable), joined
+    // back as a BROADCAST — so the whole op is two linear passes with
+    // zero data-sized shuffle beyond the contract sort. At 100 TB the
+    // importance model trains on the same bounded histogram a laptop
+    // would produce.
+    "l33_select_dsir" -> ((s, d) => {
+      val tgtSrcs = Seq("src0", "src1", "src2", "src3", "src4")
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), ws.as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(concat(col("ws"),
+            when(size(col("ws")) >= 2,
+              transform(sequence(lit(0), size(col("ws")) - 2),
+                i => concat_ws(" ",
+                  element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+              .otherwise(array().cast("array<string>")))).as("gram"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("gram").cast(BinaryType)), 1, 6), 16, 10)
+            .cast(LongType) % 64).as("bkt"))
+        .localCheckpoint(eager = false) // feeds the histogram AND the per-doc sum
+      val w = Window.partitionBy()
+      val hist = grams.groupBy("bkt")
+        .agg(sum(when(col("source").isin(tgtSrcs: _*), 1L).otherwise(0L)).as("t_cnt"),
+          count(lit(1)).as("r_cnt"))
+        .withColumn("t_tot", sum(col("t_cnt")).over(w))
+        .withColumn("r_tot", sum(col("r_cnt")).over(w))
+        .select(col("bkt"),
+          floor((log((col("t_cnt") + 1L).cast(DoubleType) / (col("t_tot") + 64L))
+            - log((col("r_cnt") + 1L).cast(DoubleType) / (col("r_tot") + 64L)))
+            * 1e6 + 0.5).cast(LongType).as("q_llr"))
+      grams.join(broadcast(hist), "bkt")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("q_llr")).as("llr_munats"))
+        .select(col("doc_id"), col("n_grams"), col("llr_munats"),
+          (floor(col("llr_munats").cast(DoubleType) / col("n_grams") / 1e6 * 1e4
+            + 0.5) / 1e4).as("mean_llr"),
+          (col("llr_munats") >= 0L).as("keep"))
         .orderBy("doc_id")
     })
   )
@@ -1893,6 +1955,53 @@ object TrainOps {
          SELECT doc_id, cluster_id, csize, doc_id = cluster_id AS is_canonical
          FROM reach JOIN cs USING (cluster_id)
          ORDER BY doc_id""",
+
+    // same tokenizer as l32's toks/ftoks CTEs; bigrams via lead() over the
+    // token order; bucket/smoothing/quantization mirror the Spark exprs
+    // term-for-term (ln on identical rationals, floor(x*1e6+0.5) munats)
+    "l33_select_dsir" ->
+      """WITH toks AS (
+           SELECT doc_id, source, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, source,
+                        string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, source, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         grams AS (
+           SELECT doc_id, source, term AS gram FROM ftoks
+           UNION ALL
+           SELECT doc_id, source, gram FROM (
+             SELECT doc_id, source,
+                    term || ' ' || lead(term) OVER w AS gram,
+                    lead(term) OVER w AS nxt
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE nxt IS NOT NULL),
+         bk AS (
+           SELECT doc_id, source,
+                  CAST('0x' || substr(md5(gram), 1, 6) AS BIGINT) % 64 AS bkt
+           FROM grams),
+         hist AS (
+           SELECT bkt,
+                  CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+                  CAST(count(*) AS BIGINT) AS r_cnt
+           FROM bk GROUP BY 1),
+         q AS (
+           SELECT bkt,
+                  CAST(floor((ln((t_cnt + 1)::DOUBLE / (sum(t_cnt) OVER () + 64)) -
+                              ln((r_cnt + 1)::DOUBLE / (sum(r_cnt) OVER () + 64)))
+                             * 1e6 + 0.5) AS BIGINT) AS q_llr
+           FROM hist),
+         per AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                  CAST(sum(q_llr) AS BIGINT) AS llr_munats
+           FROM bk JOIN q USING (bkt) GROUP BY 1)
+         SELECT doc_id, n_grams, llr_munats,
+                floor(llr_munats::DOUBLE / n_grams / 1e6 * 1e4 + 0.5) / 1e4 AS mean_llr,
+                llr_munats >= 0 AS keep
+         FROM per ORDER BY doc_id""",
 
     // same 5-way argmax as the Spark side: the CASE chain checks langs in
     // alphabetical order with >= against every LATER set = argmax with

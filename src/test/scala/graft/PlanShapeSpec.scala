@@ -270,11 +270,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"merge degenerated to an all-pairs join:\n$p")
   }
 
-  test("l20/l21: the weights/vocab join broadcasts — the corpus side never shuffles for it") {
-    // both ops join the full corpus against a tiny derived table (≤#sources
-    // mix weights; vocabulary-bounded log-probs); losing the broadcast
-    // would shuffle the corpus on the join key — the regression to catch
-    Seq("l20_sample_by_weight", "l21_unigram_logprob").foreach { k =>
+  test("l20/l21/l33: the weights/vocab/histogram join broadcasts — the corpus side never shuffles for it") {
+    // all three join the full corpus against a tiny derived table (≤#sources
+    // mix weights; vocabulary-bounded log-probs; the 64-bucket importance
+    // histogram); losing the broadcast would shuffle the corpus on the
+    // join key — the regression to catch
+    Seq("l20_sample_by_weight", "l21_unigram_logprob", "l33_select_dsir").foreach { k =>
       val p = plan(k)
       assert(p.contains("BroadcastHashJoin"), s"$k lost its broadcast join:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$k shuffles the corpus to join:\n$p")

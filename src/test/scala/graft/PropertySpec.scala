@@ -66,6 +66,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minLabelClosureLog == union-find connected components on random graphs") {
+    val rnd = new Random(29)
+    import spark.implicits._
+    (1 to 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(30)
+      val ids = (0L until n).toSeq
+      val edges = (Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (0 until rnd.nextInt(4)).map(i => (i.toLong, (i + 1).toLong)))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.ArrayBuffer.range(0L, n)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r.toInt) != r) r = parent(r.toInt)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent((ra max rb).toInt) = ra min rb
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val got = operators.LlmOps.minLabelClosureLog(
+          ids.toDF("doc_id"), sym.toDF("a_id", "b_id"))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$sym")
+    }
+  }
+
+  test("minLabelClosureLog: 256-node path converges in O(log n) rounds; plain closure can't") {
+    // The graph the doubling variant exists for: a path 0-1-…-255 has
+    // component diameter 255, so plain min-label propagation needs 255
+    // rounds — its 30-round convergence cap fail-louds (by design: that
+    // cap IS the "switch algorithms past this shape" boundary the
+    // scaladoc declares). The hook+shortcut variant must label the whole
+    // path with 0 in ≤15 rounds (measured ~10: covered distance roughly
+    // doubles per round, 2^10 > 255, +1 round to observe convergence).
+    import spark.implicits._
+    val n = 256
+    val ids = (0L until n).toDF("doc_id")
+    val path = (0L until n - 1).map(i => (i, i + 1))
+    val sym = (path ++ path.map(_.swap)).toDF("a_id", "b_id")
+    val (labels, rounds) = operators.LlmOps.minLabelClosureLog(ids, sym)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap, "path not fully contracted")
+    assert(rounds <= 15, s"pointer doubling took $rounds rounds on a 256-path")
+    val plain = intercept[IllegalArgumentException] {
+      operators.LlmOps.minLabelClosure(ids, sym).count()
+    }
+    assert(plain.getMessage.contains("did not converge"),
+      s"expected the plain closure's convergence cap to fire: ${plain.getMessage}")
+  }
+
   test("l13 packing == sequential reference packer on random corpora") {
     val rnd = new Random(99)
     import spark.implicits._

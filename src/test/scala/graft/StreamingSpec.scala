@@ -134,6 +134,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("i15 boundary: a click EXACTLY at watermark − 30 min does not null-extend") {
+    // Pins the oracle's eviction-cut comparator (STRICT <): over
+    // AvailableNow the final watermark is max(ts) − 1 h (ms-truncated),
+    // and an unmatched click emits its null-extended row only when
+    // click_ts + 30 min < wm — a click sitting EXACTLY on the boundary
+    // stays in state (eviction requires the watermark to PASS the
+    // deadline, not merely reach it). Fixture through the FULL i15 query
+    // (file source, raw-ns longs, AvailableNow — the exact path the
+    // oracle models): wm = 09:00:00; planted clicks at 08:29:59 (below
+    // boundary → null row), 08:30:00 (exactly at → held), 08:31:00
+    // (above → held), plus a matched pair (always emits) and the
+    // max-ts click that sets the watermark (held — its own deadline is
+    // far past wm).
+    import spark.implicits._
+    def ns(s: String): Long = Timestamp.valueOf(s).getTime * 1000000L
+    val rows = Seq(
+      (1L, ns("2024-01-01 07:00:00"), 7L, "click", 1.0, "{}"),
+      (100L, ns("2024-01-01 07:10:00"), 7L, "purchase", 1.0, "{}"),
+      (2L, ns("2024-01-01 08:29:59"), 1L, "click", 1.0, "{}"),
+      (3L, ns("2024-01-01 08:30:00"), 2L, "click", 1.0, "{}"),
+      (4L, ns("2024-01-01 08:31:00"), 3L, "click", 1.0, "{}"),
+      (5L, ns("2024-01-01 10:00:00"), 9L, "click", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_i15_fixture").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("i15_stream_stream_left_join")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == Set(1L -> 100L, 2L -> -1L),
+      s"expected the matched pair and ONLY the below-boundary null row, got $got")
+  }
+
   test("i1 Append variant: watermark evicts finalized windows from the state store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
