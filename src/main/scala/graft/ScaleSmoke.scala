@@ -40,7 +40,8 @@ object ScaleSmoke {
     // one micro-batch per time slice) instead of the generic wall-time run
     val streamProbeKeys =
       Set("i9_stream_tumbling_append", "i11_stream_session_append",
-        "i12_stream_drift", "i14_stream_lake_sink")
+        "i12_stream_drift", "i14_stream_lake_sink",
+        "i15_stream_stream_left_join", "i16_stream_dedup_within_wm")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,7 +123,8 @@ object ScaleSmoke {
     // multiplies (user_id, event_type) version chains — the realistic
     // growth axis of a dimension-history build — while chain LENGTH stays
     // fixed. ts is the raw-ns long here (nanosAsLong session).
-    val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert")
+    val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
+      "j17_incremental_agg")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
@@ -132,6 +134,27 @@ object ScaleSmoke {
           col("ts"), (col("user_id") + col("clone") * nu).as("user_id"),
           col("event_type"), col("value"), col("props"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    // c14 scales on the SKEW axis instead: clone k keeps user_id (the join
+    // key) and shifts only event_id, so every customer's fact rows —
+    // including the hot keys the salt exists to spread — multiply by the
+    // factor while the dim stays fixed. The dim table rides along
+    // unchanged; the salt (hash of the shifted event_id) keeps spreading
+    // each hot key's growing row block over all 16 reducers.
+    val eventsFactKeys = Set("c14_join_salted_skew")
+    if (keys.exists(eventsFactKeys)) {
+      require(!keys.exists(eventsBatchKeys),
+        "c14 (user-preserving clone) and the j15/j16/j17 (user-shifting) " +
+          "probes write conflicting events clones — run them separately")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val ne = ev.agg(max("event_id")).head().getLong(0) + 1
+      ev.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
+        .select((col("event_id") + col("clone") * ne).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      spark.read.parquet(s"$src/customer.parquet")
+        .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     }
     val rows = spark.read.parquet(s"$dir/documents.parquet").count()
 
@@ -213,8 +236,30 @@ object ScaleSmoke {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // i9 and i12 share the tumblingAgg streaming stage (i12's drift math
     // is a stateless enrichment over the finalized rows — state-wise the
-    // probe question is identical); i11 probes sessionAgg
-    val agg = if (key.startsWith("i11")) operators.Streaming.sessionAgg(stream)
+    // probe question is identical); i11 probes sessionAgg. i15 probes the
+    // outer stream-stream join (state = buffered click/purchase rows of
+    // the un-evictable horizon) and i16 the within-watermark dedup
+    // (state = event_ids of the horizon) — both must stay slice-bounded.
+    val isJoin = key.startsWith("i15")
+    val isDedup = key.startsWith("i16")
+    val agg =
+      if (key.startsWith("i11")) operators.Streaming.sessionAgg(stream)
+      else if (isJoin) {
+        val wm = stream.withWatermark("ts", "1 hour")
+        val clicks = wm.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+        val purchases = wm.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+      } else if (isDedup)
+        stream.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
       else operators.Streaming.tumblingAgg(stream)
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
@@ -261,7 +306,19 @@ object ScaleSmoke {
         }
       }.maxOption.getOrElse(0L)
       require(removed > 0, s"$key probe: watermark never evicted state")
-      val bound = emitted.toDouble / factor * 1.5 + 100
+      // One-slice state base: the aggs hold open WINDOWS (≈ emitted rows
+      // per slice); the dedup and join ops hold the ROWS of the
+      // un-evictable horizon — a full slice's relevant rows (every row for
+      // i16, clicks+purchases for i15) plus the ≤2 h tail of the previous
+      // slice (eviction lags one batch; the watermark sits 1 h behind the
+      // previous slice's max and state expiry adds the 1 h delay). The
+      // 1.5× slack absorbs that tail; the claim under test is the same
+      // for all: doubling the factor must NOT move peak state.
+      val sliceBase =
+        if (isJoin) ev.filter(col("event_type").isin("click", "purchase")).count().toDouble
+        else if (isDedup) ev.count().toDouble
+        else emitted.toDouble / factor
+      val bound = sliceBase * 1.5 + 100
       require(maxState <= bound,
         s"$key probe x$factor: peak state rows $maxState exceeds the one-slice " +
           s"bound $bound (emitted $emitted) — state is growing with stream " +

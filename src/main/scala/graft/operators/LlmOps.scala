@@ -521,6 +521,67 @@ object LlmOps {
             .when(col("b.user_id").isNull, lit("insert"))
             .otherwise(lit("update")).as("action"))
         .orderBy("user_id", "event_type")
+    }),
+
+    // j17: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    // refresh shape: a per-key aggregate table built from events ≤ the
+    // j11 cutoff (BASE) is brought current by MERGING a delta aggregate
+    // (events after the cutoff) using partial-aggregate algebra — counts
+    // add, quantized sums add, min/max combine — NEVER by rescanning
+    // the base data. This is the associative-merge property every
+    // distributed agg relies on within a job, promoted to the job
+    // BOUNDARY: at 100 TB the nightly refresh aggregates only the day's
+    // delta and merges, and this key IS that merge. value is quantized
+    // to integer MICRO-UNITS before summing (the l5/l21 rule) so
+    // base+delta addition is exact integer math — the merged sum cannot
+    // drift from a one-shot aggregate by summation order (equality with
+    // the one-shot aggregate over all events is pinned by
+    // StreamingSpec's refresh-equivalence test). min/max merge via the
+    // least/greatest-of-coalesce forms (null-safe identically in both
+    // engines, avoiding engine-specific NULL-skipping rules). action
+    // tags each key 'unchanged' / 'updated' / 'new' — the refresh audit
+    // column. The view grain is the classic daily rollup (user_id,
+    // event_type, day): a MID-DAY cutoff (2024-01-15 12:00) makes the
+    // cutoff day's keys 'updated', earlier days 'unchanged', later days
+    // 'new' — all three states occur naturally (397/393/2 at sf0.001;
+    // a whole-key grain would be all-'updated' on this corpus, since
+    // every (user, type) is active on both sides of any cutoff). Scale:
+    // two partial aggregates (each map-side combinable, output bounded
+    // by key cardinality) + one full-outer join on the SAME grouping
+    // key — the aggs' hash partitioning feeds the join, so the merge
+    // costs no extra data shuffle.
+    "j17_incremental_agg" -> ((s, d) => {
+      val cutoff = lit("2024-01-15 12:00:00").cast(TimestampType)
+      val ev = t(s, d, "events")
+      def gAgg(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"), col("event_type"),
+          epochUs(date_trunc("day", col("ts"))).as("day_us"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1e6 + 0.5).cast(LongType)).as("sum_uval"),
+          min(epochUs(col("ts"))).as("min_ts_us"),
+          max(epochUs(col("ts"))).as("max_ts_us"))
+      val base = gAgg(ev.filter(col("ts") <= cutoff))
+      val delta = gAgg(ev.filter(col("ts") > cutoff))
+      base.as("b").join(delta.as("d"),
+          col("b.user_id") === col("d.user_id") &&
+            col("b.event_type") === col("d.event_type") &&
+            col("b.day_us") === col("d.day_us"), "full_outer")
+        .select(
+          coalesce(col("b.user_id"), col("d.user_id")).as("user_id"),
+          coalesce(col("b.event_type"), col("d.event_type")).as("event_type"),
+          coalesce(col("b.day_us"), col("d.day_us")).as("day_us"),
+          (coalesce(col("b.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("b.sum_uval"), lit(0L)) + coalesce(col("d.sum_uval"), lit(0L)))
+            .as("sum_uval"),
+          least(coalesce(col("b.min_ts_us"), col("d.min_ts_us")),
+            coalesce(col("d.min_ts_us"), col("b.min_ts_us"))).as("min_ts_us"),
+          greatest(coalesce(col("b.max_ts_us"), col("d.max_ts_us")),
+            coalesce(col("d.max_ts_us"), col("b.max_ts_us"))).as("max_ts_us"),
+          when(col("d.user_id").isNull, lit("unchanged"))
+            .when(col("b.user_id").isNull, lit("new"))
+            .otherwise(lit("updated")).as("action"))
+        .orderBy("user_id", "event_type", "day_us")
     })
   )
 
@@ -710,6 +771,43 @@ object LlmOps {
                      ELSE 'update' END AS action
          FROM base b FULL OUTER JOIN delta d
            ON b.user_id = d.user_id AND b.event_type = d.event_type
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+
+    // same partial-aggregate merge algebra: quantize-then-sum micro-unit
+    // values, least/greatest-of-coalesce min/max (null-safe identically
+    // on both engines), key-null CASE for the action tag
+    "j17_incremental_agg" ->
+      """WITH base AS (
+           SELECT user_id, event_type,
+                  epoch_us(date_trunc('day', ts)) AS day_us,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_uval,
+                  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 12:00:00'
+           GROUP BY 1, 2, 3),
+         delta AS (
+           SELECT user_id, event_type,
+                  epoch_us(date_trunc('day', ts)) AS day_us,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_uval,
+                  min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+           FROM events WHERE ts > TIMESTAMP '2024-01-15 12:00:00'
+           GROUP BY 1, 2, 3)
+         SELECT coalesce(b.user_id, d.user_id) AS user_id,
+                coalesce(b.event_type, d.event_type) AS event_type,
+                coalesce(b.day_us, d.day_us) AS day_us,
+                coalesce(b.cnt, 0) + coalesce(d.cnt, 0) AS cnt,
+                coalesce(b.sum_uval, 0) + coalesce(d.sum_uval, 0) AS sum_uval,
+                least(coalesce(b.min_ts_us, d.min_ts_us),
+                      coalesce(d.min_ts_us, b.min_ts_us)) AS min_ts_us,
+                greatest(coalesce(b.max_ts_us, d.max_ts_us),
+                         coalesce(d.max_ts_us, b.max_ts_us)) AS max_ts_us,
+                CASE WHEN d.user_id IS NULL THEN 'unchanged'
+                     WHEN b.user_id IS NULL THEN 'new'
+                     ELSE 'updated' END AS action
+         FROM base b FULL OUTER JOIN delta d
+           ON b.user_id = d.user_id AND b.event_type = d.event_type
+          AND b.day_us = d.day_us
+         ORDER BY user_id, event_type, day_us"""
   )
 }

@@ -338,6 +338,35 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // c14: SKEW-SALTED equi-join — the manual join-side skew idiom (the
+    // d15 aggregation trick applied to joins, for when AQE's runtime
+    // skew-join split can't help: a FIRST-shuffle hot key, e.g. the
+    // "null user" or "anonymous session" id every event table has).
+    // Fact side gets salt = hash(event_id) mod 16; the dim side is
+    // EXPLODED 16× (one copy per salt) so the join key becomes
+    // (key, salt) and one hot key's rows spread over 16 reducers
+    // instead of stalling one. The dim replication is the PRICE of the
+    // idiom — 16× a dim is still tiny next to one stalled reducer at
+    // 100 TB. merge-hinted so the demo actually exercises the
+    // sort-merge path it exists for (a broadcast would bypass the skew
+    // problem entirely — and at the real scale the dim may not fit).
+    // Salt-independence of the result = the oracle is the PLAIN join.
+    "c14_join_salted_skew" -> ((s, d) => {
+      val nSalt = 16
+      val fact = t(s, d, "events")
+        .select(col("user_id"), col("value"),
+          pmod(hash(col("event_id")), lit(nSalt)).as("salt"))
+      val dim = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+      fact.join(dim.hint("merge"),
+          col("user_id") === col("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          dbl(sum(dec(col("value"), 25, 10))).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // the same as-of semantics as c10, through the NATIVE custom operator
     // (graft.plans.AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): a
     // streaming merge over co-partitioned sorted runs with one carried
@@ -519,6 +548,14 @@ object Relational {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
            count(*) AS item_cnt
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // the salt is engine-internal and result-invariant: the oracle is
+    // the PLAIN equi-join the salted plan must be indistinguishable from
+    "c14_join_salted_skew" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1 ORDER BY 1""",
 
     "c3_join_left_outer" ->

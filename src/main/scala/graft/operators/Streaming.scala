@@ -298,6 +298,32 @@ object Streaming {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // i16: dedup WITHIN the watermark — `dropDuplicatesWithinWatermark`,
+    // the production-bounded-state cousin of i4. i4 keeps event time in
+    // the dedup key, so its state evicts only because (id, ts) pairs age
+    // out with the watermark; THIS operator dedups on event_id ALONE
+    // while still promising bounded state, by weakening the guarantee to
+    // "duplicates arriving within the watermark delay of each other are
+    // dropped" — a key re-ADMITS after its state ages out (pinned by
+    // StreamingSpec's planted cross-batch dup fixture: suppressed while
+    // in state, re-emitted after eviction). That weaker-but-bounded
+    // contract is exactly what at-least-once ingest needs at 100 TB:
+    // transport retries land within seconds of the original, so a
+    // watermark-sized dedup window catches them with state that never
+    // grows past the horizon — i4's key-plus-time state would instead
+    // hold EVERY key of an unbounded stream's horizon. Over AvailableNow
+    // the corpus's event_ids are unique, so append emits every row and
+    // the oracle is the same full-table SELECT as i4's.
+    "i16_stream_dedup_within_wm" -> ((s, d) => {
+      val deduped = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          epochUs(col("ts")).as("ts_us"), col("value"))
+      runToTable(s, deduped, "append")
+        .orderBy("event_id")
+    }),
+
     // i9: the PRODUCTION output mode of the i1 tumbling aggregation —
     // Append: a window is emitted exactly once, when the watermark passes
     // its end, and its state-store entry is EVICTED in the same commit;
@@ -667,6 +693,13 @@ object Streaming {
 
     "i4_stream_dedup" ->
       """SELECT DISTINCT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+         FROM events ORDER BY event_id""",
+
+    // event_ids are unique in the corpus, so the single-batch result is
+    // the full table (like i4); the within-watermark re-admission
+    // semantics are pinned by StreamingSpec's cross-batch dup fixture
+    "i16_stream_dedup_within_wm" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
          FROM events ORDER BY event_id""",
 
     "i5_stream_stateful_running" ->

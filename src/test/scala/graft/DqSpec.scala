@@ -27,6 +27,32 @@ class DqSpec extends AnyFunSuite {
       s"expected a schema-merge error, got: ${ex.getMessage.take(200)}")
   }
 
+  test("j17 incremental refresh == one-shot aggregate over all events") {
+    // The property the key exists for: merging the base and delta partial
+    // aggregates with partial-aggregate algebra must be INDISTINGUISHABLE
+    // from aggregating all events in one shot — cnt, quantized sum,
+    // min/max, every key. The micro-unit quantization is what makes the
+    // sum leg exact (quantize-then-sum is associative; sum-then-quantize
+    // would drift with grouping). Also checks the action tags partition
+    // the keys non-vacuously at sf0.001 (all three states occur).
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("j17_incremental_agg")(spark, sfTiny)
+    val oneShot = Tables.t(spark, sfTiny, "events")
+      .groupBy(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_uval"),
+        min(unix_micros(col("ts"))).as("min_ts_us"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+    assert(merged.drop("action").exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(merged.drop("action")).count() == 0,
+      "merged refresh diverged from the one-shot aggregate")
+    val actions = merged.groupBy("action").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("unchanged", "updated", "new").forall(a => actions.getOrElse(a, 0L) > 0),
+      s"action tags must be non-vacuous: $actions")
+  }
+
   test("j14 counts planted uniqueness/referential/range/null violations") {
     import spark.implicits._
     val dir = Tables.scratch(spark, "dq_fixture", "j14")

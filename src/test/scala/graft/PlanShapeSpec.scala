@@ -255,6 +255,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-prep degenerated to an all-pairs join:\n$p")
   }
 
+  test("c14: the salted join stays sort-merge — a broadcast would bypass the skew demo") {
+    // the key exists to demonstrate reducer-spreading on the SHUFFLE
+    // path; Catalyst folding the 24k-row exploded dim into a broadcast
+    // would silently turn the demo into a no-op (and at the real scale
+    // the dim may not fit an executor)
+    val p = plan("c14_join_salted_skew")
+    assert(p.contains("SortMergeJoin"), s"salted join lost its merge hint:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"salted join broadcast anyway:\n$p")
+  }
+
   test("j16: merge costs one hash exchange per side — the windows' partitioning feeds the join") {
     // SURVEY §2-J's scale claim for the MERGE shape: base and delta each
     // window-compact on (user_id, event_type), and the full-outer join

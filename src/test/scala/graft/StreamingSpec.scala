@@ -166,6 +166,46 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the matched pair and ONLY the below-boundary null row, got $got")
   }
 
+  test("i16 dropDuplicatesWithinWatermark: dups suppressed in-state, re-admitted after eviction") {
+    // The contract that distinguishes i16 from i4: dedup key is event_id
+    // ALONE (no event time), state is bounded by the watermark delay, and
+    // the guarantee is correspondingly weaker — a duplicate arriving
+    // while the key is in state is dropped; once the watermark ages the
+    // key out, the SAME id is re-admitted and re-emitted. Controlled
+    // batches via MemoryStream (AvailableNow over one file cannot show
+    // eviction-then-readmission).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val deduped = in.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("i16_spec")
+      .outputMode("append").start()
+    def emitted: Seq[Long] = spark.table("i16_spec")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    try {
+      // batch 1: id 1 twice in one batch — one emission
+      in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq(1L), s"in-batch dup must collapse: $emitted")
+      // batch 2: id 1 again while its state is alive (wm = 09:05) — dropped
+      in.addData((1L, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq(1L), s"in-state dup must drop: $emitted")
+      // batch 3: advance the watermark far past id 1's expiry (10:00 + 1 h)
+      in.addData((9L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // batch 4: id 1 returns AFTER eviction — the weaker guarantee
+      // re-admits it (this is exactly what i4's key-plus-time state
+      // would also emit, but with state for every key ever seen)
+      in.addData((1L, ts("2024-01-01 14:30:00")))
+      q.processAllAvailable()
+      assert(emitted.sorted == Seq(1L, 1L, 9L),
+        s"evicted key must re-admit: $emitted")
+    } finally q.stop()
+  }
+
   test("i1 Append variant: watermark evicts finalized windows from the state store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
