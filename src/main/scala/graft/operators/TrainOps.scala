@@ -1585,6 +1585,56 @@ object TrainOps {
             + 0.5) / 1e4).as("mean_llr"),
           (col("llr_munats") >= 0L).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // l34: DYNAMIC partition pruning — the RUNTIME half of l28's scan
+    // lever. l28 prunes on a LITERAL partition predicate; the other
+    // production shape is "scan the lake for whatever partitions a dim
+    // query selects", where the partition set is only known at run time
+    // (here: langs whose md5 bucket ≡ 0 mod 4 — {de, fr}, 2 of 5
+    // partitions, derived from a SCANNED frame so Catalyst cannot fold
+    // it to literals and static pruning is impossible). Spark's
+    // DynamicPartitionPruning rule plants an IN-subquery partition
+    // filter on the lake scan fed by the join's reused dim BROADCAST:
+    // the fact side lists and reads 2 of 5 partition directories at any
+    // corpus size — the lever a star-schema fact scan lives on at
+    // 100 TB, where the dim predicate (not a literal) decides which
+    // day/tenant/language slices of the lake exist to the job. Pruning
+    // asserted FAIL-LOUD from the plan tree (a DynamicPruning partition
+    // filter on the lake scan, looked up through the AQE wrapper);
+    // results are layout-invariant, so the oracle is the same join on
+    // the FLAT table.
+    "l34_join_dpp_prune" -> ((s, d) => {
+      val dir = cachedFixture(s, d, "langpart_docs") { tmp =>
+        s.read.parquet(s"$d/documents.parquet")
+          .write.partitionBy("lang").parquet(s"$tmp/documents_by_lang")
+      }
+      val dim = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+        .filter(conv(substring(md5(col("lang").cast(BinaryType)), 1, 6), 16, 10)
+          .cast(LongType) % 4 === 0)
+      val joined = s.read.parquet(s"$dir/documents_by_lang")
+        .join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          max(col("lang_docs")).as("lang_docs"))
+        .orderBy("lang")
+      val phys = joined.queryExecution.executedPlan
+      val root = phys match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val lakeScans = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths
+              .exists(_.toString.contains("documents_by_lang")) => f
+      }
+      require(lakeScans.nonEmpty && lakeScans.forall(_.partitionFilters.exists(
+          _.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
+        "runtime DPP filter missing on the lake scan:\n" + root.toString)
+      joined
     })
   )
 
@@ -2002,6 +2052,20 @@ object TrainOps {
                 floor(llr_munats::DOUBLE / n_grams / 1e6 * 1e4 + 0.5) / 1e4 AS mean_llr,
                 llr_munats >= 0 AS keep
          FROM per ORDER BY doc_id""",
+
+    // same dim derivation (md5-of-lang bucket mod 4) and join on the FLAT
+    // table — the key's claim is that the partitioned lake path returns
+    // the identical answer while provably reading 2 of 5 partitions
+    "l34_join_dpp_prune" ->
+      """WITH dim AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+           FROM documents GROUP BY lang
+           HAVING (CAST('0x' || substr(md5(lang), 1, 6) AS BIGINT) % 4) = 0)
+         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) AS chars,
+                CAST(max(dim.lang_docs) AS BIGINT) AS lang_docs
+         FROM documents d JOIN dim USING (lang)
+         GROUP BY d.lang ORDER BY d.lang""",
 
     // same 5-way argmax as the Spark side: the CASE chain checks langs in
     // alphabetical order with >= against every LATER set = argmax with

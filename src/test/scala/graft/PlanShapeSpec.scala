@@ -384,6 +384,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lang re-filtered after the scan:\n$p")
   }
 
+  test("l34: runtime DPP prunes the lake to the dim-selected partitions") {
+    // the in-query require() already fail-louds when the DynamicPruning
+    // partition filter is missing from the lake scan's plan tree, so
+    // BUILDING the query is itself the pruning assertion; pin here the
+    // rest of the shape and the semantics: the dim rides a broadcast
+    // hash join (the exchange DPP's subquery reuses), and the
+    // runtime-selected partition set is exactly the md5-bucket langs
+    val df = SparkEntry.queries("l34_join_dpp_prune")(spark, sfTiny)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("de", "fr"),
+      "runtime-pruned partition set drifted from {de, fr}")
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
