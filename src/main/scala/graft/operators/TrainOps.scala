@@ -200,6 +200,96 @@ object TrainOps {
           .as("jaccard"))
   }
 
+  /** Verified exact-Jaccard pairs over word-3-gram shingles — the l9
+    * PPJoin kernel's output `(a_id, b_id, jaccard)` at J >= 4/5,
+    * computed ONCE per (session, corpus) via [[Tables.sharedFrame]] and
+    * shared by its two consumers: l9 REPORTS the pairs, l32 CLUSTERS
+    * them. A production dedup pipeline materializes this frame exactly
+    * once and fans it out the same way (the r11 VERDICT trim lever). */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "l9pairs")(verifiedPairsRaw(s, d))
+
+  /** The un-memoized pair production — split out so PlanShapeSpec can pin
+    * the candidate-join shape (the memoized frame's own plan is a
+    * checkpoint scan, which hides the producing subtree). */
+  private[graft] def verifiedPairsRaw(s: SparkSession, d: String): DataFrame = {
+    val shing = LlmOps.shingleRows(s, d) // shared with j2 — one tokenizer
+      .localCheckpoint(eager = false) // consumed by df, prefixes, verification
+    val pref = prefixIndex(shing, 4, 5)
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
+    verifyJaccard(cand, shing)
+  }
+
+  /** Per-doc quality FEATURE frame `(doc_id, xq, xbi, xtri, xent)` —
+    * l5's composite (xq), l14's top-bigram / duplicate-trigram fractions
+    * (xbi, xtri), l21's unigram-LM cross-entropy (xent) — LEFT-joined
+    * onto the full doc list (token-less docs carry null features; docs
+    * under 3 tokens carry null xbi/xtri), computed ONCE per (session,
+    * corpus) via [[Tables.sharedFrame]] and shared by its two consumers:
+    * l27's classifier (which drops null-feature docs exactly as its
+    * former inner joins did) and l24's funnel (whose coalesce-gates
+    * drop them). One token scan + one doc scan, per-doc map-side-
+    * combinable aggs, a broadcast vocab join — the other r11 VERDICT
+    * trim lever (a trained filter and its funnel report score the SAME
+    * engineered features; a real pipeline computes them once). */
+  private def qualityFeatures(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "qfeat")(qualityFeaturesRaw(s, d))
+
+  /** The un-memoized feature build — split out so PlanShapeSpec can pin
+    * the broadcast-vocab / no-pairwise shape (see [[verifiedPairsRaw]]). */
+  private[graft] def qualityFeaturesRaw(s: SparkSession, d: String): DataFrame = {
+      val toks = LlmOps.tokens(s, d).select("doc_id", "term")
+        .localCheckpoint(eager = false) // feeds qual, vocab, lm
+      val qual = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin("the", "a", "of", "and"), 1)
+            .otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .select(col("doc_id"),
+          (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * least(lit(1.0),
+              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)).as("xq"))
+      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
+      def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
+      val rep = t(s, d, "documents").select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3) // trigram feature needs ≥ 3 tokens
+        .withColumn("bgs", grams(2))
+        .withColumn("tgs", grams(3))
+        .withColumn("top_bi", aggregate(array_sort(col("bgs")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")))
+        .select(col("doc_id"),
+          (col("top_bi").cast(DoubleType) / size(col("bgs"))).as("xbi"),
+          (lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
+            / size(col("tgs"))).as("xtri"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+        .select(col("term"),
+          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
+            .cast(LongType).as("q_nll"))
+      val lm = toks.join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
+        .select(col("doc_id"), (floor(
+          col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
+          .as("xent"))
+      t(s, d, "documents").select("doc_id")
+        .join(qual, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+    }
+
   /** argmax-cosine cell assignment for the IVF quantizer (l3): `max_by`
     * on `(rnd4 sim, -cid)` — the lexicographic max equals (sim desc, cid
     * asc), exactly the oracle's `row_number` ordering — and partial-
@@ -557,17 +647,8 @@ object TrainOps {
     // Kernel shared with l18 (prefixIndex/verifyJaccard — change THERE
     // only); here the candidate join is the a<b self-join over one
     // prefix index.
-    "l9_dedup_ngram_jaccard" -> ((s, d) => {
-      val shing = LlmOps.shingleRows(s, d) // shared with j2 — one tokenizer
-        .localCheckpoint(eager = false) // consumed by df, prefixes, verification
-      val pref = prefixIndex(shing, 4, 5)
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
-      verifyJaccard(cand, shing).orderBy("a_id", "b_id")
-    }),
+    "l9_dedup_ngram_jaccard" -> ((s, d) =>
+      verifiedPairs(s, d).orderBy("a_id", "b_id")),
 
     // l10: deterministic train/eval split — assignment is a pure function
     // of the stable doc id's md5 (first hex byte < 0xcd ≈ 80.1% train),
@@ -1084,47 +1165,6 @@ object TrainOps {
     "l24_filter_funnel" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val toks = LlmOps.tokens(s, d)
-      val stop = Seq("the", "a", "of", "and")
-      val qual = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("term").isin(stop: _*), 1).otherwise(0)).as("stop_cnt"),
-          sum(length(col("term"))).as("len_sum"))
-        .select(col("doc_id"),
-          (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
-            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
-            + lit(0.3) * least(lit(1.0),
-              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)).as("xq"))
-      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-      def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
-      val rep = docs.select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 3) // <3 tokens: no trigram — drops at this stage
-        .withColumn("bgs", grams(2))
-        .withColumn("tgs", grams(3))
-        .withColumn("top_bi", aggregate(array_sort(col("bgs")),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc("best"), run).as("best"))
-          },
-          acc => acc("best")))
-        .select(col("doc_id"),
-          (col("top_bi").cast(DoubleType) / size(col("bgs"))).as("xbi"),
-          (lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
-            / size(col("tgs"))).as("xtri"))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-        .select(col("term"),
-          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
-            .cast(LongType).as("q_nll"))
-      val lm = toks.join(broadcast(vocab), "term")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
-        .select(col("doc_id"),
-          (floor(col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
-            .as("xent"))
       val uniq = docs.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
         .withColumn("m", min(col("doc_id")).over(Window.partitionBy("dig")))
         .select(col("doc_id"), (col("doc_id") === col("m")).as("uniq"))
@@ -1135,10 +1175,11 @@ object TrainOps {
         .join(broadcast(evalDf), "shingle")
         .select("doc_id").distinct()
         .withColumn("dirty", lit(true))
-      val flags = docs.select("doc_id")
-        .join(qual, Seq("doc_id"), "left")
-        .join(rep, Seq("doc_id"), "left")
-        .join(lm, Seq("doc_id"), "left")
+      // features come from the SHARED qualityFeatures frame (already
+      // LEFT-joined onto the full doc list; token-less docs carry nulls,
+      // which every coalesce-gate below drops) — the same frame l27
+      // classifies, materialized once per session
+      val flags = qualityFeatures(s, d)
         .join(uniq, Seq("doc_id"), "left")
         .join(dirty, Seq("doc_id"), "left")
         .select( // token-less docs: null features → every coalesce drops them
@@ -1254,49 +1295,13 @@ object TrainOps {
     // doc scan, per-doc map-side-combinable aggs, a broadcast vocab
     // join — linear at any corpus size, zero pairwise stage.
     "l27_quality_classifier" -> ((s, d) => {
-      val toks = LlmOps.tokens(s, d).select("doc_id", "term")
-        .localCheckpoint(eager = false) // feeds qual, vocab, lm
-      val qual = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("term").isin("the", "a", "of", "and"), 1)
-            .otherwise(0)).as("stop_cnt"),
-          sum(length(col("term"))).as("len_sum"))
-        .select(col("doc_id"),
-          (lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
-            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
-            + lit(0.3) * least(lit(1.0),
-              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0)).as("xq"))
-      val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
-      def grams(n: Int) = transform(sequence(lit(0), size(col("ws")) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k + 1)): _*))
-      val rep = t(s, d, "documents").select(col("doc_id"), ws.as("ws"))
-        .filter(size(col("ws")) >= 3) // trigram feature needs ≥ 3 tokens
-        .withColumn("bgs", grams(2))
-        .withColumn("tgs", grams(3))
-        .withColumn("top_bi", aggregate(array_sort(col("bgs")),
-          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-          (acc, x) => {
-            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-            struct(x.as("prev"), run.as("run"),
-              greatest(acc("best"), run).as("best"))
-          },
-          acc => acc("best")))
-        .select(col("doc_id"),
-          (col("top_bi").cast(DoubleType) / size(col("bgs"))).as("xbi"),
-          (lit(1.0) - size(array_distinct(col("tgs"))).cast(DoubleType)
-            / size(col("tgs"))).as("xtri"))
-      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-        .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
-        .select(col("term"),
-          floor(-log(col("cnt").cast(DoubleType) / col("total")) * 1e6 + 0.5)
-            .cast(LongType).as("q_nll"))
-      val lm = toks.join(broadcast(vocab), "term")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"), sum(col("q_nll")).as("sq"))
-        .select(col("doc_id"), (floor(
-          col("sq").cast(DoubleType) / col("n_toks") / 1e6 * 1e4 + 0.5) / 1e4)
-          .as("xent"))
-      qual.join(rep, "doc_id").join(lm, "doc_id")
+      // the SHARED feature frame (qualityFeatures) left-joins docs, so
+      // classifier eligibility = all features present — the same doc set
+      // the former inner qual ⋈ rep ⋈ lm chain produced (xq/xent null iff
+      // the doc has no tokens; xbi/xtri null iff it has < 3)
+      qualityFeatures(s, d)
+        .filter(col("xq").isNotNull && col("xbi").isNotNull
+          && col("xent").isNotNull)
         .withColumn("z_u", floor(
           (lit(10.0) * col("xq") - lit(20.0) * col("xbi")
             - lit(30.0) * col("xtri") - lit(40.0) * col("xent") + lit(136.0))
@@ -1487,8 +1492,9 @@ object TrainOps {
     // l32: connected-component dedup CLUSTERING — the canonical post-pass
     // of every near-dup pipeline: verified pairs → transitive closure →
     // per-doc (cluster_id, cluster size, canonical flag), i.e. the actual
-    // keep/drop list a 100-TB dedup job ships. Pairs come from the l9
-    // PPJoin kernel verbatim (the ORACLED exact-Jaccard producer); the
+    // keep/drop list a 100-TB dedup job ships. Pairs ARE the shared
+    // verifiedPairs frame — the l9 key's exact output (the ORACLED
+    // exact-Jaccard producer), materialized once per session; the
     // closure is LlmOps.minLabelClosure — the same hash-to-min propagation
     // j2/l1/l12 already rely on internally, promoted here to a first-class
     // DuckDB-oracled key (recursive-CTE min-reachability). The sf0.01 dup
@@ -1507,15 +1513,7 @@ object TrainOps {
     // diameter rounds (PropertySpec pins ≤15 rounds on a 256-node path,
     // where the plain closure's 30-round cap fail-louds).
     "l32_dedup_cluster_cc" -> ((s, d) => {
-      val shing = LlmOps.shingleRows(s, d)
-        .localCheckpoint(eager = false) // feeds df, prefixes, verification
-      val pref = prefixIndex(shing, 4, 5)
-      val cand = pref.as("a").join(pref.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .localCheckpoint(eager = false) // feeds the doc-id semi-join + edges
-      val pairs = verifyJaccard(cand, shing).select("a_id", "b_id")
+      val pairs = verifiedPairs(s, d).select("a_id", "b_id")
       val edges = pairs
         .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
         .localCheckpoint(eager = false) // re-read every closure round

@@ -192,14 +192,20 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("j2/l1/l9/l12/l18/l22/l32: near-dedup candidate joins are equi-joins, never all-pairs") {
-    Seq("j2_dedup_near_minhash", "l1_dedup_simhash", "l9_dedup_ngram_jaccard",
-      "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram",
-      "l32_dedup_cluster_cc")
+    Seq("j2_dedup_near_minhash", "l1_dedup_simhash",
+      "l12_dedup_embedding", "l18_dedup_incremental", "l22_containment_ngram")
       .foreach { k =>
         val p = plan(k)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
           s"$k degenerated to an all-pairs join:\n$p")
       }
+    // l9 and l32 both consume the SHARED verifiedPairs frame, whose
+    // memoized plan is a checkpoint scan — pin the PRODUCING subtree
+    // (the un-memoized builder) instead, once for both keys
+    val pp = operators.TrainOps.verifiedPairsRaw(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"l9/l32 shared pair production degenerated to an all-pairs join:\n$pp")
   }
 
   test("c9: band join is a bucketed equi-join on (brand, floor(price))") {
@@ -364,7 +370,10 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("l27: the vocab join broadcasts — the token scan never shuffles for it") {
-    val p = plan("l27_quality_classifier")
+    // l27 (and l24) consume the SHARED qualityFeatures frame, whose
+    // memoized plan is a checkpoint scan — pin the PRODUCING subtree
+    val p = operators.TrainOps.qualityFeaturesRaw(spark, sfTiny)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"l27 lost the vocab broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"l27 degenerated to an all-pairs join:\n$p")
