@@ -16,6 +16,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud data profile (see Verify): printed to stderr so the bench's
+    // stdout stays a single JSON line for the driver's parser
+    Console.withOut(System.err) { Tables.profileData(spark, sfDir) }
     // optional args: restrict to these keys (local iteration); the driver
     // invokes with no args = full suite. SPARK_GRAFT_REPEAT reruns each
     // query N times and keeps the minimum — steady-state timing. Default 3:

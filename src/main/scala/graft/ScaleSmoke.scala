@@ -122,7 +122,9 @@ object ScaleSmoke {
     // clone k shifts user_id (and event_id for uniqueness), so the clone
     // multiplies (user_id, event_type) version chains — the realistic
     // growth axis of a dimension-history build — while chain LENGTH stays
-    // fixed. ts is the raw-ns long here (nanosAsLong session).
+    // fixed. ts passes through in whatever encoding the file declares
+    // (the consuming keys load the clone via the schema-adaptive
+    // Tables.events, so either encoding round-trips).
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg")
     if (keys.exists(eventsBatchKeys)) {
@@ -207,14 +209,26 @@ object ScaleSmoke {
     require(factor >= 2,
       s"stream probe needs factor >= 2 (got $factor): eviction is only " +
         "observable when the watermark advances between data batches")
-    val ev = spark.read.parquet(s"$src/events.parquet") // ts = raw ns (conf)
+    // Normalize ts to epoch-µs LONG up front whatever the file's physical
+    // encoding declares (TimestampType µs vs legacy ns-as-long) — the same
+    // schema-adaptive branch as Tables.events, applied to the probe's
+    // clone arithmetic. Clones are then written as real µs TimestampType,
+    // so the replay schema below is encoding-independent.
+    val evRaw = spark.read.parquet(s"$src/events.parquet")
+    val ev = evRaw.schema("ts").dataType match {
+      case _: TimestampType => evRaw.withColumn("ts", unix_micros(col("ts")))
+      case _: TimestampNTZType => evRaw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)))
+      case LongType => evRaw.withColumn("ts", expr("ts div 1000"))
+      case other => sys.error(s"events.ts: unsupported encoding $other")
+    }
     val st = ev.agg(min("ts"), max("ts"), max("event_id")).head()
     val span = st.getLong(1) - st.getLong(0)
-    val shift = span + 4L * 3600L * 1000000000L // slices never overlap
+    val shift = span + 4L * 3600L * 1000000L // µs; slices never overlap
     val n = st.getLong(2) + 1
     for (k <- 0 until factor) {
       ev.select((col("event_id") + lit(k * n)).as("event_id"),
-          (col("ts") + lit(k.toLong * shift)).as("ts"),
+          timestamp_micros(col("ts") + lit(k.toLong * shift)).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("overwrite")
         .parquet(f"$dir/events_stream_$key/b$k%03d")
@@ -226,14 +240,13 @@ object ScaleSmoke {
         .foreach(f => { f.setLastModified(1000L * (k + 1)): Unit })
     }
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("basePath", s"$dir/events_stream_$key")
       .parquet(s"$dir/events_stream_$key/*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // i9 and i12 share the tumblingAgg streaming stage (i12's drift math
     // is a stateless enrichment over the finalized rows — state-wise the
     // probe question is identical); i11 probes sessionAgg. i15 probes the

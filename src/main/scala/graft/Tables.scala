@@ -22,19 +22,61 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which the Spark 4 vectorized
-    * reader rejects outright. Read the nanos as a raw long (legacy conf) and
-    * floor-truncate to µs TimestampType — bit-identical to DuckDB's own
-    * read-time ns→µs truncation (verified against the oracle engine).
-    * The conf is pinned at session build time by every entry point
-    * (Verify, Bench, TestSpark); this loader is pure — it only verifies
-    * the invariant instead of mutating the session behind the caller. */
+  /** SCHEMA-ADAPTIVE events loader (the r12→r13 lesson): branch on what
+    * the parquet footer actually declares instead of assuming the encoding
+    * profiled at survey time. A real lake's files drift physical encodings
+    * (ns→µs, int32→int64) without notice; the 2026-08-13 testdata
+    * regeneration did exactly that (TIMESTAMP(NANOS) → TIMESTAMP(MICROS))
+    * and a hard-coded ns-as-long assumption broke 36 keys at once.
+    *
+    *  - ts arrives as `TimestampType` (µs/ms encodings, or ns when Spark
+    *    truncates natively): pass through unchanged.
+    *  - ts arrives as `LongType` (a TIMESTAMP(NANOS) file read under the
+    *    legacy `spark.sql.legacy.parquet.nanosAsLong=true` session conf,
+    *    which Verify/Bench still pin for backward compat — the Spark 4
+    *    vectorized reader otherwise rejects NANOS outright): floor-truncate
+    *    ns→µs, bit-identical to DuckDB's own read-time truncation.
+    *
+    * Anything else fails loud with the observed type — never silently
+    * misinterpret a timestamp encoding (the µs-read-as-ns failure mode
+    * collapses every timestamp ~1000× toward the epoch with no error). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (as Verify/Bench do)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case _: TimestampType => df
+      // timestamp[us] with no isAdjustedToUTC annotation (the 2026-08-13
+      // generation): Spark 4 infers TIMESTAMP_NTZ. Cast to TimestampType —
+      // with the UTC session tz every entry point pins, the cast maps each
+      // naive instant to the identical epoch-µs value, the same read-time
+      // interpretation DuckDB applies to the file.
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => sys.error(
+        s"events.ts: unsupported physical encoding $other — expected " +
+          "TimestampType/TimestampNTZType (µs) or LongType (legacy ns-as-long)")
+    }
+  }
+
+  /** One-line-per-table data profile, printed at Verify/Bench startup so
+    * the NEXT silent testdata regeneration is visible in the driver log
+    * instead of surfacing as dozens of opaque per-query errors. Reads only
+    * parquet footers (no data IO). Branch-don't-assert: the events ts
+    * encoding is named explicitly since it is the column that drifted. */
+  def profileData(spark: SparkSession, dir: String): Unit = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { name =>
+      val p = s"$dir/$name.parquet"
+      val line =
+        try {
+          val sch = spark.read.parquet(p).schema
+          val cols = sch.map(f => s"${f.name}:${f.dataType.simpleString}")
+          s"[profile] $name(${cols.mkString(", ")})"
+        } catch { case e: Exception =>
+          s"[profile] $name: UNREADABLE (${e.getMessage})"
+        }
+      println(line)
+    }
   }
 
   /** Per-run scratch dir for sink round-trips and streaming inputs: keyed

@@ -21,6 +21,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail-loud data profile: one footer-read line per table, so the next
+    // silent testdata regeneration shows up here instead of as dozens of
+    // opaque per-query errors (the r12 lesson)
+    Tables.profileData(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries

@@ -42,28 +42,39 @@ object Streaming {
     * session (Verify and Bench both invoke each op in one session). */
   private val runSeq = new AtomicLong(0)
 
-  /** events.parquet carries TIMESTAMP(NANOS); with the session conf
-    * `spark.sql.legacy.parquet.nanosAsLong` (pinned in Verify/Bench) the
-    * column arrives as a raw nanos LongType, declared so here (streaming
-    * sources require an explicit schema). Floor-truncated to µs
-    * TimestampType exactly like the batch loader in [[graft.Tables]]. */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  private def eventsStream(s: SparkSession, d: String): DataFrame =
-    s.readStream.schema(eventsRawSchema)
+  /** SCHEMA-ADAPTIVE streaming source (mirrors [[graft.Tables.events]]):
+    * streaming sources require an explicit schema, so probe the actual
+    * file footer with a one-off batch read (footer-only IO) and declare
+    * exactly what it reports. Under that schema ts arrives either as a
+    * real `TimestampType` (µs files — pass through) or as a raw ns
+    * `LongType` (legacy TIMESTAMP(NANOS) files read under the
+    * `nanosAsLong` session conf — floor-truncate to µs). Hard-coding
+    * either encoding is the r12 failure mode: the µs regeneration read
+    * through a declared ns-long schema silently collapsed every
+    * timestamp ~1000× toward the epoch and broke all 10 streaming keys. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(fileSchema)
       // events.parquet is a single FILE: a non-glob path makes
       // FileStreamSource force basePath to the file itself (then reject it
       // as "must be a directory"), so address it via a glob and anchor
       // basePath at the table dir
       .option("basePath", d)
       .parquet(s"$d/events.parquet*")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    fileSchema("ts").dataType match {
+      case _: TimestampType => raw
+      // un-annotated timestamp[us] infers as TIMESTAMP_NTZ; cast to
+      // TimestampType (µs-exact under the pinned UTC session tz) so every
+      // downstream watermark/window sees the one canonical type
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => sys.error(
+        s"events.ts: unsupported physical encoding $other — expected " +
+          "TimestampType/TimestampNTZType (µs) or LongType (legacy ns-as-long)")
+    }
+  }
 
   /** Run a streaming DataFrame to completion through the memory sink and
     * return the result table. The checkpoint (offset/commit logs + state
