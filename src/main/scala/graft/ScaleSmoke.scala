@@ -125,8 +125,12 @@ object ScaleSmoke {
     // fixed. ts passes through in whatever encoding the file declares
     // (the consuming keys load the clone via the schema-adaptive
     // Tables.events, so either encoding round-trips).
+    // j18 compiles to j16's plan (the MERGE-SQL lowering); i17's per-user
+    // running state grows with the KEY axis by design (a running
+    // aggregate, not a watermark-horizon operator), so the user-shifting
+    // clone is exactly its scaling axis too
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
-      "j17_incremental_agg")
+      "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

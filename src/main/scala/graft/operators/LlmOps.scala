@@ -582,8 +582,49 @@ object LlmOps {
             .when(col("b.user_id").isNull, lit("new"))
             .otherwise(lit("updated")).as("action"))
         .orderBy("user_id", "event_type", "day_us")
+    }),
+
+    // j18: MERGE INTO as SQL TEXT — j16's upsert driven by a real `MERGE
+    // INTO` statement instead of hand-built DataFrame ops: the statement
+    // is parsed by Spark's OWN parser and the parsed MergeIntoTable plan
+    // is lowered by [[graft.plans.MergeSql]] to the same full-outer-join
+    // + CASE compilation every lakehouse engine emits (Spark only
+    // *executes* MERGE against a row-level-ops DSv2 table, so over
+    // parquet relations the lowering IS the execution). Base/delta are
+    // j16's exact compacted frames; the result is the POST-MERGE TABLE
+    // STATE (no action audit column — MERGE's contract is the table, not
+    // the log), so agreement with j16's join is pinned by the shared
+    // oracle arithmetic and DqSpec's equivalence test. The lowering's
+    // cardinality guard (a target row matching >1 source row must error)
+    // and DELETE / conditional / star / BY SOURCE actions are covered in
+    // DqSpec on planted fixtures. Scale: identical plan to j16 — the
+    // window-compacts and the full-outer join share one hash exchange
+    // per side on the merge key.
+    "j18_merge_into_sql" -> ((s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def lastWins(df: DataFrame): DataFrame = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          epochUs(col("ts")).as("ts_us"), col("value"))
+      val ev = t(s, d, "events")
+      val n = mergeSeq.incrementAndGet()
+      val bv = s"graft_j18_base_$n"; val dv = s"graft_j18_delta_$n"
+      lastWins(ev.filter(col("ts") <= cutoff)).createOrReplaceTempView(bv)
+      lastWins(ev.filter(col("ts") > cutoff)).createOrReplaceTempView(dv)
+      graft.plans.MergeSql.mergeResult(s,
+        s"""MERGE INTO $bv AS b USING $dv AS d
+            ON b.user_id = d.user_id AND b.event_type = d.event_type
+            WHEN MATCHED THEN UPDATE SET
+              event_id = d.event_id, ts_us = d.ts_us, value = d.value
+            WHEN NOT MATCHED THEN INSERT (user_id, event_type, event_id, ts_us, value)
+              VALUES (d.user_id, d.event_type, d.event_id, d.ts_us, d.value)""")
+        .orderBy("user_id", "event_type")
     })
   )
+
+  private val mergeSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val toksSql =
     """SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
@@ -769,6 +810,30 @@ object LlmOps {
                 CASE WHEN d.user_id IS NULL THEN 'keep'
                      WHEN b.user_id IS NULL THEN 'insert'
                      ELSE 'update' END AS action
+         FROM base b FULL OUTER JOIN delta d
+           ON b.user_id = d.user_id AND b.event_type = d.event_type
+         ORDER BY user_id, event_type""",
+
+    // j18 = j16's merge arithmetic without the action audit column: the
+    // MERGE statement's contract is the post-merge table state
+    "j18_merge_into_sql" ->
+      """WITH base AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1),
+         delta AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+                 FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00')
+           WHERE rn = 1)
+         SELECT coalesce(b.user_id, d.user_id) AS user_id,
+                coalesce(b.event_type, d.event_type) AS event_type,
+                CASE WHEN d.user_id IS NOT NULL THEN d.event_id ELSE b.event_id END AS event_id,
+                CASE WHEN d.user_id IS NOT NULL THEN d.ts_us ELSE b.ts_us END AS ts_us,
+                CASE WHEN d.user_id IS NOT NULL THEN d.value ELSE b.value END AS value
          FROM base b FULL OUTER JOIN delta d
            ON b.user_id = d.user_id AND b.event_type = d.event_type
          ORDER BY user_id, event_type""",

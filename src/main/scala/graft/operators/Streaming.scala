@@ -4,7 +4,9 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicLong
 
@@ -603,8 +605,96 @@ object Streaming {
       s.read.parquet(dir)
         .select(col("w_start_us"), col("event_type").cast(StringType), col("cnt"))
         .orderBy("w_start_us", "event_type")
+    }),
+
+    // i17: `transformWithState` — Spark 4's successor API to
+    // flatMapGroupsWithState (i5's GroupState shape re-expressed on the
+    // StatefulProcessor runtime): typed named state objects (ValueState /
+    // ListState / MapState) with per-state TTL and timers, each backed by
+    // its own RocksDB COLUMN FAMILY — the engine requires the RocksDB
+    // provider for this operator, so unlike i11 (where RocksDB is the
+    // declared production choice) here it is part of the operator
+    // contract, asserted fail-loud from the query's own progress metrics.
+    // The processor keeps one (cnt, sum_uval, max_ts_us) ValueState per
+    // user; value is quantized to integer MICRO-UNITS before the shuffle
+    // (the l5/l21/j17 rule) so the running sum is exact integer math and
+    // batch boundaries cannot drift the result. Update mode emits each
+    // key's running triple once per batch it appears in; cnt is strictly
+    // monotone per key, so max(struct(cnt, …)) collapses a multi-batch
+    // run to the final state — the i5 idiom struct-ified, because
+    // sum_uval alone need not be monotone (value can be negative).
+    // Cross-batch state continuity and the per-state TTL contract are
+    // pinned by StreamingSpec with MemoryStream-controlled batches.
+    // Scale: state is hash-partitioned by user exactly like the batch
+    // groupBy's shuffle; per-key state is a 24-byte triple held off-heap
+    // in RocksDB, so executor heap stays flat at any key cardinality.
+    "i17_stream_transform_state" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prevProv = s.conf.getOption(provKey)
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, rocks)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val name = s"graft_stream_${runSeq.incrementAndGet()}"
+        val rows = eventsStream(s, d)
+          .select(col("user_id"),
+            floor(col("value") * 1e6 + 0.5).cast(LongType).as("uval"),
+            epochUs(col("ts")).as("ts_us"))
+          .as[(Long, Long, Long)]
+        val updated = rows.groupByKey(_._1)
+          .transformWithState(new RunningStatsProcessor,
+            TimeMode.None(), OutputMode.Update())
+        val q = updated.toDF("user_id", "cnt", "sum_uval", "max_ts_us")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", scratch(s, name, "ckpt"))
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "i17 must run on the RocksDB state store provider " +
+            "(no rocksdb* metrics in the query progress)")
+        s.table(name)
+          .groupBy("user_id")
+          .agg(max(struct(col("cnt"), col("sum_uval"), col("max_ts_us"))).as("x"))
+          .select(col("user_id"), col("x.cnt").as("cnt"),
+            col("x.sum_uval").as("sum_uval"), col("x.max_ts_us").as("max_ts_us"))
+          .orderBy("user_id")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
     })
   )
+
+  /** i17's processor: one named ValueState per user holding the running
+    * (cnt, sum_uval, max_ts_us) triple — the minimal arbitrary-stateful
+    * shape on the transformWithState runtime. No TTL on the oracled path
+    * (the full corpus must aggregate); the TTL-expiry contract is pinned
+    * separately in StreamingSpec with a short-TTL processor variant. */
+  private[graft] class RunningStatsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (cnt, sum, mx) =
+        if (state.exists()) state.get() else (0L, 0L, Long.MinValue)
+      rows.foreach { case (_, uval, tsUs) =>
+        cnt += 1; sum += uval; if (tsUs > mx) mx = tsUs
+      }
+      state.update((cnt, sum, mx))
+      Iterator((key, cnt, sum, mx))
+    }
+  }
 
   val oracle: Map[String, String] = Map(
     "i1_stream_tumbling" ->
@@ -715,6 +805,15 @@ object Streaming {
 
     "i5_stream_stateful_running" ->
       """SELECT user_id, count(*) AS cnt, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // i17's final state = the plain per-user batch aggregate (AvailableNow
+    // replays the whole corpus through the processor); value quantized to
+    // integer micro-units per row BEFORE summing on both engines
+    "i17_stream_transform_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_uval,
+           max(epoch_us(ts)) AS max_ts_us
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "i6_stream_static_join" ->

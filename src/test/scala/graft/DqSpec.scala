@@ -53,6 +53,76 @@ class DqSpec extends AnyFunSuite {
       s"action tags must be non-vacuous: $actions")
   }
 
+  test("j18 MERGE-SQL post-merge state == j16's DataFrame merge") {
+    // one statement, two compilations: the parsed-and-lowered MERGE must
+    // produce exactly j16's full-outer-join upsert minus the audit column
+    val viaSql = SparkEntry.queries("j18_merge_into_sql")(spark, sfTiny)
+    val viaDf = SparkEntry.queries("j16_merge_upsert")(spark, sfTiny).drop("action")
+    assert(viaSql.exceptAll(viaDf).count() == 0 &&
+      viaDf.exceptAll(viaSql).count() == 0,
+      "MERGE-SQL lowering diverged from the DataFrame merge")
+  }
+
+  test("MergeSql: DELETE / conditional / star / BY SOURCE actions on a planted fixture") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("k", "v").createOrReplaceTempView("ms_target")
+    Seq((2L, -1L), (3L, 33L), (5L, 55L))
+      .toDF("k", "v").createOrReplaceTempView("ms_source")
+    val out = plans.MergeSql.mergeResult(spark,
+      """MERGE INTO ms_target AS t USING ms_source AS s ON t.k = s.k
+         WHEN MATCHED AND s.v < 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v + 1
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v * 2)
+         WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 100""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=1: target-only, BY SOURCE DELETE → gone. k=2: matched, s.v<0 →
+    // DELETE. k=3: matched → v=34. k=4: target-only → v=140. k=5:
+    // source-only → INSERT v=110.
+    assert(out == Map(3L -> 34L, 4L -> 140L, 5L -> 110L), s"got $out")
+  }
+
+  test("MergeSql: UPDATE SET * / INSERT * star expansion") {
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "b"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("ms_star_t")
+    Seq((2L, 22L, "B"), (9L, 99L, "Z"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("ms_star_s")
+    val out = plans.MergeSql.mergeResult(spark,
+      """MERGE INTO ms_star_t AS t USING ms_star_s AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 10L, "a"), (2L, 22L, "B"), (9L, 99L, "Z")), s"got $out")
+  }
+
+  test("MergeSql: unassigned INSERT columns are NULL") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("ms_null_t")
+    Seq((7L, 70L)).toDF("k", "v").createOrReplaceTempView("ms_null_s")
+    val out = plans.MergeSql.mergeResult(spark,
+      """MERGE INTO ms_null_t AS t USING ms_null_s AS s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(out == Set((1L, Some(10L)), (7L, None)), s"got $out")
+  }
+
+  test("MergeSql: cardinality violation (one target row, two source matches) raises") {
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("ms_card_t")
+    Seq((1L, 11L), (1L, 12L)).toDF("k", "v").createOrReplaceTempView("ms_card_s")
+    val ex = intercept[Exception] {
+      plans.MergeSql.mergeResult(spark,
+        """MERGE INTO ms_card_t AS t USING ms_card_s AS s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v""").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("MERGE cardinality violation")),
+      s"expected the cardinality guard, got: ${ex.getMessage.take(300)}")
+  }
+
   test("j14 counts planted uniqueness/referential/range/null violations") {
     import spark.implicits._
     val dir = Tables.scratch(spark, "dq_fixture", "j14")

@@ -339,7 +339,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "e10_resample_gapfill", // 1-row broadcast bounds frame × 5-row types spine
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
       "l2_sim_embedding_nn", "l3_ann_ivf_topk",
-      "l26_bm25_topk") // 1-row broadcast (N, Σdl) stats frame, twice
+      "l26_bm25_topk", // 1-row broadcast (N, Σdl) stats frame, twice
+      "j18_merge_into_sql") // 1-row broadcast cardinality-guard frame
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
@@ -357,6 +358,15 @@ class PlanShapeSpec extends AnyFunSuite {
         p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
       }
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
+  }
+
+  test("j18: the lowered MERGE is a key join; the only all-pairs node is the 1-row guard") {
+    val p = plan("j18_merge_into_sql")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"j18's merge lost its equi-join compilation:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1,
+      s"j18 expects exactly the one-row cardinality-guard BNLJ, found $bnlj:\n$p")
   }
 
   test("l26: top-10 is a pushed TakeOrdered, and df/idf reach the docs via broadcast") {

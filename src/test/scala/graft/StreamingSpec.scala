@@ -315,6 +315,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("i17 transformWithState: state continues across batches on RocksDB") {
+    // fresh session — transformWithState REQUIRES the RocksDB provider
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (user, uval, ts_us)
+    val out = input.toDS().groupByKey(_._1)
+      .transformWithState(new operators.Streaming.RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "cnt", "sum_uval", "max_ts_us")
+    val q = out.writeStream.format("memory").queryName("i17_continuity")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 10L, 100L), (1L, -4L, 50L), (2L, 7L, 30L))
+      q.processAllAvailable()
+      input.addData((1L, 5L, 200L)) // batch 2: state must CONTINUE, not reset
+      q.processAllAvailable()
+      val last = s2.table("i17_continuity")
+        .groupBy("user_id")
+        .agg(max(struct(col("cnt"), col("sum_uval"), col("max_ts_us"))).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+      assert(last(1L) == Seq(3L, 11L, 200L), s"user 1 got ${last(1L)}")
+      assert(last(2L) == Seq(1L, 7L, 30L), s"user 2 got ${last(2L)}")
+      val custom = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet.toArray.map(_.toString))
+      assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${custom.mkString(",")}")
+    } finally { q.stop(); s2.streams.resetTerminated() }
+  }
+
+  test("i17 TTL: a short-TTL ValueState expires between emissions") {
+    // state TTL is a PROCESSING-TIME contract — the engine requires
+    // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
+    // TWS query fires micro-batches CONTINUOUSLY (processing time must
+    // advance for TTL/timers), so neither processAllAvailable nor
+    // AvailableNow ever quiesces — the test instead POLLS the memory
+    // sink for each emission and stops the query explicitly.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Long]
+    val out = input.toDS().groupByKey(identity)
+      .transformWithState(new TtlCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("key", "cnt")
+    val q = out.writeStream.format("memory").queryName("i17_ttl")
+      .option("checkpointLocation", Tables.scratch(s2, "i17ttl", "ckpt"))
+      .outputMode("update").start()
+    try {
+      def rowsWithin(n: Int, ms: Long): Seq[Long] = {
+        val deadline = System.currentTimeMillis + ms
+        var rows = Seq.empty[Long]
+        while (rows.size < n && System.currentTimeMillis < deadline) {
+          Thread.sleep(50)
+          rows = s2.table("i17_ttl").collect().map(_.getLong(1)).toSeq
+        }
+        rows
+      }
+      input.addData(1L)
+      assert(rowsWithin(1, 60000) == Seq(1L))
+      Thread.sleep(500) // 1 ms TTL: the batch-1 state is long expired
+      input.addData(1L)
+      // a non-TTL state would resume at cnt = 2 (exactly what the
+      // continuity test above pins); the expired state restarts at 1
+      val rows = rowsWithin(2, 60000)
+      assert(rows == Seq(1L, 1L), s"TTL state must have expired: got $rows")
+    } finally { q.stop(); s2.streams.resetTerminated() }
+  }
+
+  test("i17 final transformWithState state == batch groupBy") {
+    val stream = SparkEntry.queries("i17_stream_transform_state")(spark, sfTiny)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.Tables.t(spark, sfTiny, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sum_uval"),
+        max(unix_micros(col("ts"))).as("max_ts_us"))
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
   test("foreachBatch upsert sink keeps last-wins compaction across batches") {
     // the reference's warehouse MERGE loop in streaming form: each micro
     // batch is merged into a parquet target with last-write-wins per key
@@ -393,5 +480,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted
     assert(out.toSeq == (0L until 15L),
       s"restart re-emitted or dropped rows: ${out.mkString(",")}")
+  }
+}
+
+/** i17 TTL-contract probe: a per-key counter whose ValueState carries a
+  * 1 ms TTL — any state read in a later batch (the spec sleeps 500 ms)
+  * must see the value expired and restart from zero. */
+class TtlCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, Long, (Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("cnt",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofMillis(1)))
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    val cnt = (if (st.exists()) st.get() else 0L) + rows.size
+    st.update(cnt)
+    Iterator((key, cnt))
   }
 }
