@@ -194,7 +194,29 @@ object Aggregates {
         .agg(expr("approx_top_k(term, 20, 1000)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("term"), col("e.count").as("cnt"))
-        .orderBy(col("cnt").desc, col("term")))
+        .orderBy(col("cnt").desc, col("term"))),
+
+    // d18: UNPIVOT — the inverse reshaping of d14's pivot: a wide
+    // per-group measure frame melted to (group, measure, value) long
+    // form, the feed every metrics store / chart layer wants. Spark's
+    // native `Dataset.unpivot` (an Expand node — each input row fans out
+    // to one row per measure IN-TASK, no shuffle, no join) over a
+    // 6-row aggregate; measures cast to DOUBLE first (unpivot requires
+    // one common value type — the same contract SQL UNPIVOT imposes).
+    // At 100 TB the reshape rides whatever the upstream agg already
+    // produced: Expand is a per-row map, so the operator adds zero
+    // exchanges regardless of input size.
+    "d18_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dbl(sum(dec(col("l_quantity"), 18, 2))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_price"),
+          count(lit(1)).cast(DoubleType).as("cnt"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("cnt")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    })
   )
 
   private val q1Money =
@@ -309,6 +331,22 @@ object Aggregates {
              FROM documents)
            WHERE term <> '' GROUP BY term
            ORDER BY cnt DESC, term LIMIT 20)
-         ORDER BY cnt DESC, term"""
+         ORDER BY cnt DESC, term""",
+
+    // the UNION ALL stack is UNPIVOT's exact relational definition —
+    // engine-version-proof, unlike the UNPIVOT keyword itself
+    "d18_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                  CAST(count(*) AS DOUBLE) AS cnt
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM wide
+         UNION ALL
+         SELECT l_returnflag, 'cnt', cnt FROM wide
+         ORDER BY l_returnflag, measure"""
   )
 }

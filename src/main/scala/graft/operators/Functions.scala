@@ -105,6 +105,25 @@ object Functions {
         .withColumn("k_bucket", floor(col("k_int") / 10).cast(IntegerType))
         .orderBy("event_id")),
 
+    // h10: VARIANT — Spark 4's open-schema semi-structured type, the
+    // modern successor to h6's string-JSON functions: `parse_json` turns
+    // the JSON text into a binary Variant ONCE (typed, shredded access —
+    // no re-parse per extraction), `variant_get` extracts typed paths,
+    // and `try_variant_get` null-soft-fails on absent paths. All three
+    // are per-row expressions fused into the scan — the h6 shape with a
+    // parse-once cost model, which is exactly why lakehouse telemetry
+    // pipelines store Variant columns instead of JSON strings at 100 TB.
+    "h10_variant_funcs" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      t(s, d, "events").select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.missing", "int").as("missing_int"))
+        .withColumn("k_bucket", floor(col("k_int") / 10).cast(IntegerType))
+        .orderBy("event_id")
+    }),
+
     "h7_array_explode" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -206,6 +225,17 @@ object Functions {
       """SELECT event_id,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS INTEGER) AS k_bucket
+         FROM events ORDER BY event_id""",
+
+    // the Variant extractions must agree value-for-value with plain JSON
+    // path extraction — h6's oracle arithmetic with the extra null-typed
+    // missing-path column
+    "h10_variant_funcs" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(NULL AS INTEGER) AS missing_int,
            CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS INTEGER) AS k_bucket
          FROM events ORDER BY event_id""",
 

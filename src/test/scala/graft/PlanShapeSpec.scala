@@ -360,6 +360,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }
 
+  test("d18: unpivot compiles to an in-task Expand — no exchange beyond agg and sort") {
+    val p = plan("d18_unpivot")
+    assert(p.contains("Expand"), s"d18 lost its Expand compilation:\n$p")
+    val ex = "Exchange".r.findAllIn(p).size
+    assert(ex <= 2, s"d18 expects at most the agg + contract-sort exchanges, found $ex:\n$p")
+  }
+
   test("j18: the lowered MERGE is a key join; the only all-pairs node is the 1-row guard") {
     val p = plan("j18_merge_into_sql")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
