@@ -109,7 +109,8 @@ object ScaleSmoke {
       "l26_bm25_topk", "l27_quality_classifier", "l28_partition_pruned_scan",
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
-      "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune")
+      "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
+      "l35_compact_small_files")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1

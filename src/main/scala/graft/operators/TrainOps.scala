@@ -1633,10 +1633,83 @@ object TrainOps {
             org.apache.spark.sql.catalyst.expressions.DynamicPruning]))),
         "runtime DPP filter missing on the lake scan:\n" + root.toString)
       joined
+    }),
+
+    // l35: SMALL-FILE COMPACTION — the lake-maintenance operator (OPTIMIZE
+    // in lakehouse dialects) every partitioned sink eventually needs:
+    // streaming/incremental writers fragment each partition into many tiny
+    // files, and scan parallelism + footer overhead degrade until a
+    // maintenance job rewrites each partition into size-targeted files.
+    // Fixture = the realistic degraded state: the lang-partitioned lake
+    // written from a 64-way shuffle, so every lang directory holds ~64
+    // shard files. Compaction = ONE hash exchange on the partition key
+    // (repartition by lang puts each lang's rows in a single task) + a
+    // partitionBy write capped at maxRecordsPerFile=100 — which makes the
+    // per-lang output file count EXACTLY ceil(rows/100), a deterministic,
+    // batch-expressible quantity. The query fail-louds on the physical
+    // outcome (read-back per-lang distinct-file counts must equal the
+    // formula; fragmented counts must strictly shrink; row counts must
+    // round-trip) and emits the (lang, n_docs, n_files_after) maintenance
+    // report. Scale: the rewrite is partition-parallel with no wide
+    // shuffle beyond the one partition-key exchange; maxRecordsPerFile is
+    // the knob that sizes downstream scan splits — at 100 TB this job IS
+    // how a lake keeps its file-size SLO.
+    "l35_compact_small_files" -> ((s, d) => {
+      val rowsPerFile = 100
+      val frag = cachedFixture(s, d, "fragmented_lake") { tmp =>
+        s.read.parquet(s"$d/documents.parquet")
+          .repartition(64)
+          .write.partitionBy("lang").parquet(s"$tmp/docs_frag")
+      }
+      val fragLake = s.read.parquet(s"$frag/docs_frag")
+      // input_file_name is nondeterministic — project it in a Filter/
+      // Project scope BEFORE the aggregate, where the analyzer allows it
+      val before = fragLake
+        .withColumn("f", input_file_name())
+        .groupBy("lang")
+        .agg(countDistinct(col("f")).as("files_before"),
+          count(lit(1)).as("rows_before"))
+      val out = scratch(s, d, "l35_compacted")
+      fragLake.repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang")
+        .option("maxRecordsPerFile", rowsPerFile)
+        .parquet(out)
+      val after = s.read.parquet(out)
+        .withColumn("f", input_file_name())
+        .groupBy("lang")
+        .agg(countDistinct(col("f")).as("files_after_actual"),
+          count(lit(1)).as("n_docs"))
+      val report = after.join(before, "lang")
+        .select(col("lang"), col("n_docs"),
+          ceil(col("n_docs") / lit(100.0)).as("n_files"),
+          col("files_after_actual"), col("files_before"), col("rows_before"))
+        .orderBy("lang")
+        .localCheckpoint() // one materialization feeds both the gate and the result
+      val rows = report.collect()
+      rows.foreach { r =>
+        require(r.getLong(3) == r.getLong(2),
+          s"lang ${r.getString(0)}: compaction wrote ${r.getLong(3)} files, " +
+            s"expected ceil(${r.getLong(1)}/$rowsPerFile) = ${r.getLong(2)}")
+        require(r.getLong(4) > r.getLong(2),
+          s"lang ${r.getString(0)}: fixture not fragmented " +
+            s"(${r.getLong(4)} files before vs ${r.getLong(2)} after) — " +
+            "the compaction claim is vacuous")
+        require(r.getLong(5) == r.getLong(1),
+          s"lang ${r.getString(0)}: row count changed across the rewrite")
+      }
+      report.select("lang", "n_docs", "n_files")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the maintenance report is fully determined by per-lang row counts:
+    // compaction targets exactly ceil(rows/100) files per partition (the
+    // physical file counts are require-gated inside the query itself)
+    "l35_compact_small_files" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
     // composition of the already-verified stage formulas (l5/j1/l16/l10/
     // l13); scientific literals force DOUBLE and the add/divide order
     // matches the Spark expression exactly, so the q >= 0.5 cut is the
