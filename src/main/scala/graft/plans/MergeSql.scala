@@ -85,13 +85,14 @@ object MergeSql {
       actions.map {
         case u: UpdateAction =>
           (u.condition.map(toCol).getOrElse(lit(true)), assignMap(u.assignments), true)
-        case _: UpdateStarAction =>
-          // UPDATE SET * : every target column ← the same-named source column
-          (lit(true), star.toMap, true)
+        case u: UpdateStarAction =>
+          // UPDATE SET * : every target column ← the same-named source
+          // column — the star expands the assignments, NOT the condition
+          (u.condition.map(toCol).getOrElse(lit(true)), star.toMap, true)
         case i: InsertAction =>
           (i.condition.map(toCol).getOrElse(lit(true)), assignMap(i.assignments), true)
-        case _: InsertStarAction =>
-          (lit(true), star.toMap, true)
+        case i: InsertStarAction =>
+          (i.condition.map(toCol).getOrElse(lit(true)), star.toMap, true)
         case dAct: DeleteAction =>
           (dAct.condition.map(toCol).getOrElse(lit(true)), Map.empty[String, Column], false)
         case other => sys.error(s"unsupported MERGE action: $other")

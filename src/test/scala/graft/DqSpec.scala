@@ -108,6 +108,26 @@ class DqSpec extends AnyFunSuite {
     assert(out == Set((1L, Some(10L)), (7L, None)), s"got $out")
   }
 
+  test("MergeSql: re-applying the same delta is idempotent") {
+    // upsert MERGE is idempotent by construction (update rewrites to the
+    // same values, insert keys now match and update instead) — the
+    // property that makes at-least-once delivery into a MERGE loop safe
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").createOrReplaceTempView("ms_idem_t")
+    Seq((2L, 22L), (3L, 33L)).toDF("k", "v").createOrReplaceTempView("ms_idem_s")
+    def stmt(target: String) =
+      s"""MERGE INTO $target AS t USING ms_idem_s AS s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+    val once = plans.MergeSql.mergeResult(spark, stmt("ms_idem_t"))
+    once.createOrReplaceTempView("ms_idem_t2")
+    val twice = plans.MergeSql.mergeResult(spark, stmt("ms_idem_t2"))
+    val a = once.collect().map(_.toSeq).toSet
+    val b = twice.collect().map(_.toSeq).toSet
+    assert(a == Set(Seq(1L, 10L), Seq(2L, 22L), Seq(3L, 33L)), s"got $a")
+    assert(a == b, s"re-merge changed the table: $a vs $b")
+  }
+
   test("MergeSql: cardinality violation (one target row, two source matches) raises") {
     import spark.implicits._
     Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("ms_card_t")

@@ -444,6 +444,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch + MergeSql: streaming MERGE INTO with a staleness guard") {
+    // the production Delta-style loop, driven by REAL MERGE SQL text: each
+    // micro-batch is compacted last-wins within itself, then merged into
+    // the snapshot through plans.MergeSql — the conditional matched action
+    // (s.ts >= t.ts) is the staleness guard that read-merge-overwrite
+    // loops hand-roll; a stale late row must leave the target unchanged.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = s"${Tables.scratch(spark, "merge_stream_fixture", "sink")}/t"
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("k", "ts", "v").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // everything rides the BATCH's session: foreachBatch hands the
+        // frame to a micro-batch session clone with its own temp-view
+        // catalog, so views + MergeSql + reads must agree on one session
+        val bs = batch.sparkSession
+        val existing =
+          try bs.read.parquet(target)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition == "PATH_NOT_FOUND" => batch.limit(0)
+          }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy(col("ts").desc)
+        batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .createOrReplaceTempView("ms_stream_delta")
+        existing.createOrReplaceTempView("ms_stream_target")
+        val merged = graft.plans.MergeSql.mergeResult(bs,
+          """MERGE INTO ms_stream_target AS t USING ms_stream_delta AS s
+             ON t.k = s.k
+             WHEN MATCHED AND s.ts >= t.ts THEN UPDATE SET *
+             WHEN NOT MATCHED THEN INSERT *""")
+          .localCheckpoint(true) // materialize BEFORE overwriting the source dir
+        merged.write.mode("overwrite").parquet(target)
+      }
+      .start()
+    try {
+      input.addData((1L, 10L, "a"), (2L, 10L, "b"))
+      q.processAllAvailable()
+      // k=1 fresh update wins; k=3 inserts; k=2's STALE row (ts 5 < 10)
+      // must not fire the guarded action — target row survives unchanged
+      input.addData((1L, 20L, "a2"), (3L, 5L, "c"), (2L, 5L, "stale"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == Set((1L, 20L, "a2"), (2L, 10L, "b"), (3L, 5L, "c")), s"got $got")
+    } finally q.stop()
+  }
+
   test("checkpointed incremental ETL: file sink resumes exactly-once after restart") {
     // the reference's core loop (SURVEY §0.1): extract new rows, dedup,
     // load, persist the checkpoint, repeat — in Spark-native form this is
