@@ -13,6 +13,9 @@ import org.apache.spark.sql.types._
   */
 object Relational {
 
+  /** memory-sink names must be unique per started query within a session */
+  private val a11Seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>
@@ -129,6 +132,36 @@ object Relational {
           StructField("sum_total", DoubleType))))
         .csv(path)
         .orderBy("o_orderstatus")
+    }),
+
+    // a11: the STREAMING leg of the a8 connector — the same deterministic
+    // range served through the DSv2 MicroBatchStream protocol: plain
+    // position offsets, `maxRowsPerTrigger` honored via the
+    // SupportsAdmissionControl ReadLimit, and Trigger.AvailableNow
+    // draining the bounded range in RATE-LIMITED micro-batches through
+    // SupportsTriggerAvailableNow. This is the offset/admission/
+    // availability contract a Kafka-class source implements, exercised on
+    // a source reproducible enough to oracle exactly; the query requires
+    // ≥4 data batches from its own progress, so a silent fall-back to
+    // one-shot consumption fails loud. Completes the connector family:
+    // batch read (a8), batch write (a10), streaming write (i10/i14),
+    // streaming read (a11).
+    "a11_source_streaming_dsv2" -> ((s, d) => {
+      val name = s"graft_a11_${a11Seq.incrementAndGet()}"
+      val q = s.readStream.format("graft.sources.RangeSource")
+        .option("start", 0).option("end", 20000)
+        .option("slices", 4).option("maxRowsPerTrigger", 5000)
+        .load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratch(s, name, "ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 4,
+        s"expected >=4 rate-limited micro-batches (20000 rows / 5000 per " +
+          s"trigger), saw $dataBatches — admission control is not limiting")
+      s.table(name).orderBy("id")
     }),
 
     // ---- B. projection / filter / predicates ----
@@ -493,6 +526,14 @@ object Relational {
       """SELECT CAST(range % 7 AS BIGINT) AS bucket, count(*) AS cnt,
            CAST(sum(range * range) AS BIGINT) AS sum_sq
          FROM range(0, 100000) GROUP BY 1 ORDER BY 1""",
+
+    // every row of the bounded range must arrive exactly once across the
+    // rate-limited micro-batches — the at-most/at-least-once line a
+    // streaming source's offset contract exists to hold
+    "a11_source_streaming_dsv2" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * range AS BIGINT) AS sq
+         FROM range(0, 20000) ORDER BY id""",
 
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +36,8 @@ class RangeSource extends TableProvider {
     new RangeTable(
       properties.getOrDefault("start", "0").toLong,
       properties.getOrDefault("end", "1000").toLong,
-      properties.getOrDefault("slices", "4").toInt)
+      properties.getOrDefault("slices", "4").toInt,
+      properties.getOrDefault("maxRowsPerTrigger", "0").toLong)
 }
 
 object RangeSource {
@@ -44,17 +46,18 @@ object RangeSource {
     StructField("sq", LongType, nullable = false)))
 }
 
-class RangeTable(start: Long, end: Long, slices: Int)
+class RangeTable(start: Long, end: Long, slices: Int, rowsPerBatch: Long = 0L)
     extends Table with SupportsRead {
   override def name: String = s"graft_range($start,$end)"
   override def schema: StructType = RangeSource.schema
   override def capabilities: util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices)
+    new RangeScanBuilder(start, end, slices, rowsPerBatch)
 }
 
-class RangeScanBuilder(start: Long, end: Long, slices: Int)
+class RangeScanBuilder(start: Long, end: Long, slices: Int,
+    rowsPerBatch: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = RangeSource.schema
@@ -91,24 +94,80 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int)
     residual
   }
   override def pushedFilters: Array[Filter] = accepted
-  override def build(): Scan = new RangeScan(lo, hi, slices, required)
+  override def build(): Scan = new RangeScan(lo, hi, slices, required, rowsPerBatch)
 }
 
-class RangeScan(start: Long, end: Long, slices: Int, required: StructType)
+class RangeScan(start: Long, end: Long, slices: Int, required: StructType,
+    rowsPerBatch: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(start, end, slices, required, rowsPerBatch)
   override def description: String = s"graft_range($start,$end,$slices)"
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val step = math.max(1L, (end - start + n - 1) / n)
-    (0 until n).iterator
-      .map(i => RangePartition(start + i * step, math.min(start + (i + 1) * step, end)))
-      .filter(p => p.lo < p.hi)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.slice(start, end, slices)
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(required.fieldNames)
+}
+
+object RangeScan {
+  /** Shared split planner: [lo, hi) into ≤ n contiguous partitions. */
+  def slice(lo: Long, hi: Long, n: Int): Array[InputPartition] = {
+    val k = math.max(1, n)
+    val step = math.max(1L, (hi - lo + k - 1) / k)
+    (0 until k).iterator
+      .map(i => RangePartition(lo + i * step, math.min(lo + (i + 1) * step, hi)))
+      .filter(p => p.lo < p.hi)
+      .toArray[InputPartition]
+  }
+}
+
+/** The STREAMING leg of the connector (a11): the same deterministic range
+  * served through the MicroBatchStream protocol — offsets are plain
+  * positions in [start, end), `maxRowsPerTrigger` is honored through
+  * SupportsAdmissionControl (the engine passes it back as the ReadLimit),
+  * and Trigger.AvailableNow drains the remaining range in rate-limited
+  * micro-batches via SupportsTriggerAvailableNow. This is the offset/
+  * admission/availability contract a Kafka-class source implements, on a
+  * source whose content is reproducible enough to ORACLE exactly.
+  * Stateless across calls: every batch's work is derived from the
+  * (start, end] offsets the engine hands back, so recovery-from-
+  * checkpoint replays identical batches. */
+class RangeMicroBatchStream(start: Long, end: Long, slices: Int,
+    required: StructType, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  override def initialOffset(): Offset = RangeStreamOffset(start)
+  override def deserializeOffset(json: String): Offset =
+    RangeStreamOffset(json.trim.toLong)
+  override def commit(offset: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch > 0) ReadLimit.maxRows(rowsPerBatch)
+    else ReadLimit.allAvailable()
+  // bounded source: `end` is already the standing availability target, so
+  // there is nothing to snapshot for AvailableNow
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def latestOffset(): Offset = sys.error(
+    "admission-controlled source: the engine must call latestOffset(start, limit)")
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val pos = startOffset.asInstanceOf[RangeStreamOffset].pos
+    val next = limit match {
+      case r: ReadMaxRows => math.min(end, pos + r.maxRows())
+      case _ => end
+    }
+    RangeStreamOffset(next)
+  }
+  override def reportLatestOffset(): Offset = RangeStreamOffset(end)
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] =
+    RangeScan.slice(startOff.asInstanceOf[RangeStreamOffset].pos,
+      endOff.asInstanceOf[RangeStreamOffset].pos, slices)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required.fieldNames)
+}
+
+case class RangeStreamOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
 }
 
 case class RangePartition(lo: Long, hi: Long) extends InputPartition

@@ -444,6 +444,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a11 source: checkpoint resume re-emits nothing (exactly-once)") {
+    // the offset contract's other half (the in-query require pins rate
+    // limiting): a NEW query on the SAME checkpoint deserializes the
+    // committed offset, finds latestOffset == committed, and must emit
+    // zero new rows — the restart shape of every production streaming
+    // read. File sink, not memory: the memory sink refuses checkpoint
+    // recovery by design, so the restart leg must ride a durable sink.
+    val base = Tables.scratch(spark, "a11_resume", "dirs")
+    def run(): Long = {
+      val q = spark.readStream.format("graft.sources.RangeSource")
+        .option("start", 0).option("end", 1000).option("slices", 2)
+        .option("maxRowsPerTrigger", 300).load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out").count()
+    }
+    assert(run() == 1000L)
+    assert(run() == 1000L,
+      "restart from a committed checkpoint re-emitted rows")
+  }
+
   test("foreachBatch + MergeSql: streaming MERGE INTO with a staleness guard") {
     // the production Delta-style loop, driven by REAL MERGE SQL text: each
     // micro-batch is compacted last-wins within itself, then merged into
