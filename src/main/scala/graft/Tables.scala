@@ -142,7 +142,7 @@ object Tables {
     * the marker and accept the winner's tree. Bump FixtureVersion
     * whenever a cached fixture's layout or contents change.
     */
-  val FixtureVersion = 1
+  val FixtureVersion = 2 // v2: fragmented_lake shard count scales with rows
   def cachedFixture(spark: SparkSession, d: String, tag: String)
       (build: String => Unit): String = {
     val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)

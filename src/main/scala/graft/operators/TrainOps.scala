@@ -1657,8 +1657,16 @@ object TrainOps {
     "l35_compact_small_files" -> ((s, d) => {
       val rowsPerFile = 100
       val frag = cachedFixture(s, d, "fragmented_lake") { tmp =>
-        s.read.parquet(s"$d/documents.parquet")
-          .repartition(64)
+        // the degraded state must scale WITH the corpus: real tiny-file
+        // pathology has constant (tiny) file size, so file count grows
+        // with the data — a fixed shard count would be OVERTAKEN by the
+        // ceil(rows/100) compaction target at larger corpora (the 8×
+        // ScaleSmoke probe caught exactly that). ~25 rows per fragment,
+        // capped so the fixture write stays bounded at probe factors.
+        val docs = s.read.parquet(s"$d/documents.parquet")
+        val nFrag = math.max(16L, math.min(2048L,
+          (docs.count() + 24) / 25)).toInt
+        docs.repartition(nFrag)
           .write.partitionBy("lang").parquet(s"$tmp/docs_frag")
       }
       val fragLake = s.read.parquet(s"$frag/docs_frag")
