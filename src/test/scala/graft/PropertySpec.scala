@@ -255,4 +255,38 @@ class PropertySpec extends AnyFunSuite {
         s"iter $iter: disjoint-alphabet docs cannot share a chunk: $out")
     }
   }
+
+  test("MergeSql == driver-side reference merge on random target/source pairs") {
+    // the lowered MERGE (parse → full-outer join + CASE trees) must agree
+    // with a straightforward per-key Scala model on arbitrary inputs:
+    // conditional update, conditional delete, insert, and keep-by-default
+    // paths all exercised by the random value mix
+    val rnd = new Random(2024)
+    import spark.implicits._
+    (1 to 8).foreach { iter =>
+      val tgtKeys = rnd.shuffle((0L until 20L).toList).take(5 + rnd.nextInt(10))
+      val srcKeys = rnd.shuffle((0L until 20L).toList).take(5 + rnd.nextInt(10))
+      val tgt = tgtKeys.map(k => k -> (rnd.nextInt(100).toLong - 50L)).toMap
+      val src = srcKeys.map(k => k -> (rnd.nextInt(100).toLong - 50L)).toMap
+      tgt.toSeq.toDF("k", "v").createOrReplaceTempView("ms_prop_t")
+      src.toSeq.toDF("k", "v").createOrReplaceTempView("ms_prop_s")
+      val got = plans.MergeSql.mergeResult(spark,
+        """MERGE INTO ms_prop_t AS t USING ms_prop_s AS s ON t.k = s.k
+           WHEN MATCHED AND s.v < 0 THEN DELETE
+           WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED AND s.v >= 0 THEN INSERT (k, v) VALUES (s.k, s.v)""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected =
+        tgt.flatMap { case (k, tv) =>
+          src.get(k) match {
+            case Some(sv) if sv < 0 => None // DELETE
+            case Some(sv) if sv > tv => Some(k -> sv) // conditional UPDATE
+            case _ => Some(k -> tv) // matched-no-action or unmatched: keep
+          }
+        } ++ src.collect {
+          case (k, sv) if !tgt.contains(k) && sv >= 0 => k -> sv // INSERT
+        }
+      assert(got == expected, s"iter $iter: tgt=$tgt src=$src")
+    }
+  }
 }
