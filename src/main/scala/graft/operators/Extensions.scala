@@ -145,6 +145,24 @@ object Extensions {
       Seq((m("n_rows").asInstanceOf[Long], m("sum_total").asInstanceOf[Double],
         m("min_total").asInstanceOf[Double], m("max_total").asInstanceOf[Double]))
         .toDF("n_rows", "sum_total", "min_total", "max_total")
+    }),
+
+    // k8: SQL-LANGUAGE scalar function — Spark 4's `CREATE FUNCTION …
+    // RETURNS … RETURN <expr>` (the SQL-standard UDF form): the body is a
+    // SQL expression the ANALYZER INLINES into the calling plan, so unlike
+    // k1's opaque JVM closure it stays inside whole-stage codegen, folds,
+    // and pushes down like any built-in — the preferred extension shape
+    // when the logic is expressible in SQL (k5 covers the native-Expression
+    // registration path for logic that isn't). PlanShapeSpec pins the
+    // inlining: the physical plan must contain NO udf node.
+    "k8_sql_lang_udf" -> ((s, d) => {
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+               RETURNS DOUBLE RETURN p * (1.0 - d)""")
+      t(s, d, "lineitem").createOrReplaceTempView("k8_lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+                 round(graft_disc_price(l_extendedprice, l_discount), 4) AS disc_price
+               FROM k8_lineitem
+               ORDER BY l_orderkey, l_linenumber""")
     })
   )
 
@@ -188,6 +206,13 @@ object Extensions {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
            min(o_totalprice) AS min_total, max(o_totalprice) AS max_total
          FROM orders""",
+
+    // the inlined body verbatim: p * (1.0 - d) is the same IEEE op pair on
+    // both engines, rounded by the §7.2 rule
+    "k8_sql_lang_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "k6_udaf_declarative" ->
       """SELECT l_returnflag,

@@ -360,6 +360,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unexpected all-pairs joins in: $offenders")
   }
 
+  test("k8: the SQL-language UDF body is inlined — no opaque udf node in the plan") {
+    val p = plan("k8_sql_lang_udf")
+    assert(!p.toLowerCase.contains("udf"),
+      s"k8's SQL function body failed to inline (udf node present):\n$p")
+    // the body must appear as a plain expression in the Project — the
+    // pre-AQE plan string doesn't render codegen spans, so the inlined
+    // arithmetic itself is the codegen-eligibility proof
+    assert(p.contains("1.0 - l_discount"),
+      s"k8's inlined body not visible in the projection:\n$p")
+  }
+
   test("d18: unpivot compiles to an in-task Expand — no exchange beyond agg and sort") {
     val p = plan("d18_unpivot")
     assert(p.contains("Expand"), s"d18 lost its Expand compilation:\n$p")
