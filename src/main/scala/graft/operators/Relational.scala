@@ -400,6 +400,40 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // c15: JOIN STRATEGY HINTS — the explicit override a user reaches for
+    // when the optimizer's strategy choice is wrong for their data (stats
+    // missing, build side mis-estimated, broadcast OOM-ing a driver).
+    // Here the dim is small enough that Spark's default is a broadcast
+    // join; the SHUFFLE_HASH hint on the dim side forces a shuffled hash
+    // join instead — hints outrank every size-based rule — and the choice
+    // is asserted FAIL-LOUD from the plan tree (the l28/l34 gate idiom),
+    // so a Spark version demoting the hint to a suggestion breaks the
+    // gate, not silently the plan. At 100 TB this is the lever for "the
+    // dim is 10 GB: hash-partition both sides, don't broadcast" and its
+    // inverse; results are strategy-invariant, so the oracle is c2's
+    // plain join SQL shape.
+    "c15_join_hint_shuffle_hash" -> ((s, d) => {
+      val j = t(s, d, "orders")
+        .join(t(s, d, "customer").hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .orderBy("c_mktsegment")
+      val phys = j.queryExecution.executedPlan
+      val root = phys match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val shj = root.collect {
+        case h: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => h
+      }
+      require(shj.nonEmpty,
+        "SHUFFLE_HASH hint did not force a ShuffledHashJoin:\n" + root.toString)
+      j
+    }),
+
     // the same as-of semantics as c10, through the NATIVE custom operator
     // (graft.plans.AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): a
     // streaming merge over co-partitioned sorted runs with one carried
@@ -597,6 +631,14 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // the hint changes the physical strategy, never the result: plain
+    // join SQL (the strategy itself is require-gated in-query)
+    "c15_join_hint_shuffle_hash" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
 
     "c3_join_left_outer" ->
