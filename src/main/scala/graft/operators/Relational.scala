@@ -535,6 +535,33 @@ object Relational {
         .unionByName(a.exceptAll(b).withColumn("tag", lit("except_all")))
         .select("tag", "event_type")
         .orderBy("tag", "event_type")
+    }),
+
+    // g6: RECURSIVE CTE — Spark 4.1's `WITH RECURSIVE` (UnionLoopExec),
+    // the SQL-standard iteration surface for hierarchy walks and graph
+    // reachability that previously required driver-side loops (the l32
+    // closure's shape, now expressible in one statement). The hierarchy
+    // is derived deterministically from the data (parent = custkey div
+    // 10, roots < 10 — every customer reachable in ≤ 3 steps), the
+    // recursive term JOINS the recursive reference against the base
+    // table, and the result aggregates per root. Scale: each iteration
+    // is one hash join of the frontier against the (pruned) base scan —
+    // the same per-round cost profile as the hand-built l32 closure,
+    // with the engine owning loop control and fixpoint detection.
+    "g6_recursive_cte" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("g6_customer")
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS key, c_custkey AS root, 0 AS depth
+          FROM g6_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey AS key, ch.root AS root, ch.depth + 1 AS depth
+          FROM g6_customer c JOIN chain ch ON c.c_custkey div 10 = ch.key
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, CAST(count(*) AS BIGINT) AS n_desc,
+               CAST(max(depth) AS BIGINT) AS max_depth
+        FROM chain GROUP BY root ORDER BY root""")
     })
   )
 
@@ -632,6 +659,21 @@ object Relational {
            CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    // identical recursion in DuckDB's WITH RECURSIVE (integer division
+    // spelled // there, div in Spark)
+    "g6_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+           SELECT c_custkey AS key, c_custkey AS root, 0 AS depth
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey AS key, ch.root AS root, ch.depth + 1 AS depth
+           FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.key
+           WHERE c.c_custkey >= 10
+         )
+         SELECT root, CAST(count(*) AS BIGINT) AS n_desc,
+                CAST(max(depth) AS BIGINT) AS max_depth
+         FROM chain GROUP BY root ORDER BY root""",
 
     // the hint changes the physical strategy, never the result: plain
     // join SQL (the strategy itself is require-gated in-query)
