@@ -434,6 +434,30 @@ object Relational {
       j
     }),
 
+    // c16: LATERAL JOIN — the correlated-subquery-in-FROM surface (SQL:99
+    // LATERAL): for every customer, the single latest order, expressed as
+    // a per-row dependent subquery with ORDER BY + LIMIT 1 rather than a
+    // window. Catalyst DECORRELATES the lateral into a ranked join (no
+    // per-row re-execution — `DecorrelateInnerQuery` rewrites the LIMIT
+    // into a partitioned row_number), so the declarative per-row form
+    // pays one shuffle like the hand-written e1 idiom. INNER lateral
+    // semantics would drop order-less customers (none exist at the
+    // shipped SFs — every customer has orders — but the contract differs
+    // from a left window pass and the oracle pins whichever holds).
+    "c16_join_lateral" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("c16_customer")
+      t(s, d, "orders").createOrReplaceTempView("c16_orders")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM c16_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM c16_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+        ) o
+        ORDER BY c.c_custkey""")
+    }),
+
     // the same as-of semantics as c10, through the NATIVE custom operator
     // (graft.plans.AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec): a
     // streaming merge over co-partitioned sorted runs with one carried
@@ -674,6 +698,17 @@ object Relational {
          SELECT root, CAST(count(*) AS BIGINT) AS n_desc,
                 CAST(max(depth) AS BIGINT) AS max_depth
          FROM chain GROUP BY root ORDER BY root""",
+
+    // the identical LATERAL statement runs on DuckDB verbatim
+    "c16_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+         ) o ON true
+         ORDER BY c.c_custkey""",
 
     // the hint changes the physical strategy, never the result: plain
     // join SQL (the strategy itself is require-gated in-query)
