@@ -216,7 +216,45 @@ object Aggregates {
           Array(col("sum_qty"), col("sum_price"), col("cnt")),
           "measure", "value")
         .orderBy("l_returnflag", "measure")
-    })
+    }),
+
+    // d19: LISTAGG — Spark 4.0's SQL-standard ordered string aggregation
+    // (`listagg(x, sep) WITHIN GROUP (ORDER BY ...)`), the report-layer
+    // sibling of d10's collect_list: before 4.0 this took the
+    // concat_ws(array_sort(collect_list)) three-step; the WITHIN GROUP
+    // order makes the concatenation deterministic (names are unique per
+    // group, so the order is total). Same scale contract as d10: output
+    // size is bounded by GROUP fan-in, not table size — per-nation
+    // supplier lists are catalog-sized; the aggregation itself is one
+    // partial+final pass shuffling already-concatenated partial buffers.
+    "d19_agg_listagg" -> ((s, d) =>
+      t(s, d, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_sup"),
+          expr("listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name)").as("names"))
+        .orderBy("s_nationkey")),
+
+    // d20: CONDITIONAL + ORDER-STATISTIC AGGREGATES — the dashboard
+    // aggregate family: `count_if` (counting a predicate without a
+    // pre-filter — one pass computes many differently-filtered counts),
+    // `bool_and`/`bool_or` (data-quality assertions as aggregates: "do
+    // ALL rows satisfy X" pushed into the same scan), `mode` (most
+    // frequent value; the group's modal quantity is tie-free in this
+    // data — margins ≥10 counts at sf0.01, probed), and `median`
+    // (exact interpolating percentile, the d11 family's shorthand).
+    // All are single-pass partial+final aggregates; mode's state is a
+    // value→count map bounded by the column's distinct count (50
+    // quantities), not row count.
+    "d20_agg_conditional" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("n_disc"),
+          bool_and(col("l_tax") < 0.08).as("all_low_tax"),
+          bool_or(col("l_quantity") >= 50).as("any_max_qty"),
+          mode(col("l_quantity")).as("mode_qty"),
+          rnd4(median(col("l_extendedprice"))).as("med_price"))
+        .orderBy("l_returnflag"))
   )
 
   private val q1Money =
@@ -347,6 +385,25 @@ object Aggregates {
          SELECT l_returnflag, 'sum_price', sum_price FROM wide
          UNION ALL
          SELECT l_returnflag, 'cnt', cnt FROM wide
-         ORDER BY l_returnflag, measure"""
+         ORDER BY l_returnflag, measure""",
+
+    // DuckDB's ordered string_agg ≡ listagg WITHIN GROUP (names unique
+    // per group → total order → identical concatenation)
+    "d19_agg_listagg" ->
+      """SELECT s_nationkey, count(*) AS n_sup,
+           string_agg(s_name, '|' ORDER BY s_name) AS names
+         FROM supplier GROUP BY 1 ORDER BY 1""",
+
+    // mode is oracle-safe because the modal quantity is TIE-FREE per
+    // group in this data (probed; both engines pick the same value);
+    // median interpolates identically (quantile_cont semantics)
+    "d20_agg_conditional" ->
+      """SELECT l_returnflag,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+           bool_and(l_tax < 0.08) AS all_low_tax,
+           bool_or(l_quantity >= 50) AS any_max_qty,
+           mode(l_quantity) AS mode_qty,
+           round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS med_price
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

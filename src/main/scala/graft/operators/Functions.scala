@@ -158,7 +158,35 @@ object Functions {
           element_at(map_keys(col("m")), 1).as("key0"),
           element_at(col("m"), lit("k")).as("k_val"),
           size(map_values(col("m"))).as("n_vals"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // h11: COLLATIONS — Spark 4's collated string type (`collate(col,
+    // 'UTF8_LCASE')`): case-insensitive EQUALITY and GROUPING as a
+    // property of the comparison, not a rewrite of the data. The
+    // pre-collation idiom double-stores (`lower(col)` materialized next
+    // to the original) or re-lowercases in every predicate; the collated
+    // comparison hashes/compares case-folded IN the operator, so the
+    // scan column feeds joins, group-bys, and filters unchanged — at
+    // 100 TB that is one string column, not two, and the group-by hash
+    // is computed over the collation key directly. Case diversity is
+    // synthesized deterministically (even part keys upper-case the
+    // type), the collated group key is folded to a deterministic lower()
+    // label for output (which case "wins" a collated group is
+    // unspecified — never emit the raw collated representative).
+    "h11_collation" -> ((s, d) => {
+      val mixed = when(pmod(col("p_partkey"), lit(2)) === 0,
+        upper(col("p_type"))).otherwise(lower(col("p_type")))
+      t(s, d, "part")
+        .withColumn("ty_mixed", mixed)
+        .withColumn("is_promo",
+          collate(col("ty_mixed"), "UTF8_LCASE") === lit("Promo"))
+        .groupBy(collate(col("ty_mixed"), "UTF8_LCASE").as("ty_c"))
+        .agg(min(lower(col("ty_mixed"))).as("ty"),
+          count(lit(1)).as("cnt"),
+          count_if(col("is_promo")).as("n_promo"))
+        .select("ty", "cnt", "n_promo")
+        .orderBy("ty")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -258,6 +286,16 @@ object Functions {
       """SELECT event_id, 'k' AS key0,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
            1 AS n_vals
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    // collated grouping/equality must equal the lower()-rewrite it
+    // replaces — the oracle IS that rewrite
+    "h11_collation" ->
+      """SELECT min(lower(ty_mixed)) AS ty, count(*) AS cnt,
+           CAST(count_if(lower(ty_mixed) = 'promo') AS BIGINT) AS n_promo
+         FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                           ELSE lower(p_type) END AS ty_mixed
+               FROM part)
+         GROUP BY lower(ty_mixed) ORDER BY ty"""
   )
 }

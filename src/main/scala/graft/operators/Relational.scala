@@ -586,6 +586,54 @@ object Relational {
         SELECT root, CAST(count(*) AS BIGINT) AS n_desc,
                CAST(max(depth) AS BIGINT) AS max_depth
         FROM chain GROUP BY root ORDER BY root""")
+    }),
+
+    // g7: SQL PIPE SYNTAX — Spark 4's `|>` operator chain (SQL:2023-era
+    // pipe-structured queries): the linear dataflow spelling of SQL where
+    // each stage consumes the previous stage's output top-to-bottom, the
+    // textual twin of the DataFrame API's method chain. Each pipe stage
+    // parses to exactly the logical node its keyword names (WHERE →
+    // Filter, EXTEND → Project-with-additions, AGGREGATE → Aggregate), so
+    // Catalyst sees the IDENTICAL plan as the nested-SELECT spelling —
+    // same pushdown, same partial aggregation, zero added cost at any
+    // scale. The oracle is that desugared plain SQL (DuckDB has no pipe
+    // parser; semantic equivalence is exactly the claim).
+    "g7_sql_pipe_syntax" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("g7_lineitem")
+      s.sql("""
+        FROM g7_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+        |> AGGREGATE count(*) AS item_cnt, CAST(sum(rev) AS DOUBLE) AS revenue
+             GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // c17: CORRELATED SCALAR SUBQUERIES — the per-row-lookup spelling of
+    // a dimension aggregate, in both SELECT (two scalar lookups) and
+    // WHERE (a scalar threshold). Catalyst DECORRELATES each subquery
+    // into ONE aggregate-then-left-outer-join over the whole orders
+    // table (RewriteCorrelatedScalarSubquery): the naive reading is
+    // O(customers) re-executions of an orders scan, the planned form is
+    // one shuffle — with the COUNT-over-empty-group bug handled by the
+    // rewrite (absent groups must read 0, not NULL, which the bare outer
+    // join would produce). Identical duplicated subqueries share one
+    // subtree via Spark's subquery reuse. The oracle runs the statement
+    // verbatim in DuckDB.
+    "c17_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("c17_customer")
+      t(s, d, "orders").createOrReplaceTempView("c17_orders")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM c17_orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM c17_orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_price
+        FROM c17_customer c
+        WHERE (SELECT count(*) FROM c17_orders o
+                WHERE o.o_custkey = c.c_custkey) >= 1
+        ORDER BY c_custkey""")
     })
   )
 
@@ -824,6 +872,29 @@ object Relational {
            (SELECT event_type FROM events WHERE user_id % 3 = 0)
            EXCEPT ALL
            (SELECT event_type FROM events WHERE user_id % 3 = 1)) ea
-         ORDER BY tag, event_type"""
+         ORDER BY tag, event_type""",
+
+    // the desugared plain-SQL spelling of the pipe chain — semantic
+    // equivalence of the two spellings is exactly what this key claims
+    "g7_sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS item_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // verbatim statement — DuckDB decorrelates the same way
+    "c17_scalar_subquery" ->
+      """SELECT c_custkey,
+           (SELECT count(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT CAST(max(o_totalprice) AS DOUBLE) FROM orders o
+             WHERE o.o_custkey = c.c_custkey) AS max_price
+         FROM customer c
+         WHERE (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) >= 1
+         ORDER BY c_custkey"""
   )
 }
