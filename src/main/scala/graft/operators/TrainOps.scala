@@ -1706,6 +1706,49 @@ object TrainOps {
           s"lang ${r.getString(0)}: row count changed across the rewrite")
       }
       report.select("lang", "n_docs", "n_files")
+    }),
+
+    // l36: TERM CO-OCCURRENCE PMI — corpus-level pointwise mutual
+    // information over in-document term pairs, the classic collocation /
+    // topic-signal statistic (phrase mining, association features for
+    // quality classifiers). Shape dictated by the 100-TB contract:
+    //  1. (doc, term) PRESENCE rows (distinct — PMI here is document-level
+    //     co-occurrence, term multiplicity is deliberately ignored);
+    //  2. a DF-WINDOWED vocabulary (df/N within [2%, 95%]) — the upper
+    //     cut drops stopword-class hubs whose pair fan-out is quadratic
+    //     and whose PMI ≈ 0 carries no signal, the lower cut drops typo
+    //     singletons; the windowed vocab is corpus-bounded, so it
+    //     BROADCASTS back onto the presence rows;
+    //  3. pairs via a doc_id-equijoined self-join of the vocab-filtered
+    //     presence rows (a < b dedup) — ONE hash-partitioned shuffle on
+    //     doc_id, per-doc fan-out bounded by the windowed vocab size,
+    //     never by raw document length;
+    //  4. unary doc frequencies ride the broadcast vocab; N rides a
+    //     one-row broadcast stat frame (no driver-side collect).
+    // pmi = ln(c_ab·N / (c_a·c_b)) rounded at 4dp; minsup 5 prunes
+    // noise pairs (c_ab here runs ~hundreds — the cut is not
+    // boundary-tight).
+    "l36_pmi_cooccur" -> ((s, d) => {
+      val dt = LlmOps.tokens(s, d).select("doc_id", "term").distinct()
+      val nF = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val vocab = df.crossJoin(broadcast(nF))
+        .filter(col("df") >= col("n_docs") * 0.02 &&
+          col("df") <= col("n_docs") * 0.95)
+        .select("term", "df")
+      val dv = dt.join(broadcast(vocab), "term")
+      val a = dv.select(col("doc_id"), col("term").as("ta"), col("df").as("dfa"))
+      val b = dv.select(col("doc_id"), col("term").as("tb"), col("df").as("dfb"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+        .crossJoin(broadcast(nF))
+        .select(col("ta"), col("tb"), col("cab"), col("dfa"), col("dfb"),
+          rnd4(log(col("cab").cast("double") * col("n_docs") /
+            (col("dfa").cast("double") * col("dfb")))).as("pmi"))
+        .orderBy("ta", "tb")
     })
   )
 
@@ -2765,6 +2808,32 @@ object TrainOps {
                 CAST(16 + frame_idx * fb AS BIGINT) AS off_bytes,
                 substr(hx, (16 + frame_idx * fb) * 2 + 1, fb * 2) AS frame_hex,
                 md5(substr(hx, (16 + frame_idx * fb) * 2 + 1, fb * 2)) AS frame_md5
-         FROM idx ORDER BY doc_id, frame_idx"""
+         FROM idx ORDER BY doc_id, frame_idx""",
+
+    // document-level PMI: distinct presence rows, df-windowed vocab,
+    // a<b self-join pairs — ln computed in double on both engines
+    "l36_pmi_cooccur" ->
+      """WITH dt AS (
+           SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+             FROM documents)
+           WHERE term <> ''),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+         df AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+         vocab AS (
+           SELECT term, df FROM df, n
+           WHERE df >= n_docs * 0.02 AND df <= n_docs * 0.95),
+         pairs AS (
+           SELECT a.term AS ta, b.term AS tb, va.df AS dfa, vb.df AS dfb,
+                  count(*) AS cab
+           FROM dt a
+           JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+           JOIN vocab va ON va.term = a.term
+           JOIN vocab vb ON vb.term = b.term
+           GROUP BY 1, 2, 3, 4)
+         SELECT ta, tb, cab, dfa, dfb,
+                round(ln(CAST(cab AS DOUBLE) * n_docs
+                  / (CAST(dfa AS DOUBLE) * dfb)), 4) AS pmi
+         FROM pairs, n WHERE cab >= 5 ORDER BY ta, tb"""
   )
 }
