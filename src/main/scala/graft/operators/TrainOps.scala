@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import graft.functions.JaroWinkler.jaroWinkler
 import graft.functions.VectorFunctions.floatDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1749,6 +1750,35 @@ object TrainOps {
           rnd4(log(col("cab").cast("double") * col("n_docs") /
             (col("dfa").cast("double") * col("dfb")))).as("pmi"))
         .orderBy("ta", "tb")
+    }),
+
+    // l37: FUZZY RECORD LINKAGE — blocked entity resolution over names:
+    // candidate pairs come from a cheap BLOCKING-KEY equi-join
+    // ((p_brand, p_size) — the standard linkage idiom: at 100 TB the
+    // all-pairs cross product is impossible, so candidates are
+    // hash-partitioned by block and the expensive scorer runs only
+    // within blocks), scored by the native codegen'd Jaro-Winkler
+    // expression [[graft.functions.JaroWinklerSim]] — Spark has
+    // levenshtein but no JW; a Scala UDF here would box every pair and
+    // break whole-stage codegen exactly where the work is. The kernel
+    // is pinned to DuckDB's jaro_winkler_similarity semantics (classic
+    // JW: window max/2-1, integer-halved transpositions, 0.7 boost
+    // threshold, prefix cap 4, bytewise) — the oracle compares all
+    // 1639 blocked pairs value-for-value at 4dp. The match filter runs
+    // on the ROUNDED score so the boundary set is engine-identical.
+    "l37_fuzzy_blocked_match" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_name"))
+      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"),
+        col("p_size"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_brand"),
+        col("p_size"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("sim", round(jaroWinkler(col("a_name"), col("b_name")), 4))
+        .filter(col("sim") >= 0.85)
+        .select("a_key", "b_key", "a_name", "b_name", "sim")
+        .orderBy("a_key", "b_key")
     })
   )
 
@@ -2834,6 +2864,19 @@ object TrainOps {
          SELECT ta, tb, cab, dfa, dfb,
                 round(ln(CAST(cab AS DOUBLE) * n_docs
                   / (CAST(dfa AS DOUBLE) * dfb)), 4) AS pmi
-         FROM pairs, n WHERE cab >= 5 ORDER BY ta, tb"""
+         FROM pairs, n WHERE cab >= 5 ORDER BY ta, tb""",
+
+    // the custom codegen'd kernel must agree with DuckDB's native
+    // jaro_winkler_similarity on every blocked pair — value-for-value
+    // at 4dp, filter applied to the rounded score on both engines
+    "l37_fuzzy_blocked_match" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                a.p_name AS a_name, b.p_name AS b_name,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85
+         ORDER BY a_key, b_key"""
   )
 }

@@ -61,4 +61,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exec.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"documents scan not pruned to doc_id/text:\n$exec")
   }
+
+  test("l37 kernel: jaro_winkler matches DuckDB's pinned values bit-for-bit") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = graft.functions.JaroWinkler.similarity(u(a), u(b))
+    // every case probed against DuckDB 1.0's jaro_winkler_similarity
+    // (full 16-digit reprs); they pin the classic-JW corner semantics:
+    // prefix boost + cap, 0.7 boost threshold, integer-halved
+    // transpositions, zero-match and empty-input behavior
+    val pinned = Seq(
+      ("martha", "marhta") -> 0.9611111111111111, // boost, prefix 3
+      ("dixon", "dicksonx") -> 0.8133333333333332, // boost, prefix 2
+      ("jellyfish", "smellyfish") -> 0.8962962962962964, // >0.7, prefix 0
+      ("crate", "trace") -> 0.7333333333333334, // >0.7 but prefix 0
+      ("ab", "ac") -> 0.6666666666666666, // ≤0.7: no boost
+      ("aaaaaab", "aaaaaac") -> 0.9428571428571428, // prefix capped at 4
+      ("abcdefgh", "abcdefgx") -> 0.95, // prefix cap again
+      ("abcdef", "bcadef") -> 0.9444444444444445, // t = 3 mismatches / 2 = 1
+      ("aabbcc", "bbaacc") -> 0.8888888888888888, // t = 2
+      ("dwayne", "duane") -> 0.8400000000000001,
+      ("abc", "abc") -> 1.0,
+      ("a", "a") -> 1.0,
+      ("ab", "ba") -> 0.0, // window 0 → no matches
+      ("", "abc") -> 0.0,
+      ("", "") -> 0.0) // DuckDB: empty-empty is 0, not 1
+    pinned.foreach { case ((a, b), want) =>
+      assert(jw(a, b) == want, s"jw($a, $b) = ${jw(a, b)}, want $want")
+      assert(jw(b, a) == want, s"symmetry broken for ($a, $b)")
+    }
+  }
 }
