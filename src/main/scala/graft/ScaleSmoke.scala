@@ -110,7 +110,7 @@ object ScaleSmoke {
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
-      "l35_compact_small_files")
+      "l35_compact_small_files", "l36_pmi_cooccur")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -162,6 +162,25 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
       spark.read.parquet(s"$src/customer.parquet")
         .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    }
+    // l37 (blocked record linkage) scales on the BLOCK-COUNT axis: clone k
+    // shifts the blocking key (p_size by k·(max+1)) along with p_partkey,
+    // so blocks MULTIPLY while per-block size stays fixed — the realistic
+    // growth axis of entity resolution (more entities, constant cluster
+    // density). Keeping the blocking key instead would grow per-block
+    // pair counts quadratically — a probe of the data's skew, not the
+    // operator (blocked linkage is quadratic in block size BY DESIGN).
+    val partKeys = Set("l37_fuzzy_blocked_match")
+    if (keys.exists(partKeys)) {
+      val pt = spark.read.parquet(s"$src/part.parquet")
+      val st = pt.agg(max("p_partkey"), max("p_size")).head()
+      val (np, nsz) = (st.getLong(0) + 1, st.getInt(1) + 1)
+      pt.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
+        .select((col("p_partkey") + col("clone") * np).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"),
+          (col("p_size") + col("clone") * nsz).cast("int").as("p_size"),
+          col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
     }
     val rows = spark.read.parquet(s"$dir/documents.parquet").count()
 

@@ -329,6 +329,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"l24 degenerated to an all-pairs join:\n$p")
   }
 
+  test("l37: blocked linkage is an equi join with a pruned scan; JW is codegen'd") {
+    val df = SparkEntry.queries("l37_fuzzy_blocked_match")(spark, sfTiny)
+    // the blocking key must plan as a real equi join — an all-pairs
+    // fallback would mean the (brand,size) keys fell out of the condition
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"l37's blocking join is not an equi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"l37 degenerated to all-pairs:\n$p")
+    assert(p.contains("jaro_winkler"), s"jaro_winkler not in the plan:\n$p")
+    // part scan reads only the four needed columns
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string," +
+      "p_brand:string,p_size:int>"),
+      s"part scan not pruned to partkey/name/brand/size:\n$p")
+    // the scorer must run inside whole-stage codegen — the contract
+    // JaroWinklerSim.doGenCode exists for. AQE only renders codegen
+    // spans on the FINAL plan, so execute first, then re-read the plan
+    // and pin jaro_winkler inside the codegen'd join/project stage (a
+    // CodegenFallback expression would sit outside every span).
+    // codegen pin on a shuffle-free frame (the l37 query itself folds to
+    // EmptyRelation under AQE at sfTiny — no pair clears 0.85 there):
+    // a range→project plan is non-adaptive, so executedPlan IS the
+    // WholeStageCodegen tree and the star prefix proves the expression
+    // compiled into the span rather than falling back to interpreted
+    import org.apache.spark.sql.functions.{concat, lit, col => c, min => mn}
+    val demo = spark.range(100)
+      .select(concat(lit("name"), c("id")).as("a"),
+        concat(lit("nam"), c("id")).as("b"))
+      .select(graft.functions.JaroWinkler.jaroWinkler(c("a"), c("b")).as("s"))
+    val dp = demo.queryExecution.executedPlan.toString
+    assert(dp.contains("*(1) Project") && dp.contains("jaro_winkler"),
+      s"jaro_winkler not inside a WholeStageCodegen span:\n$dp")
+    assert(demo.agg(mn("s")).head().getDouble(0) > 0.8,
+      "codegen'd evaluation produced nonsense")
+    // belt and braces: a CodegenFallback mixin would silently drop the
+    // expression out of every codegen span while value tests keep passing
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.JaroWinklerSim]),
+      "JaroWinklerSim must not be CodegenFallback")
+  }
+
   test("whole inventory: no unexpected cartesian/nested-loop joins") {
     // BNLJ/cartesian is legitimate ONLY for the deliberate cross-join
     // demo (c8), scalar/1-row (or 16-centroid) broadcast joins (e7, j4,
@@ -340,7 +382,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
       "l2_sim_embedding_nn", "l3_ann_ivf_topk",
       "l26_bm25_topk", // 1-row broadcast (N, Σdl) stats frame, twice
-      "j18_merge_into_sql") // 1-row broadcast cardinality-guard frame
+      "j18_merge_into_sql", // 1-row broadcast cardinality-guard frame
+      "l36_pmi_cooccur") // 1-row broadcast N frame (df window + final pmi)
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
