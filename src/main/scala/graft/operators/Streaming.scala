@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicLong
 
@@ -669,6 +670,60 @@ object Streaming {
           case None => s.conf.unset(provKey)
         }
       }
+    }),
+
+    // i18: EVENT-TIME TIMERS on transformWithState — the second half of
+    // the modern stateful API (i17 covers keyed state; this covers the
+    // TIMER surface): per-user sessionization re-built from raw
+    // primitives (a ListState event buffer + watermark-driven timers)
+    // instead of the engine's session_window operator. A timer fires
+    // when the watermark passes a session's end+gap; the processor then
+    // sessionizes its buffer, EMITS the watermark-final sessions, and
+    // re-arms for the earliest still-pending session — emission timing
+    // and the final emitted set are exactly i11's Append-mode semantics,
+    // so the ORACLE IS i11's (batch sessionization + the ms-floor
+    // watermark cut). Finality is a PREFIX property (session ends are
+    // strictly increasing per user), which is what makes retain-the-
+    // suffix correct. State = only the non-final tail of each user's
+    // events — bounded by the watermark horizon, the same contract
+    // session_window's eviction provides, here enforced by hand.
+    "i18_stream_session_timers" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prevProv = s.conf.getOption(provKey)
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, rocks)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val name = s"graft_stream_${runSeq.incrementAndGet()}"
+        val rows = eventsStream(s, d)
+          .withWatermark("ts", "30 minutes")
+          .select(col("user_id"), epochUs(col("ts")).as("ts_us"))
+          .as[(Long, Long)]
+        val sessions = rows.groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+        val q = sessions.toDF("user_id", "n_events", "sess_start_us", "sess_end_us")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", scratch(s, name, "ckpt"))
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "i18 must run on the RocksDB state store provider " +
+            "(no rocksdb* metrics in the query progress)")
+        s.table(name)
+          .select("user_id", "n_events", "sess_start_us", "sess_end_us")
+          .orderBy("user_id", "sess_start_us")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
     })
   )
 
@@ -693,6 +748,71 @@ object Streaming {
       }
       state.update((cnt, sum, mx))
       Iterator((key, cnt, sum, mx))
+    }
+  }
+
+  /** i18's processor: hand-built sessionization on the timer API.
+    *
+    * Buffer = a ListState of the user's not-yet-final event times (µs).
+    * On input: append, then arm ONE timer at the earliest possible
+    * finality (ceil-ms of min buffered ts + gap — a LOWER bound on the
+    * first session's end+gap, so the timer can fire early but never
+    * late). On expiry: sessionize the sorted buffer (gap 30 min), emit
+    * every session whose end+gap ≤ watermark (the exact i11 Append cut —
+    * watermark is ms-floored by the engine, hence the ms·1000 compare),
+    * retain the suffix (ends increase per user, so finality is a prefix
+    * property), and re-arm for the first retained session's true
+    * end+gap. An early fire emits nothing and simply re-arms tighter —
+    * the loop converges because re-arms always target a real boundary. */
+  private[graft] class SessionTimerProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    private val GapUs = 1800000000L
+    private val GapMs = 1800000L
+    @transient private var buf: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+    private def ceilMs(us: Long): Long = (us + 999L) / 1000L
+    /** Keep exactly one live timer at `atMs`. `firedMs` is the timer the
+      * engine just expired (it still shows in listTimers but is already
+      * gone — deleting it again only logs a warning), so skip it. */
+    private def rearm(atMs: Long, firedMs: Long = Long.MinValue): Unit = {
+      val existing = getHandle.listTimers().map(_.asInstanceOf[Long])
+        .filter(_ != firedMs).toSeq
+      if (!existing.contains(atMs)) {
+        existing.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(atMs)
+      }
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      rows.foreach { case (_, tsUs) => buf.appendValue(tsUs) }
+      val all = buf.get().toArray
+      if (all.nonEmpty) rearm(ceilMs(all.min) + GapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+      val ts = buf.get().toArray.sorted
+      if (ts.isEmpty) return Iterator.empty
+      // split into sessions at >30-min gaps
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts(0); var end = ts(0); var n = 1L
+      var i = 1
+      while (i < ts.length) {
+        if (ts(i) - end > GapUs) {
+          sessions += ((start, end, n)); start = ts(i); end = ts(i); n = 1L
+        } else { end = ts(i); n += 1L }
+        i += 1
+      }
+      sessions += ((start, end, n))
+      val (fin, pend) = sessions.partition { case (_, e, _) => e + GapUs <= wmUs }
+      if (pend.isEmpty) buf.clear()
+      else {
+        buf.put(ts.dropWhile(_ < pend.head._1))
+        rearm(ceilMs(pend.head._2 + GapUs), info.getExpiryTimeInMs())
+      }
+      fin.iterator.map { case (st, e, cnt) => (key, cnt, st, e) }
     }
   }
 
@@ -739,6 +859,30 @@ object Streaming {
     // 1800000) ms, i9's arithmetic with the 30-min delay. Same batch
     // sessionization as i3's oracle, plus that cut.
     "i11_stream_session_append" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessioned AS (
+           SELECT user_id, ts_us,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, count(*) AS n_events,
+                min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
+         FROM sessioned GROUP BY user_id, session_id
+         HAVING max(ts_us) + 1800000000
+                <= (SELECT ((epoch_us(max(ts)) // 1000) - 1800000) * 1000 FROM events)
+         ORDER BY user_id, sess_start_us""",
+
+    // i18 re-implements i11's operator on the timer API — the emitted set
+    // must be the identical watermark-final session set, so the oracle is
+    // i11's verbatim
+    "i18_stream_session_timers" ->
       """WITH flagged AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                   CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL

@@ -348,6 +348,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s2.streams.resetTerminated() }
   }
 
+  test("i18 timers: sessions emit exactly when the watermark passes end+gap") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z, µs
+    def ts(min: Long) = new Timestamp((t0 + min * 60000000L) / 1000L)
+    def us(min: Long) = t0 + min * 60000000L
+    val input = MemoryStream[(Long, Timestamp)]
+    val out = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new operators.Streaming.SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "n_events", "sess_start_us", "sess_end_us")
+    val q = out.writeStream.format("memory").queryName("i18_timers")
+      .option("checkpointLocation", Tables.scratch(s2, "i18t", "ckpt"))
+      .outputMode("append").start()
+    try {
+      def emitted() = s2.table("i18_timers").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(0)))
+      q.processAllAvailable()
+      // watermark after batch 1 is 5min − 30min → nothing can be final
+      assert(emitted().isEmpty, s"premature emission: ${emitted()}")
+      input.addData((1L, ts(120)))
+      q.processAllAvailable()
+      input.addData((2L, ts(200)))
+      q.processAllAvailable()
+      // the 200-min event set the watermark to 170 min: both 0-min
+      // sessions (end+gap 35/30 min) and u1's 120-min singleton (150 min)
+      // are now final; u2's 200-min singleton (230 min) must still pend
+      assert(emitted() == Set((1L, 2L, us(0), us(5)), (2L, 1L, us(0), us(0)),
+        (1L, 1L, us(120), us(120))),
+        s"wrong finalized set: ${emitted()}")
+      // pending state emits once a later event pushes the watermark past
+      // its end+gap — and the new tail pends in its place
+      input.addData((2L, ts(1000)))
+      q.processAllAvailable()
+      assert(emitted().contains((2L, 1L, us(200), us(200))),
+        s"u2's 200-min session never emitted: ${emitted()}")
+      assert(!emitted().exists(_._3 == us(1000)),
+        s"the open tail must not emit: ${emitted()}")
+    } finally { q.stop(); s2.streams.resetTerminated() }
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
