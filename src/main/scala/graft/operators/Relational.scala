@@ -57,6 +57,34 @@ object Relational {
         .orderBy("o_year")
     }),
 
+    // a12: DYNAMIC PARTITION OVERWRITE — the incremental-reload idiom
+    // every partitioned lake lives on: reprocess ONE slice (the current
+    // year) and overwrite ONLY the partitions the new data touches,
+    // leaving every other partition's files untouched. Write 1 lays the
+    // full year-partitioned table; write 2 rewrites the 2001 slice with
+    // corrected values under `partitionOverwriteMode=dynamic` (a WRITER
+    // option — no session-level conf mutation). The semantics ARE the
+    // oracle check: in the default static mode, write 2 would DELETE
+    // 1995–2000 wholesale and the per-year counts would collapse — the
+    // hash-match proves the dynamic contract held. At 100 TB this is the
+    // difference between rewriting one day and clobbering the table.
+    "a12_sink_dynamic_overwrite" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a12_dynover") { p =>
+        val base = t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+        base.write.mode("overwrite").partitionBy("o_year").parquet(p)
+        base.filter(col("o_year") === 2001)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_year").parquet(p)
+      }
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast(LongType).as("o_year"))
+        .agg(count(lit(1)).as("cnt"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .orderBy("o_year")
+    }),
+
     "a6_source_json_lines" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
@@ -670,6 +698,15 @@ object Relational {
 
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // static overwrite would have deleted 1995-2000 — identical per-year
+    // counts plus the doubled-2001 sum prove the dynamic contract
+    "a12_sink_dynamic_overwrite" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
+           CAST(sum(CAST(CASE WHEN year(o_orderdate) = 2001
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "a10_sink_custom_dsv2" ->

@@ -1779,6 +1779,63 @@ object TrainOps {
         .filter(col("sim") >= 0.85)
         .select("a_key", "b_key", "a_name", "b_name", "sim")
         .orderBy("a_key", "b_key")
+    }),
+
+    // l38: TOKEN-BUDGET CORPUS SELECTION — greedy fill of a fixed token
+    // budget with the best-quality documents (the "assemble a 10B-token
+    // training mix from the top of the quality ranking" operator; the
+    // selection twin of l33's importance sampling). Quality = l5's xq
+    // formula quantized to integer MICRO-UNITS (the l27 rule: both
+    // engines compare exact integers, never raw doubles); budget = half
+    // the corpus's total tokens, derived in-query (1-row broadcast).
+    // The naive spelling is ONE GLOBAL window (ORDER BY q DESC with a
+    // running token sum) — a single-partition sort, the classic scale
+    // antipattern. Implemented instead as the two-phase bucketed cut:
+    //  1. per-doc (q_u, n_tokens) → ~100 fixed-width quality buckets →
+    //     per-bucket token totals (a bounded aggregate);
+    //  2. ONE window over the ≤101-row bucket table finds the boundary
+    //     bucket; buckets above it are selected wholesale (a broadcast
+    //     semi-join — no sort at all), and ONLY the boundary bucket's
+    //     docs pay a window, partitioned by bucket — fan-in bounded by
+    //     bucket width, never corpus size.
+    // Equivalent to the global greedy because bucket id is monotone in
+    // q_u, so bucket-desc-then-(q_u desc, doc_id) IS the global order.
+    "l38_budget_select" -> ((s, d) => {
+      val feat = LlmOps.tokens(s, d).select("doc_id", "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin("the", "a", "of", "and"), 1)
+            .otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor((lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * least(lit(1.0),
+              col("len_sum").cast(DoubleType) / col("n_tokens") / 8.0))
+            * 1e6 + 0.5).cast(LongType).as("q_u"))
+      val budget = feat.agg(
+        floor(sum(col("n_tokens")) / 2).cast(LongType).as("budget"))
+      val bucketed = feat.withColumn("bkt", expr("q_u div 10000"))
+      val wB = Window.orderBy(col("bkt").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bucketed.groupBy("bkt").agg(sum("n_tokens").as("btok"))
+        .withColumn("cum_incl", sum(col("btok")).over(wB))
+        .withColumn("cum_before", col("cum_incl") - col("btok"))
+        .crossJoin(broadcast(budget))
+      val fullB = cum.filter(col("cum_incl") <= col("budget")).select("bkt")
+      val partB = cum.filter(col("cum_incl") > col("budget") &&
+          col("cum_before") < col("budget"))
+        .select(col("bkt"), col("cum_before"), col("budget"))
+      val selFull = bucketed.join(broadcast(fullB), "bkt")
+        .select("doc_id", "q_u", "n_tokens")
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("q_u").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val selPart = bucketed.join(broadcast(partB), "bkt")
+        .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+        .filter(col("cum_before") + col("cum_in") <= col("budget"))
+        .select("doc_id", "q_u", "n_tokens")
+      selFull.unionByName(selPart).orderBy("doc_id")
     })
   )
 
@@ -2877,6 +2934,33 @@ object TrainOps {
            ON a.p_brand = b.p_brand AND a.p_size = b.p_size
           AND a.p_partkey < b.p_partkey
          WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.85
-         ORDER BY a_key, b_key"""
+         ORDER BY a_key, b_key""",
+
+    // the oracle is the NAIVE global-window greedy — equivalence with the
+    // bucketed two-phase cut is exactly what this key claims; xq CTE
+    // lifted from l24's verified oracle, quantized per the l27 rule
+    "l38_budget_select" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         feat AS (
+           SELECT doc_id, n_tokens,
+                  CAST(floor((4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                    + 3e-1 * least(1e0, n_tokens / 1e2)
+                    + 3e-1 * least(1e0, CAST(len_sum AS DOUBLE) / n_tokens / 8e0))
+                    * 1e6 + 5e-1) AS BIGINT) AS q_u
+           FROM (SELECT doc_id, count(*) AS n_tokens,
+                        sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                          AS stop_cnt,
+                        sum(length(term)) AS len_sum
+                 FROM toks WHERE term <> '' GROUP BY 1)),
+         tot AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget FROM feat),
+         ranked AS (
+           SELECT doc_id, q_u, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY q_u DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM feat)
+         SELECT doc_id, q_u, CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM ranked, tot WHERE cum <= budget ORDER BY doc_id"""
   )
 }

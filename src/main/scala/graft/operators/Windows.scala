@@ -173,6 +173,29 @@ object Windows {
         .select(col("event_type"), col("hour_us"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("event_type", "hour_us")
+    }),
+
+    // e11: IGNORE NULLS analytics — FORWARD FILL (last-observation-
+    // carried-forward), the time-series repair idiom: a sensor stream
+    // with dropped readings (synthesized deterministically — every 5th
+    // event's value nulled) repaired per user by `last(value) IGNORE
+    // NULLS` over a trailing frame; plus `nth_value(value, 2)` over the
+    // full frame (the "second reading per user" report column). Both
+    // windows partition by user_id — one hash shuffle, per-user sort,
+    // no global ordering anywhere.
+    "e11_win_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val trail = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("gappy",
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          rnd4(col("gappy")).as("gappy"),
+          rnd4(last(col("gappy"), ignoreNulls = true).over(trail)).as("filled"),
+          rnd4(nth_value(col("value"), 2).over(full)).as("second_val"))
+        .orderBy("event_id")
     })
   )
 
@@ -269,6 +292,21 @@ object Windows {
          SELECT user_id, session_id, count(*) AS n_events,
                 min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us
          FROM sessioned GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+
+    // same IGNORE NULLS semantics in DuckDB; the first events of a user
+    // may precede any observation — filled stays NULL there on both sides
+    "e11_win_ignore_nulls" ->
+      """SELECT event_id, user_id,
+           round(CAST(gappy AS DOUBLE), 4) AS gappy,
+           round(CAST(last_value(gappy IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS filled,
+           round(CAST(nth_value(value, 2) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4) AS second_val
+         FROM (SELECT *, CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+               FROM events)
+         ORDER BY event_id"""
   )
 }
