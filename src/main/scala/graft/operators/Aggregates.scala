@@ -254,7 +254,30 @@ object Aggregates {
           bool_or(col("l_quantity") >= 50).as("any_max_qty"),
           mode(col("l_quantity")).as("mode_qty"),
           rnd4(median(col("l_extendedprice"))).as("med_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // d21: HLL SKETCH MERGE — the INCREMENTAL distinct-count pattern d4
+    // only hints at: d4's approx_count_distinct re-reads raw data every
+    // time, while a lake stores per-slice HLL SKETCHES (here per
+    // (event_type, day) — Spark 4's `hll_sketch_agg`, a DataSketches
+    // HLL) and answers any coarser rollup by MERGING sketches
+    // (`hll_union_agg`) — never touching raw events again. At 100 TB
+    // this is how "distinct users, any date range" stays interactive:
+    // the daily sketch build is one pass at write time; every later
+    // query unions kilobyte sketches. Unoracled (the estimate is
+    // DataSketches-internal); ApproxSpec pins a ≤2% error vs the exact
+    // count AND the merge-consistency contract (union of daily sketches
+    // == the all-data sketch, the property that makes the stored
+    // artifact trustworthy).
+    "d21_agg_hll_sketch_merge" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    })
   )
 
   private val q1Money =

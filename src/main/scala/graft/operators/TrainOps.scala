@@ -1836,6 +1836,58 @@ object TrainOps {
         .filter(col("cum_before") + col("cum_in") <= col("budget"))
         .select("doc_id", "q_u", "n_tokens")
       selFull.unionByName(selPart).orderBy("doc_id")
+    }),
+
+    // l39: RUNTIME BLOOM-FILTER JOIN — the third scan lever, completing
+    // the pruning ladder: l28 prunes partitions on a LITERAL predicate,
+    // l34 prunes partitions on a RUNTIME dim set (DPP), and this key
+    // prunes ROWS inside surviving files: Spark's InjectRuntimeFilter
+    // plants a `might_contain(bloom, xxhash64(key))` predicate on the
+    // fact scan, with the bloom built from the SELECTIVE dim side of the
+    // join at run time — fact rows whose key cannot join are dropped AT
+    // THE SCAN, before the shuffle, which at 100 TB is the difference
+    // between shuffling the whole fact table and shuffling the ~1/35
+    // that survives. Thresholds are sized for real lakes (app side >
+    // 10 GB), so the demo pins them to the corpus and restores them in a
+    // finally. Injection targets genuine SHUFFLE joins — a dim under the
+    // broadcast threshold plans as a broadcast join and Spark (rightly)
+    // skips the bloom, so the demo also disables auto-broadcast to
+    // recreate the both-sides-large regime the lever exists for (at
+    // 100 TB the dim passes the threshold on its own and neither conf is
+    // touched). Injection asserted FAIL-LOUD from the plan (the l28/l34
+    // gate idiom). The filter is a pure overlay: false positives only
+    // cost work, never rows — result join-invariant, so the oracle is
+    // the plain join SQL.
+    "l39_join_runtime_bloom" -> ((s, d) => {
+      val appKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevApp = s.conf.get(appKey)
+      val prevBc = s.conf.get(bcKey)
+      s.conf.set(appKey, "0")
+      s.conf.set(bcKey, "-1")
+      try {
+        val dim = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 2001)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val j = t(s, d, "lineitem")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("item_cnt"),
+            dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_price"))
+          .orderBy("o_orderpriority")
+        val p = j.queryExecution.executedPlan.toString
+        require(p.contains("might_contain"),
+          "runtime bloom filter was not injected on the fact scan:\n" + p)
+        // materialize UNDER the pinned confs (eager localCheckpoint, the
+        // l35 idiom): the caller's later write/count must not re-plan the
+        // join after the finally restores broadcast — the gated plan is
+        // the executed plan
+        j.localCheckpoint()
+      } finally {
+        s.conf.set(appKey, prevApp)
+        s.conf.set(bcKey, prevBc)
+      }
     })
   )
 
@@ -2961,6 +3013,15 @@ object TrainOps {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM feat)
          SELECT doc_id, q_u, CAST(n_tokens AS BIGINT) AS n_tokens
-         FROM ranked, tot WHERE cum <= budget ORDER BY doc_id"""
+         FROM ranked, tot WHERE cum <= budget ORDER BY doc_id""",
+
+    // the bloom overlay drops only never-joining rows — the plain join
+    // is the invariant result (injection itself is require-gated in-plan)
+    "l39_join_runtime_bloom" ->
+      """SELECT o_orderpriority, count(*) AS item_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 2001
+         GROUP BY 1 ORDER BY 1"""
   )
 }

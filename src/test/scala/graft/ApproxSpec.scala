@@ -20,6 +20,32 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("d21: merged daily HLL sketches ≈ exact distinct AND == the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.Tables.t(spark, sfTiny, "events")
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("ex"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = SparkEntry.queries("d21_agg_hll_sketch_merge")(spark, sfTiny)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tolerance: lgK=12 HLL is ~1.6% rse; 2% covers it at these counts
+    assert(merged.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(merged(k) - ex).toDouble / ex <= 0.02,
+        s"$k: merged=${merged(k)} exact=$ex off by more than 2%")
+    }
+    // merge-consistency: unioning the daily sketches must estimate the
+    // same as sketching all rows directly — the property that makes the
+    // STORED per-day artifact trustworthy for later rollups
+    val direct = graft.Tables.t(spark, sfTiny, "events")
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.keySet.foreach { k =>
+      assert(merged(k) == direct(k),
+        s"$k: merged=${merged(k)} != direct=${direct(k)} — sketch merge drifted")
+    }
+  }
+
   test("d17: over-capacity sketch still finds the true heavy hitters (the regime the oracle can't see)") {
     // The oracled d17 runs UNDER capacity (31-token vocab ≤ 1000 tracked)
     // where DataSketches is exact; this covers the genuinely-approximate
