@@ -110,7 +110,7 @@ object ScaleSmoke {
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
-      "l35_compact_small_files", "l36_pmi_cooccur")
+      "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
