@@ -277,6 +277,27 @@ object Aggregates {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
           count(lit(1)).as("n_days"))
         .orderBy("event_type")
+    }),
+
+    // d22: ORDERED-SET AGGREGATES — the SQL-standard `WITHIN GROUP
+    // (ORDER BY ...)` spelling of quantiles, in both semantics:
+    // percentile_cont (interpolating — d11's function behind standard
+    // syntax) and percentile_disc (DISCRETE — returns an actual data
+    // value, the smallest whose cumulative share reaches p; the right
+    // choice when the quantile must be a value that exists, e.g. a real
+    // latency sample). Same engine machinery as d11 — one sort-based
+    // aggregate per group, partial+final.
+    "d22_agg_within_group" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("d22_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+          round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE), 4) AS p25_cont,
+          round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE), 4) AS p50_cont,
+          round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE), 4) AS p50_disc
+        FROM d22_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
   )
 
@@ -427,6 +448,16 @@ object Aggregates {
            bool_or(l_quantity >= 50) AS any_max_qty,
            mode(l_quantity) AS mode_qty,
            round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS med_price
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB quantile_cont interpolates identically; quantile_disc picks
+    // the same smallest-reaching element (probed: {1,2,4,8} → 3.0 / 2.0
+    // on both engines)
+    "d22_agg_within_group" ->
+      """SELECT o_orderstatus,
+           round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25_cont,
+           round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50_cont,
+           round(CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE), 4) AS p50_disc
+         FROM orders GROUP BY 1 ORDER BY 1"""
   )
 }

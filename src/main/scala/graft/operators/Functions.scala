@@ -186,6 +186,32 @@ object Functions {
           count_if(col("is_promo")).as("n_promo"))
         .select("ty", "cnt", "n_promo")
         .orderBy("ty")
+    }),
+
+    // h12: URL FUNCTIONS — the web-corpus normalization family (URL
+    // canonicalization is step one of web-scale dedup): `url_encode`
+    // (form-encoding — '#' must be escaped or it truncates the query as
+    // a fragment, which is exactly what the raw `p_brand` would do),
+    // `parse_url` component extraction (HOST/PATH/keyed QUERY — note
+    // parse_url does NOT decode), and `url_decode` closing the
+    // round-trip back to the original brand. All per-row expressions
+    // fused into the scan; DuckDB 1.0 has no URL family, so the oracle
+    // CONSTRUCTS each expected component from the same inputs — the
+    // round-trip identity is the oracle-able truth.
+    "h12_url_funcs" -> ((s, d) => {
+      val u = concat(lit("https://shop.example.com/"), lower(col("p_type")),
+        lit("/"), col("p_partkey"),
+        lit("?brand="), url_encode(col("p_brand")),
+        lit("&size="), col("p_size"))
+      t(s, d, "part")
+        .withColumn("url", u)
+        .select(col("p_partkey"), col("url"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("brand")).as("brand_enc"),
+          url_decode(parse_url(col("url"), lit("QUERY"), lit("brand")))
+            .as("brand_rt"))
+        .orderBy("p_partkey")
     })
   )
 
@@ -296,6 +322,20 @@ object Functions {
          FROM (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
                            ELSE lower(p_type) END AS ty_mixed
                FROM part)
-         GROUP BY lower(ty_mixed) ORDER BY ty"""
+         GROUP BY lower(ty_mixed) ORDER BY ty""",
+
+    // DuckDB has no URL family — each component is CONSTRUCTED from the
+    // same inputs ('#' is the only char in this data url_encode touches,
+    // and it form-encodes to %23); brand_rt closes the round-trip
+    "h12_url_funcs" ->
+      """SELECT p_partkey,
+           'https://shop.example.com/' || lower(p_type) || '/' || p_partkey
+             || '?brand=' || replace(p_brand, '#', '%23')
+             || '&size=' || p_size AS url,
+           'shop.example.com' AS host,
+           '/' || lower(p_type) || '/' || p_partkey AS path,
+           replace(p_brand, '#', '%23') AS brand_enc,
+           p_brand AS brand_rt
+         FROM part ORDER BY p_partkey"""
   )
 }

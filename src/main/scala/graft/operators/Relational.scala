@@ -662,6 +662,37 @@ object Relational {
         WHERE (SELECT count(*) FROM c17_orders o
                 WHERE o.o_custkey = c.c_custkey) >= 1
         ORDER BY c_custkey""")
+    }),
+
+    // c18: IN / NOT IN SUBQUERIES with the three-valued-logic trap — the
+    // most-misunderstood join surface in SQL: `NOT IN (subquery)` where
+    // the subquery yields even ONE NULL can never be true (x <> NULL is
+    // UNKNOWN), silently emptying the result. Three legs pin the full
+    // contract: IN (a left-semi plan), the poisoned NOT IN (0 rows — the
+    // trap itself, as a count so the emptiness is an asserted VALUE, not
+    // an absent row), and the production fix (filter the NULLs → a real
+    // null-aware anti join). Catalyst plans NOT IN as
+    // NullAwareAntiJoin/BNL precisely because of this semantics — the
+    // fix leg restores the cheap anti-join path, which is the 100-TB
+    // lesson: un-filtered NOT IN is not just wrong-ish, it forces the
+    // expensive null-aware plan.
+    "c18_join_in_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("c18_customer")
+      t(s, d, "supplier").createOrReplaceTempView("c18_supplier")
+      s.sql("""
+        SELECT 'in_semi' AS leg, count(*) AS cnt FROM c18_customer
+        WHERE c_nationkey IN (SELECT s_nationkey FROM c18_supplier
+                              WHERE s_acctbal > 9000)
+        UNION ALL
+        SELECT 'not_in_poisoned', count(*) FROM c18_customer
+        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3)
+                                  FROM c18_supplier)
+        UNION ALL
+        SELECT 'not_in_fixed', count(*) FROM c18_customer
+        WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3)
+                                  FROM c18_supplier
+                                  WHERE nullif(s_nationkey, 3) IS NOT NULL)
+        ORDER BY leg""")
     })
   )
 
@@ -921,6 +952,23 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    // identical three-valued semantics in DuckDB — the poisoned leg's 0
+    // is the portable truth of the trap
+    "c18_join_in_subquery" ->
+      """SELECT 'in_semi' AS leg, count(*) AS cnt FROM customer
+         WHERE c_nationkey IN (SELECT s_nationkey FROM supplier
+                               WHERE s_acctbal > 9000)
+         UNION ALL
+         SELECT 'not_in_poisoned', count(*) FROM customer
+         WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3)
+                                   FROM supplier)
+         UNION ALL
+         SELECT 'not_in_fixed', count(*) FROM customer
+         WHERE c_nationkey NOT IN (SELECT nullif(s_nationkey, 3)
+                                   FROM supplier
+                                   WHERE nullif(s_nationkey, 3) IS NOT NULL)
+         ORDER BY leg""",
 
     // verbatim statement — DuckDB decorrelates the same way
     "c17_scalar_subquery" ->
