@@ -724,8 +724,80 @@ object Streaming {
           case None => s.conf.unset(provKey)
         }
       }
+    }),
+
+    // i19: STREAMING UPSERT via foreachBatch — the "stream MERGEs into a
+    // keyed serving table" production shape (i10/i14 cover append sinks;
+    // this is the UPDATE-in-place sink): each micro-batch folds its
+    // per-user argmax into a keyed store with last-wins semantics (the
+    // j12/j16 merge per batch). The store is a VERSIONED parquet dir
+    // keyed by batchId — batch b reads the highest version < b and
+    // OVERWRITES version b, so a replayed batch rewrites its own version
+    // instead of double-applying (the i14 idempotence contract, at the
+    // table level). The per-batch fold is max(struct(ts, id, value)) —
+    // associative, so ANY batch split yields the identical final store,
+    // which is exactly why the single-batch oracle is valid for the
+    // multi-batch production run (StreamingSpec pins the 2-batch split).
+    // Scale: each batch shuffles only its OWN rows by user; the
+    // store-merge joins batch-keys against the store hash-partitioned —
+    // at 100 TB the store is bucketed by key and the join is co-located.
+    "i19_stream_foreachbatch_upsert" -> ((s, d) => {
+      val store = scratch(s, s"i19_${runSeq.incrementAndGet()}", "store")
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = eventsStream(s, d)
+          .select(col("user_id"), col("event_id"),
+            epochUs(col("ts")).as("ts_us"), col("value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            Streaming.upsertBatch(s, store, batch, batchId)
+          }
+          .option("checkpointLocation", scratch(s, store, "ckpt"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevPart)
+      val fin = latestVersion(store).getOrElse(
+        sys.error("i19: no store version published"))
+      s.read.parquet(s"$store/v$fin")
+        .select(col("user_id"), col("last_event_id"),
+          rnd4(col("last_value")).as("last_value"))
+        .orderBy("user_id")
     })
   )
+
+  /** i19's per-batch MERGE body: fold the batch's per-user argmax into
+    * the highest store version below `batchId`, publish as version
+    * `batchId` (overwrite — a replayed batch rewrites its own version,
+    * never double-applies). */
+  private[graft] def upsertBatch(s: SparkSession, store: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val upd = batch.groupBy("user_id")
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("x"))
+      .select(col("user_id"), col("x.ts_us").as("ts_us"),
+        col("x.event_id").as("last_event_id"), col("x.value").as("last_value"))
+    val merged = latestVersion(store, below = Some(batchId)) match {
+      case None => upd
+      case Some(v) =>
+        val cur = s.read.parquet(s"$store/v$v")
+        cur.unionByName(upd)
+          .groupBy("user_id")
+          .agg(max(struct(col("ts_us"), col("last_event_id").as("event_id"),
+            col("last_value").as("value"))).as("x"))
+          .select(col("user_id"), col("x.ts_us").as("ts_us"),
+            col("x.event_id").as("last_event_id"),
+            col("x.value").as("last_value"))
+    }
+    merged.write.mode("overwrite").parquet(s"$store/v$batchId")
+  }
+
+  private def latestVersion(store: String, below: Option[Long] = None): Option[Long] = {
+    val vs = Option(new java.io.File(store).list()).getOrElse(Array.empty[String])
+      .filter(_.startsWith("v")).flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .filter(v => below.forall(v < _))
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   /** i17's processor: one named ValueState per user holding the running
     * (cnt, sum_uval, max_ts_us) triple — the minimal arbitrary-stateful
@@ -902,6 +974,16 @@ object Streaming {
          HAVING max(ts_us) + 1800000000
                 <= (SELECT ((epoch_us(max(ts)) // 1000) - 1800000) * 1000 FROM events)
          ORDER BY user_id, sess_start_us""",
+
+    // last-wins is associative over any batch split — the final store
+    // equals the batch argmax per user
+    "i19_stream_foreachbatch_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+           round(CAST(value AS DOUBLE), 4) AS last_value
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
 
     // i9 = i1 restricted to the watermark-finalized windows. The engine
     // tracks event-time stats in MILLISECONDS (µs floor-divided by 1000),

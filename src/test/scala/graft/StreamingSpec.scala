@@ -398,6 +398,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s2.streams.resetTerminated() }
   }
 
+  test("i19 upsert: a 2-batch split folds to the same store as one batch") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val store = Tables.scratch(s2, "i19spec", "store")
+    val input = MemoryStream[(Long, Long, Long, Double)] // user, event, ts_us, value
+    val q = input.toDF().toDF("user_id", "event_id", "ts_us", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        operators.Streaming.upsertBatch(s2, store, b, id)
+      }
+      .option("checkpointLocation", Tables.scratch(s2, "i19spec", "ckpt"))
+      .start()
+    try {
+      // batch 0: user 1 has an early event, user 2 its only event
+      input.addData((1L, 10L, 100L, 1.5), (2L, 11L, 50L, 2.5))
+      q.processAllAvailable()
+      // batch 1: user 1's later event must WIN; user 3 is new; an
+      // out-of-order OLDER event for user 2 must LOSE to the stored row
+      input.addData((1L, 12L, 200L, 9.5), (3L, 13L, 10L, 4.5), (2L, 9L, 40L, 0.5))
+      q.processAllAvailable()
+      val vs = new java.io.File(store).list().filter(_.startsWith("v")).sorted
+      assert(vs.sameElements(Array("v0", "v1")), s"versions: ${vs.mkString(",")}")
+      val fin = s2.read.parquet(s"$store/v1")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(fin == Map(1L -> (12L, 9.5), 2L -> (11L, 2.5), 3L -> (13L, 4.5)),
+        s"store after 2-batch fold: $fin")
+    } finally { q.stop(); s2.streams.resetTerminated() }
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
