@@ -85,6 +85,40 @@ object Relational {
         .orderBy("o_year")
     }),
 
+    // a13: GLOB-FILTERED RECURSIVE LAKE READ — the file-selection levers
+    // a messy real lake requires: `recursiveFileLookup` walks nested,
+    // non-hive directory trees (data dropped by upstream jobs at
+    // different depths), `pathGlobFilter` admits only the data files —
+    // the fixture plants a garbage .txt decoy in EVERY directory, so the
+    // options are load-bearing: without the glob the parquet reader
+    // trips on the decoys, without the recursion the nested half of the
+    // data is silently missing (and the per-year counts would
+    // hash-mismatch). File-level selection is the zeroth scan lever —
+    // before partition pruning even applies, the listing itself must
+    // not read junk.
+    "a13_source_glob_filtered" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a13_messy_lake") { p =>
+        val o = t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+        o.filter(col("o_year") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$p/drop_even")
+        o.filter(col("o_year") % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$p/upstream/nested/drop_odd")
+        Seq(s"$p/drop_even/junk.txt", s"$p/upstream/nested/drop_odd/junk.txt",
+          s"$p/upstream/readme.txt").foreach { f =>
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+            "not parquet\n")
+        }
+      }
+      s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(path)
+        .groupBy(col("o_year").cast(LongType).as("o_year"))
+        .agg(count(lit(1)).as("cnt"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .orderBy("o_year")
+    }),
+
     "a6_source_json_lines" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
@@ -729,6 +763,13 @@ object Relational {
 
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // both halves of the split tree must arrive (recursion) and nothing
+    // else (glob) — the full per-year profile is exactly that claim
+    "a13_source_glob_filtered" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     // static overwrite would have deleted 1995-2000 — identical per-year
