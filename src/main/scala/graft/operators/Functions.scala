@@ -212,7 +212,22 @@ object Functions {
           url_decode(parse_url(col("url"), lit("QUERY"), lit("brand")))
             .as("brand_rt"))
         .orderBy("p_partkey")
-    })
+    }),
+
+    // h13: BITWISE FUNCTIONS — flag fields, bucket masks, and packed-id
+    // arithmetic (the bit-level idioms id-encoding schemes and bitmap
+    // indexes are written in): & | ^ shifts and popcount, all codegen'd
+    // integer ops fused into the scan.
+    "h13_bitwise_funcs" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          expr("event_id & 255").as("low8"),
+          expr("event_id | 4096").as("with_flag"),
+          expr("event_id ^ user_id").as("xored"),
+          expr("shiftleft(event_id % 1024, 3)").as("shl"),
+          expr("shiftright(event_id, 2)").as("shr"),
+          bit_count(col("event_id")).as("pop"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -336,6 +351,18 @@ object Functions {
            '/' || lower(p_type) || '/' || p_partkey AS path,
            replace(p_brand, '#', '%23') AS brand_enc,
            p_brand AS brand_rt
-         FROM part ORDER BY p_partkey"""
+         FROM part ORDER BY p_partkey""",
+
+    // DuckDB spells xor as a function and returns wider ints for
+    // bit_count — cast pins the common type
+    "h13_bitwise_funcs" ->
+      """SELECT event_id,
+           event_id & 255 AS low8,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           (event_id % 1024) << 3 AS shl,
+           event_id >> 2 AS shr,
+           CAST(bit_count(event_id) AS INTEGER) AS pop
+         FROM events ORDER BY event_id"""
   )
 }

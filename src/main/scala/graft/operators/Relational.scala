@@ -119,6 +119,34 @@ object Relational {
         .orderBy("o_year")
     }),
 
+    // a14: NESTED COLUMN PRUNING — the struct-column half of the scan-
+    // pruning story (a2 prunes top-level columns): telemetry lakes store
+    // wide structs, and a query touching one leaf must read ONE leaf
+    // from parquet, not the whole struct. Fixture = events re-encoded
+    // with a (k, ts_us, vstr) struct payload; the query projects only
+    // payload.k, and the scan's ReadSchema is require-gated to exactly
+    // struct<payload:struct<k:int>> — Spark's SchemaPruning rule at
+    // work, asserted fail-loud (the l28 gate idiom applied to nested
+    // schema). At 100 TB with 100-field structs this is a ~100× scan-IO
+    // lever, same magnitude as column pruning itself.
+    "a14_nested_column_pruning" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a14_nested") { p =>
+        t(s, d, "events")
+          .select(col("event_id"), struct(
+            from_json(col("props"), lit("k INT")).getField("k").as("k"),
+            epochUs(col("ts")).as("ts_us"),
+            col("event_type").as("vstr")).as("payload"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val q = s.read.parquet(path)
+        .select(col("event_id"), col("payload.k").as("k"))
+        .orderBy("event_id")
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("ReadSchema: struct<event_id:bigint,payload:struct<k:int>>"),
+        "nested pruning failed — the scan reads more than payload.k:\n" + plan)
+      q
+    }),
+
     "a6_source_json_lines" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
@@ -650,6 +678,24 @@ object Relational {
         FROM chain GROUP BY root ORDER BY root""")
     }),
 
+    // g8: UNION BY NAME with missing columns — the schema-evolution
+    // union (a9's reader-side evolution, at the operator level): two
+    // producers of the same logical entity whose schemas drifted (the
+    // supplier feed never carried `bal`) union POSITIONALLY-UNSAFELY but
+    // name-correctly, the absent column null-filled
+    // (`allowMissingColumns = true`). The classic failure this replaces
+    // is positional UNION silently pairing mismatched columns — here the
+    // name binding is the contract.
+    "g8_union_by_name_missing" -> ((s, d) => {
+      val a = t(s, d, "customer").select(lit("c").as("src"),
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+      val b = t(s, d, "supplier").select(lit("s").as("src"),
+        col("s_suppkey").as("id"), col("s_name").as("name"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy("src", "id")
+    }),
+
     // g7: SQL PIPE SYNTAX — Spark 4's `|>` operator chain (SQL:2023-era
     // pipe-structured queries): the linear dataflow spelling of SQL where
     // each stage consumes the previous stage's output top-to-bottom, the
@@ -764,6 +810,13 @@ object Relational {
     "a5_sink_partitioned_parquet" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the pruned leaf's VALUES are the correctness claim (the pruning
+    // itself is require-gated in-plan); k comes from the same JSON the
+    // fixture encoded into the struct
+    "a14_nested_column_pruning" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
 
     // both halves of the split tree must arrive (recursion) and nothing
     // else (glob) — the full per-year profile is exactly that claim
@@ -982,6 +1035,15 @@ object Relational {
            EXCEPT ALL
            (SELECT event_type FROM events WHERE user_id % 3 = 1)) ea
          ORDER BY tag, event_type""",
+
+    // name-bound union with the missing column null-filled — the
+    // explicit NULL projection is its relational definition
+    "g8_union_by_name_missing" ->
+      """SELECT 'c' AS src, c_custkey AS id, c_name AS name, c_acctbal AS bal
+         FROM customer
+         UNION ALL
+         SELECT 's', s_suppkey, s_name, NULL FROM supplier
+         ORDER BY src, id""",
 
     // the desugared plain-SQL spelling of the pipe chain — semantic
     // equivalence of the two spellings is exactly what this key claims
