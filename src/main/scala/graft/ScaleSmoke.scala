@@ -130,8 +130,11 @@ object ScaleSmoke {
     // running state grows with the KEY axis by design (a running
     // aggregate, not a watermark-horizon operator), so the user-shifting
     // clone is exactly its scaling axis too
+    // i19's store grows with KEY cardinality (one row per user), so the
+    // user-shifting clone is its scaling axis too — same as i17
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
-      "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state")
+      "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
+      "i19_stream_foreachbatch_upsert")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

@@ -33,6 +33,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JaroWinkler kernel == an independent reference implementation on random strings") {
+    // reference written the slow, obvious way (full boolean matrices,
+    // collection ops) — a genuinely different code path from the
+    // array-walking production kernel
+    def ref(a: String, b: String): Double = {
+      val (s1, s2) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      if (s1.isEmpty || s2.isEmpty) return 0.0
+      val w = math.max(math.max(s1.length, s2.length) / 2 - 1, 0)
+      val used = scala.collection.mutable.Set.empty[Int]
+      val pairs = s1.indices.flatMap { i =>
+        ((i - w) to (i + w)).find(j =>
+          j >= 0 && j < s2.length && !used(j) && s1(i) == s2(j))
+          .map { j => used += j; (i, j) }
+      }
+      if (pairs.isEmpty) return 0.0
+      val m = pairs.size.toDouble
+      // transpositions: compare matched byte sequences in each side's
+      // positional order; half the mismatch count, integer-floored
+      val seq1 = pairs.map(p => s1(p._1))
+      val seq2 = pairs.sortBy(_._2).map(p => s2(p._2))
+      val mism = seq1.zip(seq2).count { case (x, y) => x != y }
+      val jaro = (m / s1.length + m / s2.length + (m - mism / 2) / m) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        val l = s1.zip(s2).take(4).takeWhile { case (x, y) => x == y }.size
+        jaro + l * 0.1 * (1.0 - jaro)
+      }
+    }
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val rnd = new Random(1337)
+    val alphabet = "abcde" // small alphabet → dense matches/transpositions
+    (1 to 500).foreach { _ =>
+      val a = List.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(5))).mkString
+      val b = List.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(5))).mkString
+      val got = graft.functions.JaroWinkler.similarity(u(a), u(b))
+      val want = ref(a, b)
+      assert(got == want, s"jw($a, $b): kernel=$got ref=$want")
+    }
+  }
+
   test("minLabelClosure == union-find connected components on random graphs") {
     val rnd = new Random(13)
     import spark.implicits._
