@@ -298,7 +298,52 @@ object Aggregates {
           round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
             AS DOUBLE), 4) AS p50_disc
         FROM d22_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
-    })
+    }),
+
+    // d23: LINEAR-REGRESSION AGGREGATES — the SQL-standard regr_* family
+    // (one-pass OLS: slope, intercept, R², plus corr and the regr_avg*
+    // means). The modeled relation is REAL in this corpus: chars-per-word
+    // by language (n_chars ≈ slope·wordcount, r² ≈ 0.99) — the kind of
+    // per-slice linear fit a data-quality dashboard runs over every
+    // partition. Engine shape: each regr_* lowers to the same
+    // sum/sum-sq/cross-sum partial state, so the whole 7-aggregate row
+    // is ONE partial+final HashAggregate pass — no per-statistic rescan.
+    "d23_agg_regression" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("wc", size(split(col("text"), " ")).cast(DoubleType))
+        .withColumn("nc", col("n_chars").cast(DoubleType))
+        .groupBy("lang")
+        .agg(
+          regr_count(col("nc"), col("wc")).as("n_docs"),
+          rnd4(regr_slope(col("nc"), col("wc"))).as("slope"),
+          rnd4(regr_intercept(col("nc"), col("wc"))).as("icept"),
+          rnd4(regr_r2(col("nc"), col("wc"))).as("r2"),
+          rnd4(corr(col("nc"), col("wc"))).as("corr_cw"),
+          rnd4(regr_avgx(col("nc"), col("wc"))).as("avg_wc"),
+          rnd4(regr_avgy(col("nc"), col("wc"))).as("avg_chars"))
+        .orderBy("lang")),
+
+    // d24: BITMAP EXACT-DISTINCT — the EXACT counterpart of the d21 HLL
+    // sketch pattern, same lake shape: per (event_type, day) slices
+    // pre-aggregate user_ids into fixed-32K-bit BITMAPS
+    // (bitmap_construct_agg over bitmap_bit_position, bucketed by
+    // bitmap_bucket_number so arbitrarily large id domains split into
+    // bounded chunks), then any coarser rollup ORs the per-slice bitmaps
+    // (bitmap_or_agg) and sums popcounts — exact distinct-by-any-slice
+    // without ever rescanning raw events, and unlike HLL the artifact
+    // composes EXACTLY (|A∪B| from OR, no error bound). At 100 TB the
+    // daily bitmap build is the one raw pass; every later "distinct
+    // users over any date range" is a kilobyte-scale merge.
+    "d24_agg_bitmap_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("exact_users"))
+        .orderBy("event_type"))
   )
 
   private val q1Money =
@@ -458,6 +503,31 @@ object Aggregates {
            round(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25_cont,
            round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4) AS p50_cont,
            round(CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE), 4) AS p50_disc
-         FROM orders GROUP BY 1 ORDER BY 1"""
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // DuckDB's regr_* family has identical (y, x) signatures; inputs are
+    // integral doubles (word counts, char counts) so the sufficient
+    // statistics are exactly representable and round(…,4) pins the final
+    // division on both engines
+    "d23_agg_regression" ->
+      """SELECT lang,
+           CAST(regr_count(nc, wc) AS BIGINT) AS n_docs,
+           round(regr_slope(nc, wc), 4) AS slope,
+           round(regr_intercept(nc, wc), 4) AS icept,
+           round(regr_r2(nc, wc), 4) AS r2,
+           round(corr(nc, wc), 4) AS corr_cw,
+           round(regr_avgx(nc, wc), 4) AS avg_wc,
+           round(regr_avgy(nc, wc), 4) AS avg_chars
+         FROM (SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS wc,
+                 CAST(n_chars AS DOUBLE) AS nc
+               FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
+    // the bitmap machinery is Spark-side plumbing; the oracled truth is
+    // the exact distinct count it must reproduce
+    "d24_agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -227,7 +227,33 @@ object Functions {
           expr("shiftleft(event_id % 1024, 3)").as("shl"),
           expr("shiftright(event_id, 2)").as("shr"),
           bit_count(col("event_id")).as("pop"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // h14: TRY_* ERROR-SAFE FUNCTIONS — the ANSI-mode escape hatches. A
+    // 100-TB batch job cannot afford one bad row killing a 6-hour stage:
+    // `try_divide` / `try_add` / `try_multiply` return NULL instead of
+    // raising on /0 and bigint overflow, `try_element_at` on
+    // out-of-bounds, `try_to_timestamp` on unparseable text. Every NULL
+    // here is DATA-DEPENDENT (qty=1 rows for /0, orderkey>7 for add
+    // overflow, orderkey past the multiply headroom, linenumber>2 for
+    // the array probe, qty>31 for the bad calendar day) so both the
+    // NULL and non-NULL branches are exercised and oracled. All legs
+    // stay codegen'd scalar expressions fused into the scan.
+    "h14_try_funcs" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - 1)
+            .as("per_extra_unit"),
+          try_add(lit(9223372036854775800L), col("l_orderkey")).as("near_max"),
+          try_multiply(col("l_orderkey"), lit(1200300400500600L)).as("scaled"),
+          try_element_at(array(col("l_quantity"), col("l_extendedprice")),
+            col("l_linenumber")).as("probed"),
+          // emit epoch-µs (repo convention: dodges the tz-annotation
+          // mismatch between Spark's UTC-instant and DuckDB's NTZ parquet)
+          epochUs(try_to_timestamp(concat(lit("2024-01-"),
+            lpad(col("l_quantity").cast(IntegerType).cast(StringType), 2, "0"))))
+            .as("qty_day_us"))
+        .orderBy("l_orderkey", "l_linenumber"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -363,6 +389,23 @@ object Functions {
            (event_id % 1024) << 3 AS shl,
            event_id >> 2 AS shr,
            CAST(bit_count(event_id) AS INTEGER) AS pop
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+
+    // DuckDB RAISES on bigint overflow (no try_* family) — each CASE
+    // guards the same condition Spark's try_* checks internally, making
+    // the null-on-error contract itself the oracled value
+    "h14_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity = 1 THEN NULL
+                ELSE l_extendedprice / (l_quantity - 1) END AS per_extra_unit,
+           CASE WHEN l_orderkey <= 7 THEN 9223372036854775800 + l_orderkey
+                ELSE NULL END AS near_max,
+           CASE WHEN l_orderkey <= 7684 THEN l_orderkey * 1200300400500600
+                ELSE NULL END AS scaled,
+           [l_quantity, l_extendedprice][l_linenumber] AS probed,
+           CASE WHEN CAST(l_quantity AS INT) BETWEEN 1 AND 31
+                THEN epoch_us(make_timestamp(2024, 1, CAST(l_quantity AS INT), 0, 0, 0))
+                ELSE NULL END AS qty_day_us
+         FROM lineitem ORDER BY l_orderkey, l_linenumber"""
   )
 }
