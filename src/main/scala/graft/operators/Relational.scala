@@ -147,6 +147,68 @@ object Relational {
       q
     }),
 
+    // a15: SORTED-CLUSTERED LAKE LAYOUT — the write-side lever that makes
+    // parquet min/max statistics USABLE: `repartitionByRange` on the scan
+    // key + `sortWithinPartitions` yields files with DISJOINT key ranges
+    // and monotone row groups, so a later range predicate prunes whole
+    // row groups from the footer stats instead of decoding every page
+    // (the poor man's Z-order — the single-column case where plain range
+    // clustering is optimal). Two fail-loud gates: (1) the layout gate
+    // proves the files really have pairwise-disjoint l_shipdate ranges
+    // (grouped min/max per input_file_name — the property stats-pruning
+    // depends on; an unsorted write would overlap everywhere and turn
+    // stats-skipping into a no-op), and (2) the plan gate requires the
+    // range predicate pushed into the scan (pushedDownFilters non-empty
+    // on l_shipdate). At 100 TB this layout choice is the difference
+    // between a 60-day query reading ~60 days of row groups vs the whole
+    // fact table — the same reason warehouses cluster fact tables on
+    // date.
+    "a15_sink_sorted_clustered" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a15_sorted_lake") { p =>
+        t(s, d, "lineitem")
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+          .write.mode("overwrite").parquet(p)
+      }
+      // layout gate: per-file [min,max] shipdate ranges must be disjoint
+      // (epoch-µs longs — l_shipdate reads as TIMESTAMP_NTZ, so avoid
+      // Row.getTimestamp's TimestampType assumption)
+      val ranges = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(epochUs(col("l_shipdate").cast(TimestampType))).as("lo"),
+          max(epochUs(col("l_shipdate").cast(TimestampType))).as("hi"))
+        .orderBy("lo")
+        .collect() // ≤ 8 rows — file-count-sized, never data-sized
+      ranges.sliding(2).foreach {
+        case Array(a, b) => require(a.getLong(2) <= b.getLong(1),
+          s"sorted-clustered write produced overlapping file ranges: $a vs $b")
+        case _ => ()
+      }
+      val q = s.read.parquet(path)
+        .filter(col("l_shipdate") >= lit("2000-06-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("2000-08-01").cast(TimestampType))
+        .groupBy(date_trunc("week", col("l_shipdate").cast(TimestampType)).as("wk"))
+        .agg(count(lit(1)).as("cnt"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_price"))
+        .select(epochUs(col("wk")).as("wk_us"), col("cnt"), col("sum_price"))
+        .orderBy("wk_us")
+      // unwrap the AQE root (the l34 idiom) — collect() does not descend
+      // into AdaptiveSparkPlanExec's captured inputPlan
+      val root = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      val pushed = root.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.dataFilters.exists(_.references.exists(_.name == "l_shipdate"))
+      }
+      require(pushed.nonEmpty && pushed.forall(identity),
+        "l_shipdate range predicate not pushed to the clustered scan:\n" +
+          q.queryExecution.executedPlan.toString)
+      q
+    }),
+
     "a6_source_json_lines" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
@@ -824,6 +886,17 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the clustered layout is write-side plumbing; the oracled truth is
+    // the range-filtered weekly rollup it must reproduce exactly
+    "a15_sink_sorted_clustered" ->
+      """SELECT epoch_us(date_trunc('week', l_shipdate)) AS wk_us,
+           count(*) AS cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+           AND l_shipdate < TIMESTAMP '2000-08-01'
+         GROUP BY 1 ORDER BY 1""",
 
     // static overwrite would have deleted 1995-2000 — identical per-year
     // counts plus the doubled-2001 sum prove the dynamic contract

@@ -763,6 +763,39 @@ object Streaming {
         .select(col("user_id"), col("last_event_id"),
           rnd4(col("last_value")).as("last_value"))
         .orderBy("user_id")
+    }),
+
+    // i20: CHAINED STATEFUL AGGREGATIONS — two windowed aggregations in
+    // ONE streaming query (Spark ≥3.5's multiple-stateful-operators
+    // support): a fine 10-minute tumbling count per event_type feeds an
+    // hourly re-aggregation keyed on `window_time(window)` (the window's
+    // event-time representative, end − 1 µs — which is why a slot lands
+    // in the hour of its START). This is the streaming rollup-cascade
+    // every metrics pipeline wants (raw → 10-min → hourly) WITHOUT an
+    // intermediate sink + second query: one checkpoint, one lineage,
+    // per-operator watermark propagation finalizing both levels in the
+    // same commit. Append-only (required for chained stateful ops);
+    // over AvailableNow the final watermark (max(ts) − 1 h, ms-floored)
+    // finalizes every hourly window whose end ≤ watermark — and since a
+    // slot's end never exceeds its hour's end, each emitted hour has
+    // ALL its slots: a pure batch-expressible cut, fully oracled.
+    // State story at scale: level-1 state is bounded by the watermark
+    // horizon × slot count, level-2 by horizon × hours; both evict on
+    // emission like i9 — bounded on an unbounded stream.
+    "i20_stream_chained_agg" -> ((s, d) => {
+      val slots = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val hourly = slots
+        .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+        .agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("n_slots"),
+          max(col("cnt")).as("max_slot"))
+      runToTable(s, hourly, "append")
+        .select(epochUs(col("window.start")).as("h_start_us"),
+          col("event_type"), col("total"), col("n_slots"), col("max_slot"))
+        .orderBy("h_start_us", "event_type")
     })
   )
 
@@ -1144,6 +1177,25 @@ object Streaming {
          WHERE purchase_id IS NOT NULL
             OR click_ts_us + 1800000000 <
                (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
-         ORDER BY click_id, coalesce(purchase_id, -1)"""
+         ORDER BY click_id, coalesce(purchase_id, -1)""",
+
+    // i20 = the two-level rollup under i9's watermark cut: an hourly
+    // window is emitted iff its end ≤ the final watermark, and every
+    // 10-min slot of an emitted hour is necessarily finalized too (slot
+    // end ≤ hour end) — so batch two-level GROUP BY + the horizon filter
+    // reproduces the chained-operator emission exactly
+    "i20_stream_chained_agg" ->
+      """WITH slots AS (
+           SELECT time_bucket(INTERVAL '10 minutes', ts) AS slot,
+                  event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT epoch_us(date_trunc('hour', slot)) AS h_start_us, event_type,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           count(*) AS n_slots,
+           max(cnt) AS max_slot
+         FROM slots
+         WHERE epoch_us(date_trunc('hour', slot)) + 3600000000
+               <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

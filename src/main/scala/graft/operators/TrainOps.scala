@@ -1888,6 +1888,32 @@ object TrainOps {
         s.conf.set(appKey, prevApp)
         s.conf.set(bcKey, prevBc)
       }
+    }),
+
+    // l40: DETERMINISTIC CORPUS SHUFFLE + SHARDING — the step between
+    // corpus prep and the data loader: training wants the corpus in a
+    // SEED-STABLE pseudorandom global order, cut into shards whose
+    // within-shard order is also pinned (so any epoch, any restart, any
+    // worker re-reads byte-identical batches). No RNG state: the
+    // permutation key is a Knuth multiplicative hash of doc_id
+    // (h = doc_id·2654435761 mod 2³²) — order by h IS the shuffle,
+    // h mod nshards IS the shard assignment, and a per-shard
+    // row_number() pins the loader position. This is exactly
+    // repartition-by-shard + sortWithinPartitions at cluster scale: the
+    // one shuffle moves each doc once to its shard, the per-shard sort
+    // is partition-local, and nothing is quadratic or driver-side.
+    // Balance is hash-uniform (no hot shard); determinism is the whole
+    // point — same inputs → same shards → reproducible training runs.
+    "l40_shuffle_shards" -> ((s, d) => {
+      val nShards = 8
+      t(s, d, "documents")
+        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("shard", (col("h") % nShards).cast(IntegerType))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy("h", "doc_id")))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
+        .orderBy("shard", "pos")
     })
   )
 
@@ -3022,6 +3048,18 @@ object TrainOps {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 2001
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // pure integer arithmetic — both engines compute the identical
+    // multiplicative-hash permutation, so shard AND position match
+    "l40_shuffle_shards" ->
+      """SELECT CAST(h % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             AS INTEGER) AS pos,
+           doc_id, n_chars
+         FROM (SELECT doc_id, n_chars,
+                 (doc_id * 2654435761) % 4294967296 AS h
+               FROM documents)
+         ORDER BY shard, pos"""
   )
 }
