@@ -145,6 +145,21 @@ object Streaming {
         min(epochUs(col("ts"))).as("sess_start_us"),
         max(epochUs(col("ts"))).as("sess_end_us"))
 
+  /** The i20 two-level rollup cascade as a pure stream transform
+    * (10-minute tumbling counts → hourly re-aggregation on
+    * `window_time`). Chained stateful operators require Append mode;
+    * multi-batch finalization semantics are pinned in StreamingSpec. */
+  def chainedAgg(events: DataFrame): DataFrame = {
+    val slots = events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    slots
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_slots"),
+        max(col("cnt")).as("max_slot"))
+  }
+
   val queries: Map[String, Q] = Map(
     // i1: 1-hour tumbling windows per event_type
     "i1_stream_tumbling" -> ((s, d) => {
@@ -783,16 +798,7 @@ object Streaming {
     // horizon × slot count, level-2 by horizon × hours; both evict on
     // emission like i9 — bounded on an unbounded stream.
     "i20_stream_chained_agg" -> ((s, d) => {
-      val slots = eventsStream(s, d)
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-      val hourly = slots
-        .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
-        .agg(sum(col("cnt")).as("total"),
-          count(lit(1)).as("n_slots"),
-          max(col("cnt")).as("max_slot"))
-      runToTable(s, hourly, "append")
+      runToTable(s, chainedAgg(eventsStream(s, d)), "append")
         .select(epochUs(col("window.start")).as("h_start_us"),
           col("event_type"), col("total"), col("n_slots"), col("max_slot"))
         .orderBy("h_start_us", "event_type")

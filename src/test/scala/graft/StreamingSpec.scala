@@ -636,6 +636,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == (0L until 15L),
       s"restart re-emitted or dropped rows: ${out.mkString(",")}")
   }
+
+  test("i20 chained aggs: both levels finalize in one commit once the watermark passes") {
+    // the multiple-stateful-operators contract AvailableNow over one file
+    // cannot show: the hourly window must NOT emit while its 10-min slots
+    // are still open, and when the watermark passes the hour's end the
+    // slot finalization and the hourly emission cascade in the SAME
+    // batch (per-operator watermark propagation), not one batch apart.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = operators.Streaming.chainedAgg(
+      input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("i20_chain")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ts("2024-01-01 10:05:00") -> "click", // slot 10:00
+        ts("2024-01-01 10:07:00") -> "click", // slot 10:00
+        ts("2024-01-01 10:25:00") -> "click", // slot 10:20
+        ts("2024-01-01 10:45:00") -> "view")  // slot 10:40
+      q.processAllAvailable()
+      assert(spark.table("i20_chain").count() == 0,
+        "hour 10:00 emitted before its watermark passed")
+      // 12:00 → watermark 11:00 → hour 10:00 finalizes: its slots emit
+      // from level 1 and the hourly rollup emits from level 2, same batch
+      input.addData(ts("2024-01-01 12:00:00") -> "click")
+      q.processAllAvailable()
+      val out = spark.table("i20_chain")
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("total"), col("n_slots"), col("max_slot"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(out == Map(
+        ("2024-01-01 10:00:00", "click") -> ((3L, 2L, 2L)),
+        ("2024-01-01 10:00:00", "view") -> ((1L, 1L, 1L))),
+        s"unexpected hourly rollup: $out")
+      // both levels evicted their finalized state in that commit
+      val st = q.lastProgress.stateOperators
+      assert(st.length == 2, s"expected 2 stateful operators, got ${st.length}")
+      assert(st.map(_.numRowsRemoved).sum >= 4,
+        s"expected slot+hour eviction, got ${st.map(_.numRowsRemoved).mkString(",")}")
+    } finally q.stop()
+  }
 }
 
 /** i17 TTL-contract probe: a per-key counter whose ValueState carries a

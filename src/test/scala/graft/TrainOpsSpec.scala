@@ -594,4 +594,33 @@ class TrainOpsSpec extends AnyFunSuite {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall $recall (probing 4/16 cells)")
   }
+
+  test("l40: shard shuffle is a lossless, balanced, seed-stable permutation") {
+    val rows = SparkEntry.queries("l40_shuffle_shards")(spark, sfTiny)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = graft.Tables.t(spark, sfTiny, "documents").count()
+    // lossless: every doc exactly once
+    assert(rows.length == n && rows.map(_._3).distinct.length == n)
+    // positions are contiguous 1..count within each shard (the loader
+    // contract: no gaps a restart could mis-seek over)
+    rows.groupBy(_._1).foreach { case (shard, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length),
+        s"shard $shard positions not contiguous")
+    }
+    // hash-uniform balance: no shard beyond 2x the ideal share
+    val sizes = rows.groupBy(_._1).values.map(_.length)
+    assert(sizes.max <= 2.0 * n / 8,
+      s"hot shard: sizes ${sizes.toSeq.sorted}")
+    // seed-stable: the permutation is pure arithmetic — a re-run is
+    // byte-identical (determinism IS the operator's contract)
+    val again = SparkEntry.queries("l40_shuffle_shards")(spark, sfTiny)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+    // the order is actually SHUFFLED, not the input order: doc_ids within
+    // a shard must not be monotone (probability ~0 under the hash order)
+    assert(rows.groupBy(_._1).values.exists { g =>
+      val ids = g.sortBy(_._2).map(_._3).toSeq
+      ids != ids.sorted
+    }, "shuffle left doc_ids in input order")
+  }
 }
