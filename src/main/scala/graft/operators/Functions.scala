@@ -253,7 +253,27 @@ object Functions {
           epochUs(try_to_timestamp(concat(lit("2024-01-"),
             lpad(col("l_quantity").cast(IntegerType).cast(StringType), 2, "0"))))
             .as("qty_day_us"))
-        .orderBy("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // h15: EDIT-DISTANCE KERNELS — the scalar backbone of fuzzy matching
+    // (l37's blocked linkage uses a native Jaro-Winkler; this is the
+    // built-in Levenshtein surface): full distance, the THRESHOLDED
+    // variant (levenshtein(l, r, k) returns −1 past k — the banded-DP
+    // early exit that makes edit distance affordable in a hot loop: O(k·n)
+    // instead of O(n·m), and at 100 TB the only sane form inside a
+    // candidate-pair filter), and a derived normalized similarity. Inputs
+    // are same-row column pairs (name vs type), so the whole key stays a
+    // codegen'd scan — no join, no shuffle.
+    "h15_edit_distance" -> ((s, d) =>
+      t(s, d, "part")
+        .withColumn("a", lower(col("p_name")))
+        .withColumn("b", lower(col("p_type")))
+        .select(col("p_partkey"), col("a"), col("b"),
+          levenshtein(col("a"), col("b")).as("dist"),
+          levenshtein(col("a"), col("b"), 3).as("dist_capped"),
+          rnd4(lit(1) - levenshtein(col("a"), col("b")) /
+            greatest(length(col("a")), length(col("b")))).as("sim"))
+        .orderBy("p_partkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -406,6 +426,19 @@ object Functions {
            CASE WHEN CAST(l_quantity AS INT) BETWEEN 1 AND 31
                 THEN epoch_us(make_timestamp(2024, 1, CAST(l_quantity AS INT), 0, 0, 0))
                 ELSE NULL END AS qty_day_us
-         FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    // DuckDB levenshtein has no threshold arg — the capped leg is the
+    // same distance clamped by the identical past-k contract (−1)
+    "h15_edit_distance" ->
+      """SELECT p_partkey, a, b,
+           CAST(levenshtein(a, b) AS INTEGER) AS dist,
+           CAST(CASE WHEN levenshtein(a, b) > 3 THEN -1
+                     ELSE levenshtein(a, b) END AS INTEGER) AS dist_capped,
+           round(1 - levenshtein(a, b) /
+             CAST(greatest(len(a), len(b)) AS DOUBLE), 4) AS sim
+         FROM (SELECT p_partkey, lower(p_name) AS a, lower(p_type) AS b
+               FROM part)
+         ORDER BY p_partkey"""
   )
 }

@@ -835,6 +835,35 @@ object Relational {
                                   FROM c18_supplier
                                   WHERE nullif(s_nationkey, 3) IS NOT NULL)
         ORDER BY leg""")
+    }),
+
+    // c19: NULL-SAFE EQUALITY JOIN — `<=>` (IS NOT DISTINCT FROM) as the
+    // JOIN KEY: unlike `=`, NULL <=> NULL is TRUE, so null-keyed rows on
+    // both sides MATCH each other instead of silently dropping (the
+    // "unknown bucket" join every warehouse needs when a dimension key
+    // is optional). The semantic trap it demonstrates: the NULL group
+    // cross-multiplies (every null-keyed left row × every null-keyed
+    // right row) — here 3-keyed rows are nulled on both sides and the
+    // count proves the cartesian-within-group semantics. Engine shape:
+    // Catalyst treats <=> as a proper equi-join condition (EqualNullSafe
+    // in the join keys — hash-partitionable, because the null bucket
+    // hashes like any other value), so this stays a hash join, NOT a
+    // nested-loop: the property that makes null-safe joins usable at
+    // 100 TB. Fail-loud gated below.
+    "c19_join_null_safe" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val sup = t(s, d, "supplier")
+        .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+      val j = c.join(sup, c("ck") <=> sup("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1)).cast(IntegerType).as("k"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("k")
+      val hasHashJoin = j.queryExecution.executedPlan.toString
+      require(!hasHashJoin.contains("NestedLoop") &&
+        !hasHashJoin.contains("CartesianProduct"),
+        "null-safe join fell back to a nested loop:\n" + hasHashJoin)
+      j
     })
   )
 
@@ -886,6 +915,15 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // IS NOT DISTINCT FROM is the portable spelling of <=>; the NULL
+    // group's cross-multiplication is the semantic under test
+    "c19_join_null_safe" ->
+      """SELECT CAST(coalesce(ck, -1) AS INTEGER) AS k, count(*) AS pairs
+         FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
+         JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
+           ON c.ck IS NOT DISTINCT FROM s.sk
+         GROUP BY 1 ORDER BY 1""",
 
     // the clustered layout is write-side plumbing; the oracled truth is
     // the range-filtered weekly rollup it must reproduce exactly
