@@ -864,6 +864,78 @@ object Relational {
         !hasHashJoin.contains("CartesianProduct"),
         "null-safe join fell back to a nested loop:\n" + hasHashJoin)
       j
+    }),
+
+    // c20: COST-BASED JOIN REORDER — the optimizer lever the whole
+    // ANALYZE TABLE machinery exists for: with table + column statistics
+    // in the catalog, Catalyst's CostBasedJoinReorder rewrites a
+    // badly-ordered inner-join chain into the cheapest order. The query
+    // is written WORST-first (fact ⋈ fact-sized orders ⋈ tiny filtered
+    // customer); with stats + CBO the optimizer must instead join
+    // orders ⋈ (σ customer) first — the selective dimension shrinks the
+    // build side to ~1/5 before the fact table is touched. At 100 TB
+    // this is the difference between shuffling the whole fact join
+    // output and shuffling the dimension-pruned slice; the reorder is
+    // require-gated from the OPTIMIZED plan's bottom-most join (its leaf
+    // set must be {orders, customer} — fail-loud, not hoped-for).
+    // Catalog note: EXTERNAL tables over fixture-cached parquet (the c12
+    // idiom — no warehouse pollution); ANALYZE runs per session and is
+    // one footer+scan pass over the slice.
+    "c20_join_cbo_reorder" -> ((s, d) => {
+      val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(d.hashCode)
+      val base = cachedFixture(s, d, "c20_cbo") { p =>
+        t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+          .write.mode("overwrite").parquet(s"$p/lineitem")
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$p/orders")
+        t(s, d, "customer").select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").parquet(s"$p/customer")
+      }
+      val (liT, ordT, custT) = (s"graft_cbo_li_$tag", s"graft_cbo_ord_$tag",
+        s"graft_cbo_cust_$tag")
+      Seq((liT, "lineitem", "l_orderkey BIGINT, l_extendedprice DOUBLE"),
+        (ordT, "orders", "o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING"),
+        (custT, "customer", "c_custkey BIGINT, c_mktsegment STRING"))
+        .foreach { case (name, sub, schema) =>
+          s.sql(s"""CREATE TABLE IF NOT EXISTS $name ($schema)
+            USING parquet LOCATION '$base/$sub'""")
+          s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS"): Unit
+        }
+      val (cboKey, reorderKey) = ("spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled")
+      val prev = (s.conf.get(cboKey), s.conf.get(reorderKey))
+      s.conf.set(cboKey, "true"); s.conf.set(reorderKey, "true")
+      try {
+        val q = s.sql(s"""
+          SELECT o_orderpriority, count(*) AS item_cnt,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM $liT
+          JOIN $ordT ON l_orderkey = o_orderkey
+          JOIN $custT ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+        val bottomLeaves = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if !j.children.exists(_.exists(
+                _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])) =>
+            j.collectLeaves().flatMap(_.collect {
+              case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+                r.relation.asInstanceOf[
+                  org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+                  .location.rootPaths.map(_.getName)
+            }.flatten).toSet
+        }
+        require(bottomLeaves.nonEmpty &&
+          bottomLeaves.exists(ls => ls == Set("orders", "customer")),
+          s"CBO did not reorder the join chain (bottom-most join leaves: " +
+            s"$bottomLeaves):\n" + q.queryExecution.optimizedPlan.toString)
+        // materialize under the pinned confs (the l39 idiom): the gated
+        // plan must be the executed plan
+        q.localCheckpoint()
+      } finally {
+        s.conf.set(cboKey, prev._1); s.conf.set(reorderKey, prev._2)
+      }
     })
   )
 
@@ -915,6 +987,17 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the reorder is plan-shape machinery (require-gated in-plan); the
+    // oracled truth is the join result it must leave untouched
+    "c20_join_cbo_reorder" ->
+      """SELECT o_orderpriority, count(*) AS item_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // IS NOT DISTINCT FROM is the portable spelling of <=>; the NULL
     // group's cross-multiplication is the semantic under test
