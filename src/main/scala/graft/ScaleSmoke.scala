@@ -41,7 +41,8 @@ object ScaleSmoke {
     val streamProbeKeys =
       Set("i9_stream_tumbling_append", "i11_stream_session_append",
         "i12_stream_drift", "i14_stream_lake_sink",
-        "i15_stream_stream_left_join", "i16_stream_dedup_within_wm")
+        "i15_stream_stream_left_join", "i16_stream_dedup_within_wm",
+        "i20_stream_chained_agg")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -110,7 +111,8 @@ object ScaleSmoke {
       "l29_dedup_cdc_chunks", "l30_multimodal_frame_sample",
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
-      "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select")
+      "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
+      "l40_shuffle_shards")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -132,9 +134,12 @@ object ScaleSmoke {
     // clone is exactly its scaling axis too
     // i19's store grows with KEY cardinality (one row per user), so the
     // user-shifting clone is its scaling axis too — same as i17
+    // d24's bitmap build scales on the same key axis (distinct users ×
+    // factor): the user-shifting clone grows the id domain the buckets
+    // chunk, while per-(type, day, bucket) bitmap state stays fixed-size
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
-      "i19_stream_foreachbatch_upsert")
+      "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
@@ -283,7 +288,8 @@ object ScaleSmoke {
     val isJoin = key.startsWith("i15")
     val isDedup = key.startsWith("i16")
     val agg =
-      if (key.startsWith("i11")) operators.Streaming.sessionAgg(stream)
+      if (key.startsWith("i20")) operators.Streaming.chainedAgg(stream)
+      else if (key.startsWith("i11")) operators.Streaming.sessionAgg(stream)
       else if (isJoin) {
         val wm = stream.withWatermark("ts", "1 hour")
         val clicks = wm.filter(col("event_type") === "click")
@@ -357,6 +363,11 @@ object ScaleSmoke {
       val sliceBase =
         if (isJoin) ev.filter(col("event_type").isin("click", "purchase")).count().toDouble
         else if (isDedup) ev.count().toDouble
+        // i20 holds TWO operators' state; level 1 (10-min slots, ≤6 per
+        // emitted hourly window) dominates level 2 (the hours) — ×7
+        // covers both, and the shared claim is unchanged: peak must
+        // track ONE slice, not the stream
+        else if (key.startsWith("i20")) emitted.toDouble * 7 / factor
         else emitted.toDouble / factor
       val bound = sliceBase * 1.5 + 100
       require(maxState <= bound,
