@@ -621,6 +621,44 @@ object LlmOps {
             WHEN NOT MATCHED THEN INSERT (user_id, event_type, event_id, ts_us, value)
               VALUES (d.user_id, d.event_type, d.event_id, d.ts_us, d.value)""")
         .orderBy("user_id", "event_type")
+    }),
+
+    // j19: SESSIONIZED CONVERSION FUNNEL — the product-analytics
+    // composite the e9 sessionize kernel exists to feed: per (user,
+    // 30-min-gap session) compute which funnel stages fired (view →
+    // click → purchase as PRESENCE flags, the d20 conditional-agg idiom
+    // applied per session), then roll the sessions up into one funnel
+    // row: stage reach counts, the click∧purchase conversion, and mean
+    // session depth. Engine shape: ONE hash shuffle by user_id feeds
+    // both the sessionize window and the per-session aggregate (same
+    // partitioning, no second shuffle); the final rollup is a global
+    // partial+final aggregate over session-count-sized input. At 100 TB
+    // sessions ≪ events, so everything after the first window is cheap;
+    // the user_id shuffle is the same one every per-user op pays.
+    "j19_session_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = t(s, d, "events")
+        .withColumn("ts_us", epochUs(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("has_view"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("has_click"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_purchase"))
+      perSession.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("has_view")).as("with_view"),
+        sum(col("has_click")).as("with_click"),
+        sum(col("has_purchase")).as("with_purchase"),
+        sum(when(col("has_click") === 1 && col("has_purchase") === 1, 1)
+          .otherwise(0)).as("converted"),
+        rnd4(avg(col("n_events"))).as("avg_session_events"))
     })
   )
 
@@ -873,6 +911,37 @@ object LlmOps {
          FROM base b FULL OUTER JOIN delta d
            ON b.user_id = d.user_id AND b.event_type = d.event_type
           AND b.day_us = d.day_us
-         ORDER BY user_id, event_type, day_us"""
+         ORDER BY user_id, event_type, day_us""",
+
+    // e9's sessionization CTE + per-session presence flags; DuckDB sums
+    // of INTs are hugeint → CAST pins BIGINT parity
+    "j19_session_funnel" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sessioned AS (
+           SELECT user_id, event_type,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged
+         ), per_session AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+                  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+           FROM sessioned GROUP BY user_id, session_id
+         )
+         SELECT count(*) AS n_sessions,
+                CAST(sum(has_view) AS BIGINT) AS with_view,
+                CAST(sum(has_click) AS BIGINT) AS with_click,
+                CAST(sum(has_purchase) AS BIGINT) AS with_purchase,
+                CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+                round(avg(n_events), 4) AS avg_session_events
+         FROM per_session"""
   )
 }

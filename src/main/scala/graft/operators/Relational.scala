@@ -209,6 +209,40 @@ object Relational {
       q
     }),
 
+    // a16: BINARY-FILES SOURCE — the multimodal ingest entry point: the
+    // `binaryFile` format turns a directory of opaque files (images,
+    // audio, model shards — here deterministic .txt bodies so the
+    // contract is oracle-able) into rows of (path, modificationTime,
+    // length, content BINARY), one task per file, which is exactly how
+    // image/audio corpora enter a lakehouse before l7/l30-style feature
+    // extraction. The glob filter prunes at LISTING time (a13's zeroth
+    // lever). Correctness contract: byte-exact content (sha2 over the
+    // binary column must equal the hash of the text the file was written
+    // from) + exact byte length — the loader may not transcode, truncate,
+    // or pad. Fixture: one file per doc for a 100-doc slice (the collect
+    // is fixture-build-only and file-count-sized). At 100 TB the format
+    // parallelizes per file and never materializes a file twice; pair
+    // with maxPartitionBytes sizing for many-small-file image corpora.
+    "a16_source_binary_files" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a16_binfiles") { p =>
+        new java.io.File(p).mkdirs()
+        t(s, d, "documents").filter(col("doc_id") < 100)
+          .select("doc_id", "text").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$p/doc_${r.getLong(0)}%05d.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(path)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length"),
+          sha2(col("content"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
+
     "a6_source_json_lines" -> ((s, d) =>
       t(s, d, "events")
         .withColumn("j", from_json(col("props"), schema_of_json(lit("""{"k": 1}"""))))
@@ -987,6 +1021,14 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the loader may not transcode/truncate/pad: sha256 + byte length of
+    // the source text ARE the binary contract (ASCII corpus: strlen =
+    // octet length)
+    "a16_source_binary_files" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+           sha256(text) AS sha
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
 
     // the reorder is plan-shape machinery (require-gated in-plan); the
     // oracled truth is the join result it must leave untouched

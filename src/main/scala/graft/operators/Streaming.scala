@@ -802,6 +802,40 @@ object Streaming {
         .select(epochUs(col("window.start")).as("h_start_us"),
           col("event_type"), col("total"), col("n_slots"), col("max_slot"))
         .orderBy("h_start_us", "event_type")
+    }),
+
+    // i21: MULTI-SOURCE UNION INGESTION — one streaming query over TWO
+    // independent sources (the "several topics, one pipeline" shape every
+    // real ingest has: interaction events and transaction events land in
+    // different directories/topics but feed one metrics aggregation).
+    // `unionByName` aligns the sources by COLUMN NAME at plan time —
+    // positional union is the classic silent-corruption bug when two
+    // upstream teams order columns differently — and the engine tracks
+    // per-source offsets in ONE checkpoint, computing the query watermark
+    // as the MIN across sources so a lagging topic holds back finalization
+    // instead of dropping its late rows. Fixture: events split by type
+    // into two real directories (fixture-cached); the union of the two
+    // topics is the whole table, so the i1 tumbling oracle applies
+    // verbatim. At 100 TB each source scales its own file listing/offsets
+    // independently; the union itself is a zero-shuffle plan node.
+    "i21_stream_union_sources" -> ((s, d) => {
+      val path = cachedFixture(s, d, "i21_topics") { p =>
+        val ev = graft.Tables.t(s, d, "events")
+        ev.filter(col("event_type").isin("click", "view"))
+          .write.mode("overwrite").parquet(s"$p/topic_interact")
+        ev.filter(!col("event_type").isin("click", "view"))
+          .write.mode("overwrite").parquet(s"$p/topic_txn")
+      }
+      val schema = s.read.parquet(s"$path/topic_interact").schema
+      val a = s.readStream.schema(schema).parquet(s"$path/topic_interact")
+      // deliberately re-projected in a DIFFERENT column order: unionByName
+      // must reconcile it (a positional union would scramble the rows)
+      val b = s.readStream.schema(schema).parquet(s"$path/topic_txn")
+        .select(schema.fieldNames.reverse.map(col).toIndexedSeq: _*)
+      runToTable(s, tumblingAgg(a.unionByName(b)), "complete")
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start_us", "event_type")
     })
   )
 
@@ -1202,6 +1236,13 @@ object Streaming {
          FROM slots
          WHERE epoch_us(date_trunc('hour', slot)) + 3600000000
                <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the two topics partition the table by type, so their union is the
+    // whole table and the i1 tumbling oracle applies verbatim
+    "i21_stream_union_sources" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+           event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
