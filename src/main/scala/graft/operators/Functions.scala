@@ -234,25 +234,37 @@ object Functions {
     // `try_divide` / `try_add` / `try_multiply` return NULL instead of
     // raising on /0 and bigint overflow, `try_element_at` on
     // out-of-bounds, `try_to_timestamp` on unparseable text. Every NULL
-    // here is DATA-DEPENDENT (qty=1 rows for /0, orderkey>7 for add
-    // overflow, orderkey past the multiply headroom, linenumber>2 for
-    // the array probe, qty>31 for the bad calendar day) so both the
-    // NULL and non-NULL branches are exercised and oracled. All legs
-    // stay codegen'd scalar expressions fused into the scan.
+    // is DATA-DEPENDENT so both branches are exercised and oracled — but
+    // deliberately RARE (qty=1 ~2%, pmod tails 0.1–1%, linenumber>2,
+    // day-32..39 slots ~20%): Spark's try_* error path is a caught JVM
+    // exception PER FAILING ROW, so a leg that fails on most rows turns
+    // the scan into an exception storm — the first cut of this key did
+    // exactly that (overflow on ~100% of rows) and benched at 52 s for
+    // 600 k rows, a ~75× self-inflicted slowdown. try_* prices the
+    // ERROR TAIL, not the common case; a mostly-failing column needs a
+    // guard predicate, not try_*. All legs stay codegen'd expressions
+    // fused into the scan (TryEval wraps the child's generated code in
+    // try/catch — no interpreter fallback).
     "h14_try_funcs" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           try_divide(col("l_extendedprice"), col("l_quantity") - 1)
             .as("per_extra_unit"),
-          try_add(lit(9223372036854775800L), col("l_orderkey")).as("near_max"),
-          try_multiply(col("l_orderkey"), lit(1200300400500600L)).as("scaled"),
+          // overflows iff pmod(orderkey,1000) ≥ 990 — a 1% error tail
+          try_add(lit(9223372036854775807L - 989L),
+            pmod(col("l_orderkey"), lit(1000))).as("near_max"),
+          // overflows iff pmod(orderkey,1000) = 0 — a 0.1% error tail
+          // (|x−500| = 500 only at x = 0; 499·(Max/499) fits, 500· does not)
+          try_multiply(pmod(col("l_orderkey"), lit(1000)) - 500,
+            lit(9223372036854775807L / 499L)).as("scaled"),
           try_element_at(array(col("l_quantity"), col("l_extendedprice")),
             col("l_linenumber")).as("probed"),
-          // emit epoch-µs (repo convention: dodges the tz-annotation
-          // mismatch between Spark's UTC-instant and DuckDB's NTZ parquet)
+          // day slot 0 is the invalid calendar day (~3% error tail);
+          // explicit format avoids the default-parser fallback machinery
           epochUs(try_to_timestamp(concat(lit("2024-01-"),
-            lpad(col("l_quantity").cast(IntegerType).cast(StringType), 2, "0"))))
-            .as("qty_day_us"))
+            lpad(pmod(col("l_orderkey") + col("l_linenumber"), lit(32))
+              .cast(StringType), 2, "0")), lit("yyyy-MM-dd")))
+            .as("slot_day_us"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     // h15: EDIT-DISTANCE KERNELS — the scalar backbone of fuzzy matching
@@ -273,7 +285,32 @@ object Functions {
           levenshtein(col("a"), col("b"), 3).as("dist_capped"),
           rnd4(lit(1) - levenshtein(col("a"), col("b")) /
             greatest(length(col("a")), length(col("b")))).as("sim"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // h16: CALENDAR ARITHMETIC — the month/week functions whose value is
+    // their EDGE SEMANTICS, not their happy path: `add_months` clamps to
+    // the target month's last day (Jan 31 + 1 mo = Feb 28/29 — the rule
+    // that makes monthly billing rollovers correct), `next_day` finds
+    // the following named weekday (scheduling), `quarter`/ISO
+    // `weekofyear`/`dayofweek` are the fiscal bucketing trio, and
+    // timestamp + `make_interval` is mixed-unit offset arithmetic. The
+    // orders table spans 1995–2001 with uniform dates, so every
+    // month-length and year-boundary edge is exercised by real rows.
+    // All codegen'd scalar expressions fused into the scan.
+    "h16_calendar_funcs" -> ((s, d) => {
+      val od = col("o_orderdate").cast(DateType)
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        add_months(od, 1).as("plus1m"),
+        add_months(od, -13).as("minus13m"),
+        next_day(od, "Mon").as("next_mon"),
+        quarter(od).as("q"),
+        weekofyear(od).as("iso_week"),
+        dayofweek(od).as("dow"),
+        epochUs(col("o_orderdate").cast(TimestampType) +
+          expr("make_interval(0, 0, 0, 5, 3, 30, 0)")).as("plus_5d3h30m_us"))
+        .orderBy("o_orderkey")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -418,14 +455,17 @@ object Functions {
       """SELECT l_orderkey, l_linenumber,
            CASE WHEN l_quantity = 1 THEN NULL
                 ELSE l_extendedprice / (l_quantity - 1) END AS per_extra_unit,
-           CASE WHEN l_orderkey <= 7 THEN 9223372036854775800 + l_orderkey
+           CASE WHEN l_orderkey % 1000 <= 989
+                THEN 9223372036854775807 - 989 + (l_orderkey % 1000)
                 ELSE NULL END AS near_max,
-           CASE WHEN l_orderkey <= 7684 THEN l_orderkey * 1200300400500600
-                ELSE NULL END AS scaled,
+           CASE WHEN l_orderkey % 1000 = 0 THEN NULL
+                ELSE ((l_orderkey % 1000) - 500) * (9223372036854775807 // 499)
+                END AS scaled,
            [l_quantity, l_extendedprice][l_linenumber] AS probed,
-           CASE WHEN CAST(l_quantity AS INT) BETWEEN 1 AND 31
-                THEN epoch_us(make_timestamp(2024, 1, CAST(l_quantity AS INT), 0, 0, 0))
-                ELSE NULL END AS qty_day_us
+           CASE WHEN (l_orderkey + l_linenumber) % 32 BETWEEN 1 AND 31
+                THEN epoch_us(make_timestamp(2024, 1,
+                       CAST((l_orderkey + l_linenumber) % 32 AS INT), 0, 0, 0))
+                ELSE NULL END AS slot_day_us
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     // DuckDB levenshtein has no threshold arg — the capped leg is the
@@ -439,6 +479,25 @@ object Functions {
              CAST(greatest(len(a), len(b)) AS DOUBLE), 4) AS sim
          FROM (SELECT p_partkey, lower(p_name) AS a, lower(p_type) AS b
                FROM part)
-         ORDER BY p_partkey"""
+         ORDER BY p_partkey""",
+
+    // DuckDB's interval addition clamps month-ends exactly like
+    // add_months; next_day is reconstructed from day-of-week arithmetic
+    // (DuckDB dow: Sun=0, Spark: Sun=1 — the +1 and the (8-dow)%7 walk);
+    // int-width casts pin Spark's INTEGER returns
+    "h16_calendar_funcs" ->
+      """SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus1m,
+           CAST(o_orderdate - INTERVAL 13 MONTH AS DATE) AS minus13m,
+           CAST(o_orderdate AS DATE) +
+             CAST(CASE WHEN (8 - dayofweek(o_orderdate)) % 7 = 0 THEN 7
+                       ELSE (8 - dayofweek(o_orderdate)) % 7 END AS INTEGER)
+             AS next_mon,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           epoch_us(o_orderdate + INTERVAL '5 days 3 hours 30 minutes')
+             AS plus_5d3h30m_us
+         FROM orders ORDER BY o_orderkey"""
   )
 }

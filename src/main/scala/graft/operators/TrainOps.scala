@@ -1914,7 +1914,31 @@ object TrainOps {
             .partitionBy("shard").orderBy("h", "doc_id")))
         .select(col("shard"), col("pos"), col("doc_id"), col("n_chars"))
         .orderBy("shard", "pos")
-    })
+    }),
+
+    // l41: FEATURE HASHING (the hashing trick) — the fixed-dimension
+    // text-feature map classifiers at corpus scale actually use (l27's
+    // explicit features don't survive an open vocabulary): term →
+    // bucket = md5 prefix, so the feature dimension is FIXED regardless
+    // of vocab growth, no dictionary to build/broadcast/version, and
+    // collisions are an accepted, MEASURED quantization (the collision
+    // table this key emits per bucket: occupancy + distinct terms — the
+    // n_terms > 1 rows are the quantization loss made visible).
+    // Demo dimension is 16 (one hex char) so the 31-term vocab
+    // provably collides (pigeonhole); production uses 2^18+, same
+    // mechanics. Engine shape: the bucket agg partial-combines
+    // map-side, the distinct-term count shuffles (bucket, term) pairs —
+    // bounded by VOCABULARY, never corpus size; no dictionary join
+    // anywhere, which is the whole point of hashing features at 100 TB.
+    "l41_feature_hashing" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+          x => x =!= "")).as("term"))
+        .withColumn("bucket", substring(md5(col("term").cast(BinaryType)), 1, 1))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("term")).as("n_terms"))
+        .orderBy("bucket"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -3060,6 +3084,15 @@ object TrainOps {
          FROM (SELECT doc_id, n_chars,
                  (doc_id * 2654435761) % 4294967296 AS h
                FROM documents)
-         ORDER BY shard, pos"""
+         ORDER BY shard, pos""",
+
+    // both engines' md5 hex agrees, so bucket assignment — and therefore
+    // the collision table — is engine-independent
+    "l41_feature_hashing" ->
+      """SELECT substr(md5(term), 1, 1) AS bucket, count(*) AS n_tokens,
+           count(DISTINCT term) AS n_terms
+         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+               FROM documents)
+         WHERE term <> '' GROUP BY 1 ORDER BY 1"""
   )
 }
