@@ -310,6 +310,32 @@ object Functions {
         epochUs(col("o_orderdate").cast(TimestampType) +
           expr("make_interval(0, 0, 0, 5, 3, 30, 0)")).as("plus_5d3h30m_us"))
         .orderBy("o_orderkey")
+    }),
+
+    // h17: ARRAY HOFs, second family — the lambda forms h8 doesn't cover:
+    // `zip_with` (element-wise combine of two arrays — composed with
+    // `aggregate` it IS the dot product, the expression-level vector
+    // kernel the j3/l2 similarity ops scale on), `exists`/`forall`
+    // (quantifiers with EARLY EXIT — the generated loop breaks on the
+    // first witness, unlike filter+size which always walks the whole
+    // array), and `sequence` (range materialization — the scaffold
+    // generator behind e10's gap-filling). Thresholds are probed
+    // non-vacuous (exists 0.3 → 221/500 true; forall −0.35 → ~71 false).
+    // All codegen'd, no UDF, fused into the scan.
+    "h17_array_hof2" -> ((s, d) => {
+      val e = transform(col("embedding"), x => x.cast(DoubleType))
+      def r0(c: org.apache.spark.sql.Column) = rnd4(c) + lit(0.0)
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        r0(aggregate(zip_with(e, reverse(e), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).as("dot_rev"),
+        // compare in DOUBLE on both sides: a float-literal compare here
+        // vs DuckDB's float→double promotion would disagree on the one
+        // representable float inside (0.3d, 0.3f]
+        exists(col("embedding"), x => x.cast(DoubleType) > 0.3).as("any_hot"),
+        forall(col("embedding"), x => x.cast(DoubleType) > -0.35).as("all_bounded"),
+        sequence(lit(1), col("label") + 1).as("seq_n"))
+        .orderBy("vec_id")
     })
   )
 
@@ -498,6 +524,19 @@ object Functions {
            CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
            epoch_us(o_orderdate + INTERVAL '5 days 3 hours 30 minutes')
              AS plus_5d3h30m_us
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+
+    // list_dot_product(e, reverse e) ≡ aggregate∘zip_with; the
+    // quantifiers lower to filter-emptiness (same truth value — the
+    // early-exit is a Spark execution detail, not a semantic one);
+    // generate_series is inclusive like Spark's sequence, cast to INT
+    "h17_array_hof2" ->
+      s"""SELECT vec_id,
+           round(list_dot_product($ebd, list_reverse($ebd)), 4) + 0e0 AS dot_rev,
+           len(list_filter(embedding, x -> x > 0.3)) > 0 AS any_hot,
+           len(list_filter(embedding, x -> x <= -0.35)) = 0 AS all_bounded,
+           list_transform(generate_series(1, label + 1),
+             x -> CAST(x AS INTEGER)) AS seq_n
+         FROM embeddings ORDER BY vec_id"""
   )
 }
