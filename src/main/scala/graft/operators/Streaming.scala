@@ -45,6 +45,21 @@ object Streaming {
     * session (Verify and Bench both invoke each op in one session). */
   private val runSeq = new AtomicLong(0)
 
+  /** Streaming STATE partition count — one knob for every streaming key
+    * (runToTable + the inline writeStream sites). The r10 rule stands:
+    * size state partitions to the DATA (8 ≈ 12.5 k events each at
+    * sf0.1), not the session's 32 cores. r13 A/B-ed the obvious "fewer
+    * partitions, less per-batch store machinery" trim and it LOSES:
+    * 4 partitions runs ~6% slower than 8 on the aggregation keys and
+    * 16 ties 8 — at this state size the per-query fixed cost is source
+    * listing + the no-data watermark batch + sink commit, NOT the
+    * per-partition store open/commit, and halving partitions just
+    * halves shuffle parallelism. Results are partition-count-invariant
+    * either way (oracles untouched); the knob stays for cluster-profile
+    * experiments. */
+  private[graft] val stateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** SCHEMA-ADAPTIVE streaming source (mirrors [[graft.Tables.events]]):
     * streaming sources require an explicit schema, so probe the actual
     * file footer with a one-off batch read (footer-only IO) and declare
@@ -108,7 +123,7 @@ object Streaming {
   private def runToTable(s: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", scratch(s, name, "ckpt"))
@@ -257,7 +272,7 @@ object Streaming {
     // state size, and the per-batch fixed cost amortizes to noise.
     "i8_stream_stream_join" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         // ONE source, self-joined: both sides derive from the same
         // watermarked scan, so each micro-batch reads the file once
@@ -303,7 +318,7 @@ object Streaming {
     // instead of papering over it per engine.
     "i15_stream_stream_left_join" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         val ev = eventsStream(s, d).withWatermark("ts", "1 hour")
         val clicks = ev
@@ -385,7 +400,7 @@ object Streaming {
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
+      s.conf.set("spark.sql.shuffle.partitions", stateParts) // the runToTable sizing
       try {
         val q = out.writeStream.format("graft.sources.CsvDirSink")
           .option("path", dir)
@@ -426,7 +441,7 @@ object Streaming {
       val prev = s.conf.getOption(key)
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(key, rocks)
-      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
+      s.conf.set("spark.sql.shuffle.partitions", stateParts) // the runToTable sizing
       try {
         val name = s"graft_stream_${runSeq.incrementAndGet()}"
         val q = sessionAgg(eventsStream(s, d))
@@ -510,7 +525,7 @@ object Streaming {
       val prevProv = s.conf.getOption(provKey)
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(provKey, rocks)
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         val name = s"graft_stream_${runSeq.incrementAndGet()}"
         val q = tumblingAgg(eventsStream(s, d))
@@ -607,7 +622,7 @@ object Streaming {
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8") // the runToTable sizing
+      s.conf.set("spark.sql.shuffle.partitions", stateParts) // the runToTable sizing
       try {
         val q = out.writeStream.format("graft.sources.ParquetDirSink")
           .option("path", dir).option("partitionBy", "event_type")
@@ -652,7 +667,7 @@ object Streaming {
       val prevProv = s.conf.getOption(provKey)
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(provKey, rocks)
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         val name = s"graft_stream_${runSeq.incrementAndGet()}"
         val rows = eventsStream(s, d)
@@ -710,7 +725,7 @@ object Streaming {
       val prevProv = s.conf.getOption(provKey)
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set(provKey, rocks)
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         val name = s"graft_stream_${runSeq.incrementAndGet()}"
         val rows = eventsStream(s, d)
@@ -759,7 +774,7 @@ object Streaming {
     "i19_stream_foreachbatch_upsert" -> ((s, d) => {
       val store = scratch(s, s"i19_${runSeq.incrementAndGet()}", "store")
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
       try {
         val q = eventsStream(s, d)
           .select(col("user_id"), col("event_id"),
