@@ -209,6 +209,71 @@ object Relational {
       q
     }),
 
+    // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
+    // every CSV/JSON ingest job needs pinned: the fixture plants THREE
+    // token-count violations among clean orders rows (two truncated rows,
+    // one with extra fields). Note what does NOT trip the modes: a field
+    // that fails TYPE CONVERSION ("notanumber" in a BIGINT column) is
+    // null-filled silently in this parser — malformed-ness is a row-shape
+    // property, so a numeric-quality gate belongs in j14-style constraint
+    // checks downstream, not in the reader (measured here, not assumed:
+    // the first fixture planted a bad number and no mode flagged it). PERMISSIVE (default)
+    // keeps every line, null-fills the broken columns, and captures the
+    // raw text in `columnNameOfCorruptRecord` — the quarantine-column
+    // pattern (count it, route it, never lose it); DROPMALFORMED
+    // silently drops the bad lines (the count proves exactly how many);
+    // FAILFAST raises on the first one (asserted — a schema-drift
+    // tripwire run, not a recovery mode). One key, all three modes, each
+    // emitted as an oracled VALUE. At 100 TB permissive-with-quarantine
+    // is the only mode that doesn't trade data loss for uptime; the
+    // corrupt-record column costs nothing on clean rows.
+    "a17_source_csv_malformed" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a17_badcsv_v2") { p =>
+        t(s, d, "orders").filter(col("o_orderkey") < 1000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .coalesce(1).write.mode("overwrite").csv(s"$p/clean")
+        // append a shard of planted garbage: FileSource unions all files
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/clean/part-junk.csv"),
+          "42,F\n43,O,2.5,EXTRA,FIELDS\n44\n")
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType), StructField("_bad", StringType)))
+      // CSV parser column pruning parses ONLY the referenced fields — a
+      // pruned read never even sees the corruption (count(*) parses
+      // nothing, flags nothing, drops nothing). Malformed-row semantics
+      // are a WHOLE-ROW property, so pin pruning off for this key and
+      // materialize under the pinned conf (the l39 idiom).
+      val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+      val prev = s.conf.get(pruneKey)
+      s.conf.set(pruneKey, "false")
+      try {
+        val permissive = s.read.schema(schema)
+          .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+          .csv(s"$path/clean")
+        val dropped = s.read.schema(StructType(schema.dropRight(1)))
+          .option("mode", "DROPMALFORMED").csv(s"$path/clean")
+        val failed =
+          try {
+            s.read.schema(StructType(schema.dropRight(1)))
+              .option("mode", "FAILFAST").csv(s"$path/clean")
+              .agg(count(col("o_totalprice"))).collect()
+            false
+          } catch { case _: org.apache.spark.SparkException => true }
+        require(failed, "FAILFAST did not raise on the planted corrupt rows")
+        // price summed over NON-quarantined rows only: what a corrupt
+        // row's parseable fragments contain is parser detail, not contract
+        permissive.agg(
+          count(lit(1)).as("n_permissive"),
+          count(col("_bad")).as("n_quarantined"),
+          dbl(sum(when(col("_bad").isNull, dec(col("o_totalprice"), 18, 2))))
+            .as("sum_price_clean"))
+          .crossJoin(dropped.agg(count(lit(1)).as("n_dropmalformed")))
+          .localCheckpoint()
+      } finally s.conf.set(pruneKey, prev)
+    }),
+
     // a16: BINARY-FILES SOURCE — the multimodal ingest entry point: the
     // `binaryFile` format turns a directory of opaque files (images,
     // audio, model shards — here deterministic .txt bodies so the
@@ -1021,6 +1086,16 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // 3 planted corrupt lines: permissive keeps+quarantines them,
+    // dropmalformed removes exactly them, clean money survives intact
+    "a17_source_csv_malformed" ->
+      """SELECT count(*) + 3 AS n_permissive,
+           CAST(3 AS BIGINT) AS n_quarantined,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price_clean,
+           count(*) AS n_dropmalformed
+         FROM orders WHERE o_orderkey < 1000""",
 
     // the loader may not transcode/truncate/pad: sha256 + byte length of
     // the source text ARE the binary contract (ASCII corpus: strlen =

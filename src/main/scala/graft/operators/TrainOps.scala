@@ -1938,7 +1938,55 @@ object TrainOps {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("term")).as("n_terms"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // l42: PAGERANK — the iterative-graph-compute representative (the
+    // same dataflow shape as label propagation, HITS, or embedding
+    // smoothing over a doc graph): 10 synchronous power-iteration
+    // rounds, each ONE equi-join (edges ⋈ ranks, hash-partitioned on
+    // src) + ONE groupBy(dst) shuffle — nothing quadratic, nothing
+    // driver-side except the node count. The graph is deterministic
+    // from the data: every doc links to its source-group hub and its
+    // lang-group hub (min doc_id per group, self-loops dropped) — a
+    // hub-and-spoke topology where rank provably concentrates. TWO
+    // determinism devices make an ITERATIVE float algorithm oracle-able
+    // across engines: (1) rank lives in integer micro-units of a 1e9
+    // total mass (the l21 micro-nat idiom — integer div per hop, sums
+    // order-proof; the rounding leak is deterministic and identical on
+    // both sides), and (2) each round ends in an EAGER localCheckpoint,
+    // which is also the 100-TB lesson of iterative Spark: without
+    // lineage truncation the plan doubles per round and round 10
+    // replans rounds 1–9 (GraphX's Pregel checkpoints for exactly this
+    // reason). Dangling hubs leak their mass by design (deterministic,
+    // documented) — PageRank variants differ here; the oracle pins OUR
+    // variant exactly.
+    "l42_pagerank_hubs" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "source", "lang")
+      val srcHub = docs.groupBy("source").agg(min("doc_id").as("dst"))
+      val langHub = docs.groupBy("lang").agg(min("doc_id").as("dst"))
+      val edges = docs.join(srcHub, "source").select(col("doc_id").as("src"), col("dst"))
+        .union(docs.join(langHub, "lang").select(col("doc_id").as("src"), col("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
+      val od = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        .localCheckpoint(true)
+      val nodes = docs.select("doc_id").localCheckpoint(true)
+      val n = nodes.count() // one scalar — the only driver-side value
+      val (mass, damp) = (1000000000L, 85L)
+      var ranks = nodes.withColumn("r", lit(mass / n))
+      for (_ <- 1 to 10) {
+        val inflow = edges.join(od, "src")
+          .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst"), expr("r div od").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("inflow"))
+        ranks = nodes.join(inflow, nodes("doc_id") === inflow("dst"), "left")
+          .select(nodes("doc_id"),
+            (lit(mass * (100 - damp) / 100 / n) +
+              expr(s"coalesce(inflow, 0L) * $damp div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -3093,6 +3141,38 @@ object TrainOps {
            count(DISTINCT term) AS n_terms
          FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
                FROM documents)
-         WHERE term <> '' GROUP BY 1 ORDER BY 1"""
+         WHERE term <> '' GROUP BY 1 ORDER BY 1""",
+
+    // ten unrolled power-iteration CTEs (DuckDB disallows aggregates in
+    // a recursive term); all-integer micro-unit arithmetic makes every
+    // hop bit-identical to the Spark loop
+    "l42_pagerank_hubs" -> {
+      val iters = (1 to 10).map { i =>
+        s"""pr$i AS (
+           SELECT n.doc_id,
+             (150000000 // (SELECT count(*) FROM documents)) +
+             coalesce(f.inflow, 0) * 85 // 100 AS r
+           FROM n LEFT JOIN (
+             SELECT e.dst, CAST(sum(p.r // o.od) AS BIGINT) AS inflow
+             FROM edges e JOIN pr${i - 1} p ON e.src = p.doc_id
+             JOIN od o ON o.src = e.src
+             GROUP BY e.dst) f ON f.dst = n.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT doc_id FROM documents),
+         srch AS (SELECT source, min(doc_id) AS dst FROM documents GROUP BY 1),
+         langh AS (SELECT lang, min(doc_id) AS dst FROM documents GROUP BY 1),
+         edges AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT d.doc_id AS src, s.dst FROM documents d JOIN srch s USING (source)
+             UNION ALL
+             SELECT d.doc_id, l.dst FROM documents d JOIN langh l USING (lang))
+           WHERE src <> dst),
+         od AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+         pr0 AS (SELECT doc_id,
+           CAST(1000000000 // (SELECT count(*) FROM documents) AS BIGINT) AS r
+           FROM n),
+         $iters
+         SELECT doc_id, r FROM pr10 ORDER BY doc_id"""
+    }
   )
 }
