@@ -112,7 +112,7 @@ object ScaleSmoke {
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
       "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
-      "l40_shuffle_shards")
+      "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -137,9 +137,11 @@ object ScaleSmoke {
     // d24's bitmap build scales on the same key axis (distinct users ×
     // factor): the user-shifting clone grows the id domain the buckets
     // chunk, while per-(type, day, bucket) bitmap state stays fixed-size
+    // j19's sessions multiply with user cardinality — the same key axis
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
-      "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct")
+      "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
+      "j19_session_funnel")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
