@@ -212,12 +212,8 @@ object Relational {
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
-    // one with extra fields). Note what does NOT trip the modes: a field
-    // that fails TYPE CONVERSION ("notanumber" in a BIGINT column) is
-    // null-filled silently in this parser — malformed-ness is a row-shape
-    // property, so a numeric-quality gate belongs in j14-style constraint
-    // checks downstream, not in the reader (measured here, not assumed:
-    // the first fixture planted a bad number and no mode flagged it). PERMISSIVE (default)
+    // one with extra fields; DqSpec additionally pins that TYPE-conversion
+    // failures quarantine too, with the raw line captured verbatim). PERMISSIVE (default)
     // keeps every line, null-fills the broken columns, and captures the
     // raw text in `columnNameOfCorruptRecord` — the quarantine-column
     // pattern (count it, route it, never lose it); DROPMALFORMED

@@ -163,4 +163,37 @@ class DqSpec extends AnyFunSuite {
       "orders.o_totalprice positive" -> ((1L, false)),
       "orders.o_custkey not null" -> ((1L, false))), s"got $got")
   }
+
+  test("a17 quarantine column carries the corrupt line VERBATIM") {
+    // the quarantine pattern only works if the captured text is the raw
+    // line (route it, re-parse it later, never lose it) — pin that, and
+    // pin WHICH row-shapes land there: token-count violations AND
+    // type-conversion failures both quarantine (the clean row does not)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Tables.scratch(spark, "a17_fixture", "raw")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/rows.csv"),
+      "1,A,1.5\n2,B\n3,C,2.5,EXTRA\nnotanumber,D,3.5\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", DoubleType), StructField("_bad", StringType)))
+    val pruneKey = "spark.sql.csv.parser.columnPruning.enabled"
+    val prev = spark.conf.get(pruneKey)
+    spark.conf.set(pruneKey, "false")
+    try {
+      val rows = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_bad")
+        .csv(s"$dir/rows.csv")
+        .select("k", "_bad").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+        .toMap
+      assert(rows(2L) == "2,B", "short row not captured verbatim")
+      assert(rows(3L) == "3,C,2.5,EXTRA", "long row not captured verbatim")
+      assert(rows(1L) == null, "clean row wrongly quarantined")
+      assert(rows(-1L) == "notanumber,D,3.5",
+        "type-conversion row not quarantined verbatim (key parses null)")
+    } finally spark.conf.set(pruneKey, prev)
+  }
 }

@@ -479,6 +479,60 @@ class PlanShapeSpec extends AnyFunSuite {
       "runtime-pruned partition set drifted from {de, fr}")
   }
 
+  test("c20 negative control: without CBO the worst-first order survives") {
+    // the key's in-query gate proves CBO DOES reorder; this pins that the
+    // reorder is CAUSED by the stats + conf, not an accident of the
+    // default optimizer — otherwise the gate could pass vacuously forever
+    import org.apache.spark.sql.functions._
+    // building the key registers + ANALYZEs its external tables and runs
+    // the gated query once under CBO
+    SparkEntry.queries("c20_join_cbo_reorder")(spark, sfTiny).collect()
+    val tag = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+      "_" + Integer.toHexString(sfTiny.hashCode)
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "key leaked its CBO conf override")
+    val q = spark.sql(s"""
+      SELECT o_orderpriority, count(*) AS item_cnt
+      FROM graft_cbo_li_$tag
+      JOIN graft_cbo_ord_$tag ON l_orderkey = o_orderkey
+      JOIN graft_cbo_cust_$tag ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderpriority""")
+    val bottom = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if !j.children.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])) =>
+        j.collectLeaves().flatMap(_.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.map(_.getName)
+        }.flatten).toSet
+    }
+    assert(bottom.exists(_.contains("lineitem")),
+      s"default optimizer unexpectedly reordered the chain: $bottom — " +
+        "the c20 gate may now be vacuous, re-derive it")
+  }
+
+  test("l42: every hub outranks every leaf after 10 rounds") {
+    // structural meaning behind the oracled numbers: rank must CONCENTRATE
+    // on the hub-and-spoke topology's hubs; also total mass stays under
+    // the initial 1e9 budget (integer division only ever leaks DOWN)
+    import org.apache.spark.sql.functions._
+    val ranks = SparkEntry.queries("l42_pagerank_hubs")(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.t(spark, sfTiny, "documents")
+    val hubs = (docs.groupBy("source").agg(min("doc_id").as("h"))
+      .select("h").collect() ++
+      docs.groupBy("lang").agg(min("doc_id").as("h")).select("h").collect())
+      .map(_.getLong(0)).toSet
+    val (hubRanks, leafRanks) = ranks.partition { case (id, _) => hubs(id) }
+    assert(hubRanks.values.min > leafRanks.values.max,
+      s"a leaf outranks a hub: hubs min ${hubRanks.values.min} vs " +
+        s"leaves max ${leafRanks.values.max}")
+    assert(ranks.values.sum <= 1000000000L, "rank mass exceeded the budget")
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
