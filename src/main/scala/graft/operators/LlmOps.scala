@@ -53,7 +53,17 @@ object LlmOps {
     * shared by j2 (which hashes the strings) and l9 (which joins them
     * raw) — change it HERE only, and keep LshSpec.shingles in sync.
     * Shingling happens inside the row (array expr, no explode-then-window):
-    * the token stream never leaves its doc, so it costs ZERO shuffle. */
+    * the token stream never leaves its doc, so it costs ZERO shuffle.
+    *
+    * Deliberately a LAZY PLAN, not a [[graft.Tables.sharedFrame]]: r13
+    * measured the materialize-once-and-share variant and it LOSES 36% on
+    * the consumer family (9.9 s → 13.5 s). The shingle stream is the
+    * inverse of l9's shared pair frame on the recompute-vs-reuse axis:
+    * CHEAP to recompute (codegen'd split+explode fused into each
+    * consumer's scan, per-consumer pruning/fusion intact) and FAT to
+    * store (hundreds of thousands of exploded string rows whose
+    * checkpoint blocks every consumer must deserialize). Share
+    * expensive-tiny frames; recompute cheap-fat ones. */
   private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
     val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
     t(s, d, "documents")
