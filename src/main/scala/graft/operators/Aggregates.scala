@@ -343,7 +343,29 @@ object Aggregates {
         .agg(expr("bitmap_or_agg(bm)").as("bm"))
         .groupBy("event_type")
         .agg(sum(expr("bitmap_count(bm)")).as("exact_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // d25: HIGHER-MOMENT AGGREGATES — skewness and kurtosis complete the
+    // d12 stats family with the 3rd/4th central moments (distribution-
+    // shape monitors: a drifting skew or a fattening tail is often the
+    // first visible symptom of an upstream data change, before means
+    // move). Spark's definitions are the POPULATION forms (m3/m2^1.5,
+    // m4/m2² − 3), computed by one-pass streaming central-moment
+    // aggregation — partial+final like every other agg here; the input
+    // (l_quantity) is integral, so cross-engine float noise sits ~1e-7
+    // below the round(…,4) pin. DuckDB's built-ins are SAMPLE-corrected
+    // (g1 vs G1), so the oracle computes the population formulas
+    // explicitly from central sums — the definition, not the spelling,
+    // is the contract.
+    "d25_agg_moments" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          rnd4(avg(col("l_quantity"))).as("mean_qty"),
+          rnd4(var_pop(col("l_quantity"))).as("var_qty"),
+          rnd4(skewness(col("l_quantity"))).as("skew_qty"),
+          rnd4(kurtosis(col("l_quantity"))).as("kurt_qty"))
+        .orderBy("l_returnflag"))
   )
 
   private val q1Money =
@@ -528,6 +550,24 @@ object Aggregates {
     // the exact distinct count it must reproduce
     "d24_agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    // explicit POPULATION moment formulas (Spark's definition) — DuckDB's
+    // skewness/kurtosis built-ins are sample-bias-corrected and would
+    // differ in the 5th decimal
+    "d25_agg_moments" ->
+      """SELECT f AS l_returnflag, n, round(m, 4) AS mean_qty,
+           round(m2 / n, 4) AS var_qty,
+           round((m3 / n) / (m2 / n) ^ 1.5, 4) AS skew_qty,
+           round((m4 / n) / (m2 / n) ^ 2 - 3, 4) AS kurt_qty
+         FROM (
+           SELECT f, count(*) AS n, any_value(m) AS m,
+             sum((x - m) ^ 2) AS m2, sum((x - m) ^ 3) AS m3,
+             sum((x - m) ^ 4) AS m4
+           FROM (SELECT l_returnflag AS f, l_quantity AS x,
+                   avg(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+                 FROM lineitem)
+           GROUP BY f)
+         ORDER BY f"""
   )
 }

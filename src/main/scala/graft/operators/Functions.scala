@@ -336,6 +336,32 @@ object Functions {
         forall(col("embedding"), x => x.cast(DoubleType) > -0.35).as("all_bounded"),
         sequence(lit(1), col("label") + 1).as("seq_n"))
         .orderBy("vec_id")
+    }),
+
+    // h18: STRUCT SERDE FUNCTIONS — the WRITE side of the h6/h10 parse
+    // family: `to_json` (struct → canonical JSON text — what every
+    // event-bus producer emits), `to_csv` (struct → delimited line),
+    // `from_csv` (the inverse, schema-applied), and `str_to_map`
+    // (key:value text → map — the config-string idiom). Round-tripping
+    // through text is the interchange boundary of every pipeline; the
+    // oracled contract is the exact serialized FORM (separators, quoting,
+    // field order), not just value survival. All per-row expressions
+    // fused into the scan.
+    "h18_serde_funcs" -> ((s, d) => {
+      val k = from_json(col("props"), lit("k INT")).getField("k")
+      t(s, d, "events")
+        .withColumn("k_int", k)
+        .select(col("event_id"),
+          to_json(struct(col("k_int").as("k"), col("event_type").as("t")))
+            .as("js"),
+          to_csv(struct(col("k_int"), col("event_type"))).as("line"),
+          from_csv(concat(col("event_id"), lit(","), col("user_id")),
+            lit("a BIGINT, b BIGINT"), new java.util.HashMap[String, String]())
+            .getField("b").as("b_rt"),
+          element_at(str_to_map(
+            concat(lit("k:"), col("k_int"), lit(",u:"), col("user_id")),
+            lit(","), lit(":")), lit("u")).as("u_str"))
+        .orderBy("event_id")
     })
   )
 
@@ -525,6 +551,19 @@ object Functions {
            epoch_us(o_orderdate + INTERVAL '5 days 3 hours 30 minutes')
              AS plus_5d3h30m_us
          FROM orders ORDER BY o_orderkey""",
+
+    // the serialized FORM is the contract: Spark's to_json emits compact
+    // JSON ({"k":5,"t":"click"}), to_csv bare comma-joined fields — both
+    // reconstructed character-exactly
+    "h18_serde_funcs" ->
+      """SELECT event_id,
+           '{"k":' || CAST(json_extract_string(props, '$.k') AS INT)
+             || ',"t":"' || event_type || '"}' AS js,
+           CAST(json_extract_string(props, '$.k') AS INT) || ','
+             || event_type AS line,
+           user_id AS b_rt,
+           CAST(user_id AS VARCHAR) AS u_str
+         FROM events ORDER BY event_id""",
 
     // list_dot_product(e, reverse e) ≡ aggregate∘zip_with; the
     // quantifiers lower to filter-emptiness (same truth value — the

@@ -669,6 +669,33 @@ object LlmOps {
         sum(when(col("has_click") === 1 && col("has_purchase") === 1, 1)
           .otherwise(0)).as("converted"),
         rnd4(avg(col("n_events"))).as("avg_session_events"))
+    }),
+
+    // j20: STATISTICAL ANOMALY SCAN — the control-chart pass every
+    // ingestion pipeline runs over its own volume metrics: daily counts
+    // per event_type, z-scored against that type's own day distribution
+    // (population σ over the window — the SPC convention), |z| ≥ 2
+    // flagged. Every (type, day) row is EMITTED with its score, not just
+    // the anomalies — the monitor's output is the full scored series
+    // (dashboards plot it; alerts filter it), and it keeps the key
+    // non-vacuous whatever the data's tail does. The real anomaly in
+    // this corpus: the span's final partial day, whose volume sits far
+    // below each type's mean — the scan must find it. Engine shape:
+    // one groupBy to days (map-side combinable), then a per-type window
+    // over ~30-row partitions — the window input is DAYS, not events,
+    // so the second pass is trivially small at any event scale.
+    "j20_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("event_type")
+      t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("mu", avg(col("cnt")).over(w))
+        .withColumn("sd", stddev_pop(col("cnt")).over(w))
+        .select(col("event_type"),
+          epochUs(col("day").cast(TimestampType)).as("day_us"), col("cnt"),
+          rnd4((col("cnt") - col("mu")) / col("sd")).as("z"),
+          (abs(col("cnt") - col("mu")) >= col("sd") * 2).as("is_anomaly"))
+        .orderBy("event_type", "day_us")
     })
   )
 
@@ -952,6 +979,22 @@ object LlmOps {
                 CAST(sum(CASE WHEN has_click = 1 AND has_purchase = 1
                               THEN 1 ELSE 0 END) AS BIGINT) AS converted,
                 round(avg(n_events), 4) AS avg_session_events
-         FROM per_session"""
+         FROM per_session""",
+
+    // population σ (stddev_pop) matches Spark; integer day-counts keep
+    // the float noise far below the round(…,4) pin and the 2σ flag
+    "j20_anomaly_zscore" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, day, cnt,
+             avg(cnt) OVER (PARTITION BY event_type) AS mu,
+             stddev_pop(cnt) OVER (PARTITION BY event_type) AS sd
+           FROM daily)
+         SELECT event_type, epoch_us(CAST(day AS TIMESTAMP)) AS day_us, cnt,
+           round((cnt - mu) / sd, 4) AS z,
+           abs(cnt - mu) >= sd * 2 AS is_anomaly
+         FROM scored ORDER BY event_type, day_us"""
   )
 }
