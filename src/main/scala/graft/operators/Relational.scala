@@ -932,6 +932,38 @@ object Relational {
         ORDER BY leg""")
     }),
 
+    // c21: BROADCAST NESTED-LOOP as the RIGHT plan — the missing cell of
+    // the join-strategy matrix: c9 shows how to AVOID a nested loop when
+    // both non-equi sides are large (bucketize the band), but when the
+    // inner side is a FIVE-ROW rate table (tier boundaries, tax brackets,
+    // SLA bands — the classic range-lookup dimension), BNL over a
+    // broadcast IS optimal: O(n·5) comparisons beat any bucketing
+    // machinery, and there is no equi key to hash on. The plan is
+    // require-gated FOR BroadcastNestedLoopJoin — the inverse of every
+    // other gate in this file — because silently planning this as a
+    // cartesian-with-filter or a shuffle would betray the point. At
+    // 100 TB the fact side streams through codegen with the 5-row table
+    // in every executor; the thing to never do is let the "tiny" side
+    // grow unbounded (c9's bucketing takes over at that point).
+    "c21_join_bnl_rate_table" -> ((s, d) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("negative", -10000.0, 0.0), ("low", 0.0, 3000.0),
+        ("mid", 3000.0, 7000.0), ("high", 7000.0, 10000.0))
+        .toDF("tier", "lo", "hi")
+      val j = t(s, d, "supplier")
+        .join(broadcast(tiers),
+          col("s_acctbal") >= col("lo") && col("s_acctbal") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_sup"),
+          dbl(sum(dec(col("s_acctbal"), 18, 2))).as("sum_bal"))
+        .orderBy("tier")
+      val p = j.queryExecution.executedPlan.toString
+      require(p.contains("BroadcastNestedLoopJoin"),
+        "rate-table lookup did not plan as broadcast nested loop:\n" + p)
+      j
+    }),
+
     // c19: NULL-SAFE EQUALITY JOIN — `<=>` (IS NOT DISTINCT FROM) as the
     // JOIN KEY: unlike `=`, NULL <=> NULL is TRUE, so null-keyed rows on
     // both sides MATCH each other instead of silently dropping (the
@@ -1111,6 +1143,18 @@ object Relational {
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the plan choice is gated Spark-side; the oracled truth is the
+    // range-lookup classification itself
+    "c21_join_bnl_rate_table" ->
+      """SELECT tier, count(*) AS n_sup,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM supplier
+         JOIN (VALUES ('negative', -10000.0, 0.0), ('low', 0.0, 3000.0),
+                      ('mid', 3000.0, 7000.0), ('high', 7000.0, 10000.0))
+              AS tiers(tier, lo, hi)
+           ON s_acctbal >= lo AND s_acctbal < hi
+         GROUP BY tier ORDER BY tier""",
 
     // IS NOT DISTINCT FROM is the portable spelling of <=>; the NULL
     // group's cross-multiplication is the semantic under test
