@@ -270,6 +270,77 @@ object Relational {
       } finally s.conf.set(pruneKey, prev)
     }),
 
+    // a18: 2-D Z-ORDER CLUSTERED LAYOUT — a15's range clustering is
+    // optimal for ONE scan dimension; the moment queries slice the same
+    // fact table by date OR by customer, 1-D sorting leaves the second
+    // dimension's extent at 100% of every file and its filters prune
+    // nothing. Z-ordering interleaves the bit representations of both
+    // (bucketized) dimensions into one sort key, so each file covers a
+    // small RECTANGLE of (date, custkey) space — a filter on EITHER
+    // dimension alone skips most files from footer stats. The interleave
+    // is pure unrolled integer bit-arithmetic (10 bits/dim → a 20-bit
+    // morton code), codegen'd, no UDF. The gate measures the property
+    // itself, not the plumbing: a 1/8-span slice of EACH dimension must
+    // overlap at most half the files (under a 1-D layout the off-axis
+    // slice overlaps ALL of them — measured before gating). At 100 TB
+    // this is the lakehouse OPTIMIZE ZORDER operation; the bucket
+    // resolution (1024) bounds the morton code while file count scales
+    // freely.
+    "a18_sink_zorder_2d" -> ((s, d) => {
+      val bits = 10
+      val bkt = (c: org.apache.spark.sql.Column, lo: Long, span: Long) =>
+        least(lit((1 << bits) - 1),
+          ((c - lo) * (1 << bits)) / (span + 1)).cast(LongType)
+      val path = cachedFixture(s, d, "a18_zorder_v2") { p =>
+        val o = t(s, d, "orders")
+          .withColumn("d_us", epochUs(col("o_orderdate").cast(TimestampType)))
+        val st = o.agg(min("d_us"), max("d_us"), min("o_custkey"),
+          max("o_custkey")).head() // 1-row scalar bounds
+        val (dLo, dHi, cLo, cHi) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        val xb = bkt(col("d_us"), dLo, dHi - dLo)
+        val yb = bkt(col("o_custkey"), cLo, cHi - cLo)
+        val z = (0 until bits).map { i =>
+          shiftleft(shiftright(xb, i).bitwiseAND(1), 2 * i + 1) +
+            shiftleft(shiftright(yb, i).bitwiseAND(1), 2 * i)
+        }.reduce(_ + _)
+        o.withColumn("z", z)
+          .repartitionByRange(64, col("z")).sortWithinPartitions("z")
+          .drop("z", "d_us")
+          .write.mode("overwrite").parquet(p)
+      }
+      // layout gate: per-file rectangles, then either-dimension pruning
+      val rects = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(epochUs(col("o_orderdate").cast(TimestampType))).as("dlo"),
+          max(epochUs(col("o_orderdate").cast(TimestampType))).as("dhi"),
+          min("o_custkey").as("clo"), max("o_custkey").as("chi"))
+        .collect() // file-count-sized (64 rows)
+      val (dMin, dMax) = (rects.map(_.getLong(1)).min, rects.map(_.getLong(2)).max)
+      val (cMin, cMax) = (rects.map(_.getLong(3)).min, rects.map(_.getLong(4)).max)
+      def overlapping(sliceLoFrac: Double, dim: (org.apache.spark.sql.Row => (Long, Long)),
+          lo: Long, hi: Long): Int = {
+        val (sLo, sHi) = ((lo + (hi - lo) * sliceLoFrac).toLong,
+          (lo + (hi - lo) * (sliceLoFrac + 0.125)).toLong)
+        rects.count { r => val (a, b) = dim(r); a <= sHi && b >= sLo }
+      }
+      val dHits = overlapping(0.5, r => (r.getLong(1), r.getLong(2)), dMin, dMax)
+      val cHits = overlapping(0.5, r => (r.getLong(3), r.getLong(4)), cMin, cMax)
+      require(dHits <= rects.length / 2 && cHits <= rects.length / 2,
+        s"z-order failed either-dimension pruning: a 1/8 date slice overlaps " +
+          s"$dHits and a 1/8 custkey slice overlaps $cHits of ${rects.length} " +
+          "files (a 1-D layout overlaps ALL files on its off axis)")
+      // the oracled query: a 2-D range slice aggregate over the layout
+      s.read.parquet(path)
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1999-01-01").cast(TimestampType) &&
+          col("o_custkey") < 400)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // a16: BINARY-FILES SOURCE — the multimodal ingest entry point: the
     // `binaryFile` format turns a directory of opaque files (images,
     // audio, model shards — here deterministic .txt bodies so the
@@ -1143,6 +1214,18 @@ object Relational {
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the morton layout is write-side plumbing (either-dimension pruning
+    // is require-gated from measured per-file rectangles); the oracled
+    // truth is the 2-D slice aggregate it must reproduce
+    "a18_sink_zorder_2d" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+           AND o_custkey < 400
+         GROUP BY 1 ORDER BY 1""",
 
     // the plan choice is gated Spark-side; the oracled truth is the
     // range-lookup classification itself
