@@ -51,6 +51,56 @@ object TrainOps {
     * portable — DuckDB's md5 emits identical lowercase hex. */
   private def idBelow(id: Column, thresholdHex: String): Column =
     substring(md5(id.cast(StringType).cast(BinaryType)), 1, 2) < thresholdHex
+
+  /** BPE merge-rule induction over a token stream (column `term`): the
+    * corpus collapses to the word-frequency table, each type becomes a
+    * char symbol array + end-of-word marker, and each round argmaxes the
+    * weighted adjacent-pair count (freq DESC, pair lex — the tie-break
+    * TrainOpsSpec pins) then rewrites every [l, r] → [lr] with a
+    * one-symbol-lookahead fold (`aggregate` HOF, (out, pending)
+    * accumulator — greedy left-to-right, the standard application
+    * order). The per-round head() is a 1-row aggregate by design:
+    * distributed BPE trainers reduce pair counts on the cluster and
+    * pick the single winning merge centrally, exactly this shape. */
+  private[graft] def bpeMerges(s: SparkSession, toks: DataFrame,
+      nRounds: Int): DataFrame = {
+    val eow = "#"
+    var words = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", concat(split(col("term"), ""), array(lit(eow))))
+      .select("cnt", "syms")
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nRounds) {
+      val top = words.select(col("cnt"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(element_at(col("syms"), i + 1).as("l"),
+              element_at(col("syms"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .head() // the winning merge — a 1-row aggregate
+      val (lS, rS, f) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((r, lS, rS, f))
+      val init = struct(expr("array()").cast("array<string>").as("out"),
+        lit(null).cast(StringType).as("p"))
+      words = words.withColumn("syms",
+        aggregate(col("syms"), init,
+          (acc, c) => {
+            val out = acc.getField("out")
+            val p = acc.getField("p")
+            when(p.isNull, struct(out.as("out"), c.as("p")))
+              .when(p === lit(lS) && c === lit(rS),
+                struct(concat(out, array(lit(lS + rS))).as("out"),
+                  lit(null).cast(StringType).as("p")))
+              .otherwise(struct(concat(out, array(p)).as("out"), c.as("p")))
+          },
+          acc => when(acc.getField("p").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))))
+        .localCheckpoint(true)
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq").orderBy("rank")
+  }
   private def idBelow(thresholdHex: String): Column =
     idBelow(col("doc_id"), thresholdHex)
 
@@ -1939,6 +1989,27 @@ object TrainOps {
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("term")).as("n_terms"))
         .orderBy("bucket")),
+
+    // l43: BPE VOCABULARY INDUCTION — tokenizer TRAINING, the step the
+    // l8/l13 token-consuming ops presuppose: learn the first 5 merge
+    // rules of a byte-pair encoding from the corpus. Classic Sennrich
+    // BPE trains on the WORD-FREQUENCY table, not the raw stream — the
+    // corpus collapses to (word type, count) (31 types here; millions at
+    // web scale, still dwarfed by the corpus itself), each word a char
+    // symbol array with an end-of-word marker. Per round: (1) explode
+    // adjacent symbol pairs weighted by word count and argmax by
+    // (freq DESC, pair lex) — a 1-ROW aggregate head(), which is how
+    // real distributed BPE trainers work too (pair counts reduce on the
+    // cluster, the single winning merge is chosen centrally); (2) apply
+    // the merge to every word's symbol array with a fold (`aggregate`
+    // HOF with a (out, pending) accumulator — the one-symbol-lookahead
+    // fold that rewrites [l, r] → [lr] everywhere in one pass);
+    // localCheckpoint per round (the l42 iterative-lineage rule).
+    // Unoracled BY DESIGN: the 5-round merge application is a stateful
+    // fold SQL can't express non-recursively — TrainOpsSpec pins the
+    // textbook fixture (low/lower/newest/widest) whose first five
+    // merges are hand-derivable, tie-breaks included.
+    "l43_bpe_vocab" -> ((s, d) => bpeMerges(s, LlmOps.tokens(s, d), 5)),
 
     // l42: PAGERANK — the iterative-graph-compute representative (the
     // same dataflow shape as label propagation, HITS, or embedding

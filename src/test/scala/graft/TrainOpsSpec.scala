@@ -623,4 +623,19 @@ class TrainOpsSpec extends AnyFunSuite {
       ids != ids.sorted
     }, "shuffle left doc_ids in input order")
   }
+
+  test("l43: textbook BPE fixture learns the hand-derived merge sequence") {
+    // Sennrich's low/lower/newest/widest example, merges derived by hand
+    // INCLUDING the tie-breaks: round 1 has three pairs at freq 9
+    // ((e,s), (s,t), (t,#)) and the (freq DESC, pair lex) rule must pick
+    // (e,s); round 4 ties (l,o) with (o,w) at 7 and must pick (l,o).
+    import spark.implicits._
+    val toks = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("term")
+    val m = graft.operators.TrainOps.bpeMerges(spark, toks, 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "#", 9L),
+      (4, "l", "o", 7L), (5, "lo", "w", 7L)), s"got ${m.toSeq}")
+  }
 }
