@@ -270,6 +270,67 @@ object Relational {
       } finally s.conf.set(pruneKey, prev)
     }),
 
+    // a19: PARQUET COLUMN BLOOM FILTERS — the third stats layer of the
+    // lake-layout ladder (a15 min/max clustering, a18 z-order, now
+    // point-lookup filters): min/max stats prune RANGES but are useless
+    // for `key = X` probes into unsorted high-cardinality columns — any
+    // row group's [min,max] spans most keys. A per-column bloom filter
+    // in the parquet footer answers "is X possibly here?" per row group
+    // at ~1 byte/value, letting the reader skip groups that provably
+    // lack the key. The gate reads the FOOTER METADATA directly
+    // (parquet-hadoop API): every o_custkey column chunk must carry a
+    // bloom filter offset — fail-loud, the write option is load-bearing,
+    // not decorative. At 100 TB this is how needle-in-haystack id
+    // lookups avoid full scans on dimensions nobody sorted by.
+    "a19_sink_parquet_bloom" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a19_bloom_v3") { p =>
+        // the column-scoped bloom key is a HADOOP conf, not a recognized
+        // DataFrameWriter option — Spark's ParquetOptions forwards only
+        // its known keys, so a .option() spelling writes no bloom (the
+        // footer gate below caught exactly that); set it on the job conf
+        // and restore after
+        // second subtlety: parquet-mr SKIPS the bloom when the column is
+        // fully dictionary-encoded (the dict page already gives exact
+        // membership) — disable dictionary for the bloom column so the
+        // filter actually materializes, which is also the production
+        // shape: blooms earn their bytes exactly where dictionaries stop
+        // fitting (high-cardinality id columns)
+        val hc = s.sparkContext.hadoopConfiguration
+        val keys = Seq("parquet.bloom.filter.enabled#o_custkey" -> "true",
+          "parquet.enable.dictionary#o_custkey" -> "false")
+        val prev = keys.map { case (k, _) => k -> Option(hc.get(k)) }
+        keys.foreach { case (k, v) => hc.set(k, v) }
+        try t(s, d, "orders").write.mode("overwrite").parquet(p)
+        finally prev.foreach {
+          case (k, Some(v)) => hc.set(k, v)
+          case (k, None) => hc.unset(k)
+        }
+      }
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(files.nonEmpty, "bloom fixture wrote no parquet files")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head.toURI), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val offsets = reader.getFooter.getBlocks.asScala.map { blk =>
+          blk.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey")
+            .map(_.getBloomFilterOffset).getOrElse(-1L)
+        }
+        require(offsets.nonEmpty && offsets.forall(_ >= 0),
+          s"o_custkey bloom filter missing from footer (offsets: $offsets)")
+      } finally reader.close()
+      s.read.parquet(path)
+        .filter(col("o_custkey") === 42)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
     // a18: 2-D Z-ORDER CLUSTERED LAYOUT — a15's range clustering is
     // optimal for ONE scan dimension; the moment queries slice the same
     // fact table by date OR by customer, 1-D sorting leaves the second
@@ -1214,6 +1275,14 @@ object Relational {
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the bloom is footer plumbing (require-gated from parquet metadata);
+    // the oracled truth is the point lookup it must answer exactly
+    "a19_sink_parquet_bloom" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         FROM orders WHERE o_custkey = 42
+         GROUP BY 1 ORDER BY 1""",
 
     // the morton layout is write-side plumbing (either-dimension pruning
     // is require-gated from measured per-file rectangles); the oracled
