@@ -384,7 +384,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "l26_bm25_topk", // 1-row broadcast (N, Σdl) stats frame, twice
       "j18_merge_into_sql", // 1-row broadcast cardinality-guard frame
       "l36_pmi_cooccur", // 1-row broadcast N frame (df window + final pmi)
-      "l38_budget_select") // 1-row broadcast budget frame × ≤101-row buckets
+      "l38_budget_select", // 1-row broadcast budget frame × ≤101-row buckets
+      "c21_join_bnl_rate_table") // BNL IS the point: 5-row rate table, gated FOR it
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
