@@ -112,7 +112,8 @@ object ScaleSmoke {
       "i13_stream_ingest_gate", "d17_agg_approx_topk",
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
       "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
-      "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs")
+      "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs",
+      "l43_bpe_vocab")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -141,7 +142,7 @@ object ScaleSmoke {
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
-      "j19_session_funnel")
+      "j19_session_funnel", "j20_anomaly_zscore")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

@@ -71,7 +71,13 @@ object TrainOps {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to nRounds) {
-      val top = words.select(col("cnt"),
+      // fully-merged words (ONE symbol left) contribute no pairs — and
+      // must be filtered BEFORE the index walk: sequence(0, size-2)
+      // DESCENDS for size = 1 ([0, -1]) and the element_at probe throws
+      // (found by the 8x scale probe, where the clone-marker tokens
+      // merge to single symbols within 5 rounds)
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"),
           explode(transform(sequence(lit(0), size(col("syms")) - 2),
             i => struct(element_at(col("syms"), i + 1).as("l"),
               element_at(col("syms"), i + 2).as("r")))).as("p"))
