@@ -70,13 +70,14 @@ object TrainOps {
       .select("cnt", "syms")
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to nRounds) {
+    var exhausted = false
+    for (r <- 1 to nRounds if !exhausted) {
       // fully-merged words (ONE symbol left) contribute no pairs — and
       // must be filtered BEFORE the index walk: sequence(0, size-2)
       // DESCENDS for size = 1 ([0, -1]) and the element_at probe throws
       // (found by the 8x scale probe, where the clone-marker tokens
       // merge to single symbols within 5 rounds)
-      val top = words.filter(size(col("syms")) >= 2)
+      val tops = words.filter(size(col("syms")) >= 2)
         .select(col("cnt"),
           explode(transform(sequence(lit(0), size(col("syms")) - 2),
             i => struct(element_at(col("syms"), i + 1).as("l"),
@@ -84,8 +85,11 @@ object TrainOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r"))
-        .head() // the winning merge — a 1-row aggregate
-      val (lS, rS, f) = (top.getString(0), top.getString(1), top.getLong(2))
+        .limit(1).collect() // the winning merge — a 1-row aggregate
+      if (tops.isEmpty) { exhausted = true } // every word fully merged
+      else {
+        val top = tops.head
+        val (lS, rS, f) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, lS, rS, f))
       val init = struct(expr("array()").cast("array<string>").as("out"),
         lit(null).cast(StringType).as("p"))
@@ -102,7 +106,8 @@ object TrainOps {
           },
           acc => when(acc.getField("p").isNull, acc.getField("out"))
             .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))))
-        .localCheckpoint(true)
+          .localCheckpoint(true)
+      }
     }
     import s.implicits._
     merges.toSeq.toDF("rank", "left", "right", "freq").orderBy("rank")

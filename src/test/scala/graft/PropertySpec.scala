@@ -329,4 +329,54 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"iter $iter: tgt=$tgt src=$src")
     }
   }
+
+  test("l43 bpeMerges == naive reference BPE on random corpora") {
+    // the distributed trainer (pair explode → argmax → lookahead-fold
+    // rewrite) must agree with a straightforward sequential BPE — same
+    // (freq DESC, pair lex) tie-break, same greedy left-to-right merge
+    // application — on arbitrary word mixes, including corpora that
+    // EXHAUST (fully merge) before the round budget
+    def applyMerge(v: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < v.length) {
+        if (i + 1 < v.length && v(i) == l && v(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += v(i); i += 1 }
+      }
+      b.result()
+    }
+    def refBpe(words: Seq[(String, Int)], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var syms = words.map { case (w, c) => (w.split("").toVector :+ "#", c.toLong) }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((s, c) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + c
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rt), f) = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.head
+          out += ((r, l, rt, f))
+          syms = syms.map { case (s, c) => (applyMerge(s, l, rt), c) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new Random(4242)
+    import spark.implicits._
+    (1 to 10).foreach { iter =>
+      val alphabet = "abc"
+      val nWords = 3 + rnd.nextInt(4)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        (1 to len).map(_ => alphabet(rnd.nextInt(3))).mkString
+      }.distinct.map(w => w -> (1 + rnd.nextInt(9)))
+      val toks = words.flatMap { case (w, c) => Seq.fill(c)(w) }.toDF("term")
+      val got = graft.operators.TrainOps.bpeMerges(spark, toks, 6)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = refBpe(words, 6)
+      assert(got == want, s"iter $iter: words=$words got=$got want=$want")
+    }
+  }
 }
