@@ -2050,26 +2050,37 @@ object TrainOps {
         .union(docs.join(langHub, "lang").select(col("doc_id").as("src"), col("dst")))
         .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(true)
-      val od = edges.groupBy("src").agg(count(lit(1)).as("od"))
-        .localCheckpoint(true)
       val nodes = docs.select("doc_id").localCheckpoint(true)
-      val n = nodes.count() // one scalar — the only driver-side value
-      val (mass, damp) = (1000000000L, 85L)
-      var ranks = nodes.withColumn("r", lit(mass / n))
-      for (_ <- 1 to 10) {
-        val inflow = edges.join(od, "src")
-          .join(ranks.withColumnRenamed("doc_id", "src"), "src")
-          .select(col("dst"), expr("r div od").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("inflow"))
-        ranks = nodes.join(inflow, nodes("doc_id") === inflow("dst"), "left")
-          .select(nodes("doc_id"),
-            (lit(mass * (100 - damp) / 100 / n) +
-              expr(s"coalesce(inflow, 0L) * $damp div 100")).as("r"))
-          .localCheckpoint(true)
-      }
-      ranks.orderBy("doc_id")
+      pageRankInt(nodes, edges, rounds = 10).orderBy("doc_id")
     })
   )
+
+  /** The l42 power-iteration kernel over `nodes(doc_id)` / symmetric-free
+    * `edges(src, dst)`: integer micro-unit ranks (mass 1e9, damping
+    * 0.85), per-hop integer division, eager localCheckpoint per round
+    * (lineage truncation — the iterative-Spark rule). Extracted so
+    * PropertySpec can fuzz it against a naive sequential reference on
+    * random graphs; dangling nodes leak their mass by design, and the
+    * deterministic rounding leak is part of the pinned contract. */
+  private[graft] def pageRankInt(nodes: DataFrame, edges: DataFrame,
+      rounds: Int, mass: Long = 1000000000L, damp: Long = 85L): DataFrame = {
+    val od = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    val n = nodes.count() // one scalar — the only driver-side value
+    var ranks = nodes.withColumn("r", lit(mass / n))
+    for (_ <- 1 to rounds) {
+      val inflow = edges.join(od, "src")
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, nodes("doc_id") === inflow("dst"), "left")
+        .select(nodes("doc_id"),
+          (lit(mass * (100 - damp) / 100 / n) +
+            expr(s"coalesce(inflow, 0L) * $damp div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 
   val oracle: Map[String, String] = Map(
     // the maintenance report is fully determined by per-lang row counts:

@@ -379,4 +379,38 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"iter $iter: words=$words got=$got want=$want")
     }
   }
+
+  test("l42 pageRankInt == naive sequential power iteration on random graphs") {
+    // the distributed kernel (join + groupBy per round) and a plain
+    // Scala loop must produce BIT-identical integer ranks — the whole
+    // point of the micro-unit quantization: no float order-dependence,
+    // same rounding leak, same dangling-mass behaviour
+    val rnd = new Random(77)
+    import spark.implicits._
+    (1 to 6).foreach { iter =>
+      val n = 6 + rnd.nextInt(7)
+      val edges = (for {
+        s0 <- 0L until n
+        _ <- 1 to (1 + rnd.nextInt(3))
+      } yield (s0, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val nodesDf = (0L until n).toDF("doc_id")
+      val edgesDf = edges.toDF("src", "dst")
+      val got = graft.operators.TrainOps.pageRankInt(nodesDf, edgesDf, rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference
+      val mass = 1000000000L
+      val od = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      var ranks = (0L until n).map(_ -> mass / n).toMap
+      for (_ <- 1 to 5) {
+        val inflow = scala.collection.mutable.Map.empty[Long, Long]
+        for ((s0, d0) <- edges)
+          inflow(d0) = inflow.getOrElse(d0, 0L) + ranks(s0) / od(s0)
+        ranks = (0L until n).map { v =>
+          v -> (mass * 15 / 100 / n + inflow.getOrElse(v, 0L) * 85 / 100)
+        }.toMap
+      }
+      assert(got == ranks, s"iter $iter n=$n edges=$edges")
+    }
+  }
 }
