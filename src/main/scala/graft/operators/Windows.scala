@@ -196,6 +196,41 @@ object Windows {
           rnd4(last(col("gappy"), ignoreNulls = true).over(trail)).as("filled"),
           rnd4(nth_value(col("value"), 2).over(full)).as("second_val"))
         .orderBy("event_id")
+    }),
+
+    // e12: LINEAR INTERPOLATION of interior gaps — the third member of
+    // the gap-repair family (e10 zero-fills a regular grid, e11 carries
+    // the LAST value forward; this reconstructs the straight line
+    // between the surrounding observations — the sensor-data
+    // convention, where a held-flat value fabricates a plateau). Per
+    // user, event-time-weighted: prev/next non-null neighbor VALUE and
+    // TIME come from last/first-IGNORE-NULLS over the trailing/leading
+    // frames (two window calls per side, same null condition — no
+    // struct-carry needed), then the interpolant is
+    // prev + (next − prev)·(t − t_prev)/(t_next − t_prev). EDGE gaps
+    // (no neighbor on one side) stay NULL — interpolation is an
+    // interior-only contract, extrapolation is a different op. One
+    // user_id shuffle serves all four window calls (same frame spec).
+    "e12_win_interpolate" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trail = w.rowsBetween(Window.unboundedPreceding, -1)
+      val lead = w.rowsBetween(1, Window.unboundedFollowing)
+      events(s, d)
+        .withColumn("ts_us", epochUs(col("ts")))
+        .withColumn("gappy",
+          when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("pv", last(col("gappy"), ignoreNulls = true).over(trail))
+        .withColumn("pt", last(when(col("gappy").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(trail))
+        .withColumn("nv", first(col("gappy"), ignoreNulls = true).over(lead))
+        .withColumn("nt", first(when(col("gappy").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(lead))
+        .select(col("event_id"), col("user_id"), rnd4(col("gappy")).as("gappy"),
+          rnd4(when(col("gappy").isNotNull, col("gappy"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("ts_us") - col("pt")) / (col("nt") - col("pt"))))
+            .as("filled"))
+        .orderBy("event_id")
     })
   )
 
@@ -307,6 +342,33 @@ object Windows {
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 4) AS second_val
          FROM (SELECT *, CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
                FROM events)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+
+    // identical prev/next-neighbor windows and interpolation arithmetic;
+    // edges (no neighbor on one side) stay NULL on both engines
+    "e12_win_interpolate" ->
+      """WITH g AS (
+           SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
+           FROM events),
+         nb AS (
+           SELECT *,
+             last_value(gappy IGNORE NULLS) OVER tr AS pv,
+             last_value(CASE WHEN gappy IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER tr AS pt,
+             first_value(gappy IGNORE NULLS) OVER ld AS nv,
+             first_value(CASE WHEN gappy IS NOT NULL THEN ts_us END IGNORE NULLS)
+               OVER ld AS nt
+           FROM g
+           WINDOW
+             tr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             ld AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT event_id, user_id, round(CAST(gappy AS DOUBLE), 4) AS gappy,
+           round(CAST(CASE WHEN gappy IS NOT NULL THEN gappy
+                ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt) END
+             AS DOUBLE), 4) AS filled
+         FROM nb ORDER BY event_id"""
   )
 }
