@@ -2001,6 +2001,47 @@ object TrainOps {
           countDistinct(col("term")).as("n_terms"))
         .orderBy("bucket")),
 
+    // l44: TRIPLET MINING for contrastive training — per anchor, the
+    // HARD positive (most-similar same-label vector — the one whose
+    // margin is tightest) and the HARD negative (most-similar
+    // DIFFERENT-label vector — the impostor the loss must push away):
+    // the (anchor, positive, negative) triplets metric-learning /
+    // embedding-finetune batches are built from, where hard mining is
+    // what makes the gradient informative. Anchor set is a bounded
+    // sample (vec_id < 64 — the l2 exact-baseline idiom: candidates
+    // broadcast once under the guard, anchors stream); similarity is
+    // the codegen'd FloatDotProduct kernel, argmaxes are ONE
+    // partial+final aggregate over struct ordering ((sim, −cand): max
+    // sim wins, smallest cand breaks ties) — no per-anchor sort, no
+    // window over the pair table. At 100 TB the scale path swaps the
+    // broadcast for l3's IVF cells (mine within the anchor's probed
+    // cells); the exact form here is the correctness baseline, same
+    // contract as j3/l2.
+    "l44_triplet_mining" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("norm", sqrt(floatDot(col("embedding"), col("embedding"))))
+      val cands = broadcast(LlmOps.requireBroadcastable(e,
+        "l44 candidate set", "the l3 IVF-cell mining path"))
+      val anchors = e.filter(col("vec_id") < 64)
+      anchors.as("a").join(cands.as("c"), col("a.vec_id") =!= col("c.vec_id"))
+        .select(col("a.vec_id").as("anchor"),
+          (col("a.label") === col("c.label")).as("same"),
+          col("c.vec_id").as("cand"),
+          (floatDot(col("a.embedding"), col("c.embedding")) /
+            (col("a.norm") * col("c.norm"))).as("sim"))
+        .groupBy("anchor")
+        .agg(
+          max(when(col("same"), struct(col("sim"), (-col("cand")).as("nid"))))
+            .as("pos"),
+          max(when(!col("same"), struct(col("sim"), (-col("cand")).as("nid"))))
+            .as("neg"))
+        .select(col("anchor"),
+          (-col("pos.nid")).as("pos_id"), rnd4(col("pos.sim")).as("pos_sim"),
+          (-col("neg.nid")).as("neg_id"), rnd4(col("neg.sim")).as("neg_sim"))
+        .orderBy("anchor")
+    }),
+
     // l43: BPE VOCABULARY INDUCTION — tokenizer TRAINING, the step the
     // l8/l13 token-consuming ops presuppose: learn the first 5 merge
     // rules of a byte-pair encoding from the corpus. Classic Sennrich
@@ -3235,6 +3276,32 @@ object TrainOps {
          FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
                FROM documents)
          WHERE term <> '' GROUP BY 1 ORDER BY 1""",
+
+    // the same double-cast dot product as j3's oracle (bit-identical to
+    // the FloatDotProduct kernel); rn=1 per (anchor, same-label?) with
+    // (sim DESC, cand) reproduces the struct-ordering argmax exactly
+    "l44_triplet_mining" ->
+      """WITH n AS (
+           SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS anchor, c.vec_id AS cand,
+             a.label = c.label AS same,
+             list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS sim
+           FROM n a JOIN n c ON a.vec_id < 64 AND a.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY anchor, same
+             ORDER BY sim DESC, cand) AS rn
+           FROM p)
+         SELECT anchor,
+           max(CASE WHEN same AND rn = 1 THEN cand END) AS pos_id,
+           round(max(CASE WHEN same AND rn = 1 THEN sim END), 4) AS pos_sim,
+           max(CASE WHEN NOT same AND rn = 1 THEN cand END) AS neg_id,
+           round(max(CASE WHEN NOT same AND rn = 1 THEN sim END), 4) AS neg_sim
+         FROM ranked GROUP BY anchor ORDER BY anchor""",
 
     // ten unrolled power-iteration CTEs (DuckDB disallows aggregates in
     // a recursive term); all-integer micro-unit arithmetic makes every
