@@ -338,6 +338,24 @@ object Functions {
         .orderBy("vec_id")
     }),
 
+    // h19: DATA MASKING — the DISPLAY-side privacy primitive next to
+    // l23's removal-side redaction: `mask()` preserves FORMAT while
+    // destroying content (uppercase→X, lowercase→x, digits→n), so
+    // masked values remain joinable-by-shape, length-analyzable, and
+    // layout-testable — why masked copies of prod tables are usable as
+    // staging fixtures at all. Three legs: default masking, custom
+    // replacement chars, and selective masking (digits only — keep the
+    // letter structure, kill the numbers). Codegen'd per-row
+    // expressions fused into the scan.
+    "h19_mask_funcs" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          expr("mask(c_name)").as("masked"),
+          expr("mask(c_name, '#', '*', '0', '-')").as("custom"),
+          expr("mask(c_name, NULL, NULL, 'n', NULL)").as("digits_only"),
+          length(expr("mask(c_name)")).as("len_preserved"))
+        .orderBy("c_custkey")),
+
     // h18: STRUCT SERDE FUNCTIONS — the WRITE side of the h6/h10 parse
     // family: `to_json` (struct → canonical JSON text — what every
     // event-bus producer emits), `to_csv` (struct → delimited line),
@@ -551,6 +569,21 @@ object Functions {
            epoch_us(o_orderdate + INTERVAL '5 days 3 hours 30 minutes')
              AS plus_5d3h30m_us
          FROM orders ORDER BY o_orderkey""",
+
+    // DuckDB has no mask() — chained global regexp_replace reconstructs
+    // each class map ('#' in the data is an "other" char: custom leg
+    // maps it to '-'; default leg leaves others untouched)
+    "h19_mask_funcs" ->
+      """SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[^A-Za-z0-9]', '-', 'g'), '[A-Z]', '#', 'g'),
+             '[a-z]', '*', 'g'), '[0-9]', '0', 'g') AS custom,
+           regexp_replace(c_name, '[0-9]', 'n', 'g') AS digits_only,
+           CAST(length(c_name) AS INTEGER) AS len_preserved
+         FROM customer ORDER BY c_custkey""",
 
     // the serialized FORM is the contract: Spark's to_json emits compact
     // JSON ({"k":5,"t":"click"}), to_csv bare comma-joined fields — both

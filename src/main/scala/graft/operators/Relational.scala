@@ -209,6 +209,40 @@ object Relational {
       q
     }),
 
+    // a20: RAW TEXT-LINE SOURCE — the sixth format of the connector
+    // family (parquet/orc/csv/json/binaryFile/text) and the zeroth step
+    // of every log-ETL pipeline: `text` reads a directory of raw lines
+    // as a single `value` column, and structure is imposed AFTER the
+    // scan by regexp extraction (the schema-on-read shape — upstream
+    // appenders never agree to a schema, the pipeline's parser IS the
+    // contract). Fixture: key=value log lines rendered from orders;
+    // numeric round-trip relies on shortest-roundtrip double formatting
+    // (write toString → parse back = identical double). Extraction
+    // stays codegen'd per-row regex fused into the scan; the grouping
+    // is the only shuffle.
+    "a20_source_text_logs" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a20_logs") { p =>
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(concat(
+            lit("order="), col("o_orderkey"),
+            lit(" cust="), col("o_custkey"),
+            lit(" price="), col("o_totalprice").cast(StringType),
+            lit(" status="), col("o_orderstatus")))
+          .write.mode("overwrite").text(p)
+      }
+      s.read.text(path)
+        .select(
+          regexp_extract(col("value"), "order=(\\d+)", 1)
+            .cast(LongType).as("k"),
+          regexp_extract(col("value"), "status=([A-Z])", 1).as("st"),
+          regexp_extract(col("value"), "price=([0-9.]+)", 1)
+            .cast(DoubleType).as("price"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("price"), 18, 2))).as("sum_price"))
+        .orderBy("st")
+    }),
+
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
@@ -1246,6 +1280,14 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // the log rendering is fixture plumbing; the oracled truth is the
+    // per-status rollup the parsed lines must reproduce exactly
+    "a20_source_text_logs" ->
+      """SELECT o_orderstatus AS st, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 2000
+         GROUP BY 1 ORDER BY 1""",
 
     // 3 planted corrupt lines: permissive keeps+quarantines them,
     // dropmalformed removes exactly them, clean money survives intact
