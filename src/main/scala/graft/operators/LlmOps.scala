@@ -671,6 +671,29 @@ object LlmOps {
         rnd4(avg(col("n_events"))).as("avg_session_events"))
     }),
 
+    // j21: COHORT RETENTION — the third member of the product-analytics
+    // trio (j19 funnel, j20 volume anomalies, now retention): users are
+    // cohorted by FIRST-ACTIVE day, then each later active day counts
+    // toward (cohort, day-offset) — the retention triangle every growth
+    // dashboard plots. Engine shape: one distinct-shuffle to active
+    // (user, day) pairs, the cohort min-agg rides the SAME user_id
+    // partitioning, the user⋈cohort join is co-partitioned, and the
+    // final aggregate's output is days²-bounded — at 100 TB everything
+    // after the first dedup is calendar-sized, not event-sized.
+    "j21_retention_cohorts" -> ((s, d) => {
+      val act = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohorts = act.groupBy("user_id").agg(min("day").as("cohort"))
+      act.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(epochUs(col("cohort").cast(TimestampType)).as("cohort_us"),
+          col("offset_days"), col("n_users"))
+        .orderBy("cohort_us", "offset_days")
+    }),
+
     // j20: STATISTICAL ANOMALY SCAN — the control-chart pass every
     // ingestion pipeline runs over its own volume metrics: daily counts
     // per event_type, z-scored against that type's own day distribution
@@ -980,6 +1003,17 @@ object LlmOps {
                               THEN 1 ELSE 0 END) AS BIGINT) AS converted,
                 round(avg(n_events), 4) AS avg_session_events
          FROM per_session""",
+
+    // identical cohorting arithmetic on calendar days
+    "j21_retention_cohorts" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+         coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+         SELECT epoch_us(CAST(cohort AS TIMESTAMP)) AS cohort_us,
+           CAST(date_diff('day', cohort, day) AS INTEGER) AS offset_days,
+           count(DISTINCT a.user_id) AS n_users
+         FROM act a JOIN coh USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // population σ (stddev_pop) matches Spark; integer day-counts keep
     // the float noise far below the round(…,4) pin and the 2σ flag

@@ -936,6 +936,37 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(10)),
 
+    // f4: KEYSET PAGINATION — the SCALABLE pagination pattern, stated
+    // against f2's LIMIT/OFFSET: OFFSET N must produce-and-discard N
+    // rows (page 1000 of a 100-TB result scans everything before it),
+    // while a keyset cursor (WHERE key > last_seen ORDER BY key LIMIT n)
+    // SEEKS — each page is an indexed/pruned range probe whose cost is
+    // page-sized, not position-sized. Three successive pages fetched by
+    // carrying the cursor forward (the driver-side cursor is 1 scalar
+    // per page — exactly what a paging API holds); pages union with
+    // their page number so the oracle pins both content AND boundaries.
+    // The cursor key (o_orderkey) is unique → total order → no
+    // straddling-tie page drift, which is the pattern's precondition
+    // worth stating: paginate on a UNIQUE key or append one.
+    "f4_keyset_pagination" -> ((s, d) => {
+      val pageSize = 50
+      val base = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      var cursor = -1L
+      val pages = (1 to 3).map { pno =>
+        val page = base.filter(col("o_orderkey") > cursor)
+          .orderBy("o_orderkey").limit(pageSize)
+          .withColumn("page", lit(pno))
+        cursor = page.agg(max("o_orderkey")).head().getLong(0) // the cursor
+        page
+      }
+      pages.reduce(_ unionAll _)
+        .select(col("page"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- G. set operations ----
     "g1_union_all" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -1280,6 +1311,16 @@ object Relational {
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS cnt,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // page = row_number bucket over the same unique-key order — keyset
+    // pages and rank pages coincide exactly when the cursor key is unique
+    "f4_keyset_pagination" ->
+      """SELECT CAST((rn - 1) // 50 + 1 AS INTEGER) AS page,
+           o_orderkey, o_custkey, o_totalprice
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 row_number() OVER (ORDER BY o_orderkey) AS rn
+               FROM orders WHERE o_orderstatus = 'O')
+         WHERE rn <= 150 ORDER BY o_orderkey""",
 
     // the log rendering is fixture plumbing; the oracled truth is the
     // per-status rollup the parsed lines must reproduce exactly
