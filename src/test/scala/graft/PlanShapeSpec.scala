@@ -381,6 +381,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "e10_resample_gapfill", // 1-row broadcast bounds frame × 5-row types spine
       "j3_sim_cosine_pairs", "j4_sim_knn_query", "j6_text_tfidf",
       "l2_sim_embedding_nn", "l3_ann_ivf_topk",
+      "l44_triplet_mining", // guarded exact-mining baseline (the j3/l2 class)
       "l26_bm25_topk", // 1-row broadcast (N, Σdl) stats frame, twice
       "j18_merge_into_sql", // 1-row broadcast cardinality-guard frame
       "l36_pmi_cooccur", // 1-row broadcast N frame (df window + final pmi)
