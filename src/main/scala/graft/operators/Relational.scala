@@ -1161,6 +1161,62 @@ object Relational {
       j
     }),
 
+    // c22: AQE RUNTIME BROADCAST SWITCH — adaptive execution's
+    // headline join optimization, gated end-to-end: the dim side is
+    // orders filtered by an md5 predicate whose selectivity (~1.5%) is
+    // INVISIBLE to static stats (a hash of the key admits no min/max or
+    // histogram reasoning), so the static plan must conservatively
+    // sort-merge; at runtime the filter's ACTUAL post-shuffle size
+    // (~230 rows) lands under the broadcast threshold and AQE re-plans
+    // the remaining stages with a broadcast hash join. BOTH halves are
+    // require-gated: the pre-execution sort-merge (otherwise the demo
+    // is vacuous — static stats were never fooled) and the
+    // post-execution broadcast in the final adaptive plan. This is the
+    // 100-TB safety net for every filter the optimizer can't model:
+    // the expensive plan is only a FALLBACK until real sizes arrive.
+    "c22_join_aqe_broadcast_switch" -> ((s, d) => {
+      // two thresholds split the regimes AT TOY SCALE (restored in the
+      // finally; at 100 TB the default 10 MB produces the same split
+      // naturally): the STATIC threshold sits below the dim's
+      // file-size-based estimate (the estimator sees the unfiltered
+      // hundreds of KB — the md5 filter admits no stats reasoning), the
+      // ADAPTIVE threshold above the ~230-row ACTUAL post-shuffle size
+      val (statKey, adapKey) = ("spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      val prev = (s.conf.get(statKey), s.conf.getOption(adapKey))
+      s.conf.set(statKey, (64 * 1024).toString)
+      s.conf.set(adapKey, (1024 * 1024).toString)
+      try {
+        val dim = t(s, d, "orders")
+          .filter(substring(md5(col("o_orderkey").cast(StringType)
+            .cast(BinaryType)), 1, 2) < "04") // ~1.5%, stats-invisible
+          .select("o_orderkey", "o_orderpriority")
+        val j = t(s, d, "lineitem")
+          .join(dim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("item_cnt"),
+            dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_price"))
+          .orderBy("o_orderpriority")
+        val staticPlan = j.queryExecution.executedPlan.toString
+        require(staticPlan.contains("SortMergeJoin") ||
+          staticPlan.contains("ShuffledHashJoin"),
+          "static plan already broadcasts — the stats-invisible filter " +
+            "stopped fooling the estimator and this demo is vacuous:\n" +
+            staticPlan)
+        val out = j.localCheckpoint() // materialize: AQE finalizes stages
+        val finalPlan = j.queryExecution.executedPlan.toString
+        require(finalPlan.contains("BroadcastHashJoin"),
+          "AQE did not convert the join to broadcast at runtime:\n" + finalPlan)
+        out
+      } finally {
+        s.conf.set(statKey, prev._1)
+        prev._2 match {
+          case Some(v) => s.conf.set(adapKey, v)
+          case None => s.conf.unset(adapKey)
+        }
+      }
+    }),
+
     // c19: NULL-SAFE EQUALITY JOIN — `<=>` (IS NOT DISTINCT FROM) as the
     // JOIN KEY: unlike `=`, NULL <=> NULL is TRUE, so null-keyed rows on
     // both sides MATCH each other instead of silently dropping (the
@@ -1377,6 +1433,15 @@ object Relational {
          WHERE o_orderdate >= TIMESTAMP '1998-01-01'
            AND o_orderdate < TIMESTAMP '1999-01-01'
            AND o_custkey < 400
+         GROUP BY 1 ORDER BY 1""",
+
+    // the runtime re-plan is gated Spark-side (both halves); the oracled
+    // truth is the join result the switch must leave untouched
+    "c22_join_aqe_broadcast_switch" ->
+      """SELECT o_orderpriority, count(*) AS item_cnt,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '04'
          GROUP BY 1 ORDER BY 1""",
 
     // the plan choice is gated Spark-side; the oracled truth is the
