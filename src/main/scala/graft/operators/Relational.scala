@@ -209,6 +209,32 @@ object Relational {
       q
     }),
 
+    // a21: COLUMN DEFAULT VALUES — the DDL/DML contract that keeps old
+    // writers valid through schema growth: the table declares DEFAULTs
+    // (a flag, a provenance tag), the INSERT names only the columns it
+    // knows (the pre-migration writer's column list), and the engine
+    // fills the rest — the alternative is every producer breaking the
+    // moment a column lands. INSERT OVERWRITE keeps the key idempotent
+    // across invocations (re-runs replace, never append-duplicate).
+    // External table over scratch (the c12 no-warehouse idiom).
+    "a21_sink_insert_defaults" -> ((s, d) => {
+      val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + Integer.toHexString(d.hashCode)
+      val tbl = s"graft_def_$tag"
+      val loc = scratch(s, s"a21_$tag", "tbl")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (
+          k BIGINT, st STRING,
+          flagged BOOLEAN DEFAULT false,
+          src STRING DEFAULT 'ingest')
+        USING parquet LOCATION '$loc'""")
+      t(s, d, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView(s"a21_src_$tag")
+      s.sql(s"""INSERT OVERWRITE TABLE $tbl (k, st)
+        SELECT o_orderkey, o_orderstatus FROM a21_src_$tag""")
+      s.table(tbl).orderBy("k")
+    }),
+
     // a20: RAW TEXT-LINE SOURCE — the sixth format of the connector
     // family (parquet/orc/csv/json/binaryFile/text) and the zeroth step
     // of every log-ETL pipeline: `text` reads a directory of raw lines
@@ -1377,6 +1403,13 @@ object Relational {
                  row_number() OVER (ORDER BY o_orderkey) AS rn
                FROM orders WHERE o_orderstatus = 'O')
          WHERE rn <= 150 ORDER BY o_orderkey""",
+
+    // the unnamed columns must arrive as their DECLARED defaults —
+    // that contract is the whole key
+    "a21_sink_insert_defaults" ->
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+           false AS flagged, 'ingest' AS src
+         FROM orders WHERE o_orderkey < 100 ORDER BY k""",
 
     // the log rendering is fixture plumbing; the oracled truth is the
     // per-status rollup the parsed lines must reproduce exactly
