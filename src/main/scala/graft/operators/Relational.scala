@@ -1210,7 +1210,9 @@ object Relational {
       val (statKey, adapKey) = ("spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.autoBroadcastJoinThreshold")
       val prev = (s.conf.get(statKey), s.conf.getOption(adapKey))
-      s.conf.set(statKey, (64 * 1024).toString)
+      // 4 KB: below the smallest tier's orders file size (sf0.001 is a
+      // few tens of KB), so the static estimate exceeds it at EVERY sf
+      s.conf.set(statKey, (4 * 1024).toString)
       s.conf.set(adapKey, (1024 * 1024).toString)
       try {
         val dim = t(s, d, "orders")
