@@ -338,6 +338,28 @@ object Functions {
         .orderBy("vec_id")
     }),
 
+    // h20: AES ROUND-TRIP — column-level encryption (`aes_encrypt` /
+    // `aes_decrypt`), the carry-a-secret-through-an-untrusted-sink
+    // primitive. Deliberately ECB here and documented why: GCM (the
+    // right production mode) salts a random IV per call, so its
+    // ciphertext is non-deterministic BY DESIGN and can never be
+    // oracle-compared; ECB is deterministic, which makes the round-trip
+    // AND the ciphertext geometry (PKCS7 block padding, computed
+    // from plaintext length alone) exactly checkable. (A first cut also
+    // base64'd the ciphertext and measured that — this Spark's base64
+    // is MIME-chunked with CRLFs every 76 chars, a representation
+    // detail with no place in a size contract.) The oracle pins: decrypt∘encrypt = identity, and the
+    // ciphertext sizes match the block arithmetic — i.e. the loader
+    // really ran AES and really padded. Codegen'd per-row expressions.
+    "h20_crypto_roundtrip" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(aes_decrypt(aes_encrypt(text, '0000111122223333', 'ECB'), " +
+            "'0000111122223333', 'ECB') AS STRING)").as("rt"),
+          length(expr("aes_encrypt(text, '0000111122223333', 'ECB')"))
+            .as("ct_bytes"))
+        .orderBy("doc_id")),
+
     // h19: DATA MASKING — the DISPLAY-side privacy primitive next to
     // l23's removal-side redaction: `mask()` preserves FORMAT while
     // destroying content (uppercase→X, lowercase→x, digits→n), so
@@ -569,6 +591,14 @@ object Functions {
            epoch_us(o_orderdate + INTERVAL '5 days 3 hours 30 minutes')
              AS plus_5d3h30m_us
          FROM orders ORDER BY o_orderkey""",
+
+    // DuckDB has no AES — the round-trip identity IS the plaintext, and
+    // the ciphertext geometry is pure block arithmetic from strlen:
+    // PKCS7 pads to the NEXT 16-byte block
+    "h20_crypto_roundtrip" ->
+      """SELECT doc_id, text AS rt,
+           CAST((strlen(text) // 16 + 1) * 16 AS INTEGER) AS ct_bytes
+         FROM documents ORDER BY doc_id""",
 
     // DuckDB has no mask() — chained global regexp_replace reconstructs
     // each class map ('#' in the data is an "other" char: custom leg

@@ -248,6 +248,32 @@ object Streaming {
         .orderBy("c_mktsegment")
     }),
 
+    // i22: STREAM-STATIC ANTI JOIN — the BLOCKLIST shape of ingestion
+    // (i6 is the enrichment shape): every event from a blocked user is
+    // dropped AT THE STREAM, stateless, before anything downstream
+    // pays for it — the left_anti against a broadcast static table is
+    // re-read per micro-batch, so blocklist updates take effect at the
+    // next trigger without restarting the query (the operational
+    // property this join mode exists for). Blocklist = the md5-derived
+    // ~25% of customers (the l10 membership idiom: deterministic,
+    // oracle-reproducible). No state store anywhere: the anti join is
+    // a per-batch broadcast probe; the downstream count aggregates in
+    // Complete mode for the batch-equal oracle.
+    "i22_stream_static_anti" -> ((s, d) => {
+      val blocked = t(s, d, "customer")
+        .filter(substring(md5(col("c_custkey").cast(StringType)
+          .cast(BinaryType)), 1, 1) < "4") // ~25%, both engines agree
+        .select(col("c_custkey"))
+      val agg = eventsStream(s, d)
+        .join(broadcast(blocked), col("user_id") === col("c_custkey"),
+          "left_anti")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt")) // (distinct aggs are unsupported
+        // on streams — the d3 exact-distinct shape stays batch-side)
+      runToTable(s, agg, "complete")
+        .orderBy("event_type")
+    }),
+
     // i8: STREAM-STREAM inner join — click→purchase attribution: each
     // click joined to same-user purchases within the following 30 min.
     // Both sides carry watermarks and the join condition bounds event
@@ -1252,6 +1278,16 @@ object Streaming {
          WHERE epoch_us(date_trunc('hour', slot)) + 3600000000
                <= (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 FROM events)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // blocked set reproduced with the same md5 membership; NOT IN over
+    // the never-NULL key is the anti join
+    "i22_stream_static_anti" ->
+      """SELECT event_type, count(*) AS cnt
+         FROM events
+         WHERE user_id NOT IN (
+           SELECT c_custkey FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4')
+         GROUP BY 1 ORDER BY 1""",
 
     // the two topics partition the table by type, so their union is the
     // whole table and the i1 tumbling oracle applies verbatim
