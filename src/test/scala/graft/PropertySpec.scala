@@ -413,4 +413,59 @@ class PropertySpec extends AnyFunSuite {
       assert(got == ranks, s"iter $iter n=$n edges=$edges")
     }
   }
+
+  test("e12 interpolation == sequential reference on random gappy series") {
+    // the window formulation (last/first IGNORE NULLS over trailing/
+    // leading frames) must agree with a straightforward scan-and-bridge
+    // reference: interior gaps bridged linearly by event time, edge gaps
+    // (no neighbor on one side) NULL, observed points passed through
+    val rnd = new Random(99)
+    import spark.implicits._
+    (1 to 6).foreach { iter =>
+      val n = 8 + rnd.nextInt(10)
+      // strictly increasing event-times with irregular spacing
+      var tAcc = 0L
+      val rows = (0 until n).map { i =>
+        tAcc += 1L + rnd.nextInt(100)
+        val v = if (rnd.nextInt(3) == 0) None else Some(rnd.nextInt(1000) / 10.0)
+        (i.toLong, tAcc, v)
+      }
+      val got = rows.toDF("id", "ts_us", "gappy")
+        .withColumn("pv", last(col("gappy"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts_us")
+            .rowsBetween(Long.MinValue, -1)))
+        .withColumn("pt", last(when(col("gappy").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts_us")
+            .rowsBetween(Long.MinValue, -1)))
+        .withColumn("nv", first(col("gappy"), ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts_us")
+            .rowsBetween(1, Long.MaxValue)))
+        .withColumn("nt", first(when(col("gappy").isNotNull, col("ts_us")),
+          ignoreNulls = true).over(
+          org.apache.spark.sql.expressions.Window.orderBy("ts_us")
+            .rowsBetween(1, Long.MaxValue)))
+        .select(col("id"),
+          when(col("gappy").isNotNull, col("gappy"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("ts_us") - col("pt")) / (col("nt") - col("pt"))).as("filled"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      // sequential reference
+      val want = rows.zipWithIndex.map { case ((id, ts, v), i) =>
+        id -> (v match {
+          case Some(x) => Some(x)
+          case None =>
+            val prev = rows.take(i).reverse.find(_._3.isDefined)
+            val next = rows.drop(i + 1).find(_._3.isDefined)
+            (prev, next) match {
+              case (Some((_, pt, Some(pv))), Some((_, nt, Some(nv)))) =>
+                Some(pv + (nv - pv) * (ts - pt) / (nt - pt))
+              case _ => None
+            }
+        })
+      }.toMap
+      assert(got == want, s"iter $iter rows=$rows")
+    }
+  }
 }
