@@ -235,6 +235,92 @@ object Relational {
       s.table(tbl).orderBy("k")
     }),
 
+    // a22: HIDDEN FILE-METADATA COLUMNS — every file-based scan exposes a
+    // `_metadata` struct (file_name/file_path/file_size/row_index, never
+    // materialized in the data) that is the engine-native way to build
+    // LINEAGE audits: which physical file did each row come from, and at
+    // which position. At 100 TB this is the tool for per-file quarantine
+    // (join a bad-file list against file_name), idempotent re-ingest
+    // bookkeeping (file_name + row_index = a stable physical row id for
+    // sources with no natural key), and skew forensics (rows per file).
+    // The key proves the columns are EXACT, not merely present: over the
+    // one-file orders table, row_index must be a full permutation of
+    // [0, n) — pinned by count = distinct-count, min 0, max n−1, and the
+    // closed-form sum n(n−1)/2 — and file_size must equal the physical
+    // byte length the filesystem reports (computed OUTSIDE the plan and
+    // compared IN it, so a drifting value fails the hash gate, the a19
+    // in-query-gate idiom). Projecting only _metadata + nothing else
+    // still prunes the data columns: metadata fields come from the
+    // file listing + row position counters, not the column chunks.
+    "a22_source_file_metadata" -> ((s, d) => {
+      val physicalLen = new java.io.File(s"$d/orders.parquet").length()
+      t(s, d, "orders")
+        .select(col("_metadata.file_name").as("fn"),
+          col("_metadata.file_size").as("fsz"),
+          col("_metadata.row_index").as("ri"))
+        .agg(
+          min(col("fn")).as("file_name"),
+          countDistinct(col("fn")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("ri")).as("n_distinct_idx"),
+          min(col("ri")).as("min_idx"),
+          max(col("ri")).as("max_idx"),
+          sum(col("ri")).as("sum_idx"),
+          (max(col("fsz")) === physicalLen && min(col("fsz")) === physicalLen)
+            .as("size_matches_fs"))
+    }),
+
+    // a23: COMPRESSION-CODEC SINK — at 100 TB the parquet codec choice is
+    // a first-order cost lever (storage bytes, scan IO, decompress CPU).
+    // Write the same orders rows under zstd and snappy, gate IN THE
+    // FOOTER that every column chunk actually carries the requested codec
+    // (the a19 lesson: a silently-ignored option is indistinguishable
+    // from success without a physical-layout check), and emit (a) a
+    // roundtrip aggregate over the zstd copy — proving the codec path is
+    // lossless — and (b) the measured size ordering zstd < snappy as an
+    // oracled boolean (deterministic: same rows, same writer, zstd's
+    // entropy stage beats snappy's LZ-only scheme on every real table).
+    // Sizes themselves are emitted as a ratio only in the SURVEY note,
+    // not the result (byte counts are writer-version-specific; the
+    // ORDERING is the stable contract).
+    "a23_sink_codec_roundtrip" -> ((s, d) => {
+      def writeWith(codec: String): String =
+        cachedFixture(s, d, s"a23_$codec") { p =>
+          t(s, d, "orders").write.mode("overwrite")
+            .option("compression", codec).parquet(p)
+        }
+      def footerCodecs(path: String): Set[String] = {
+        val files = new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(files.nonEmpty, s"a23: no parquet files under $path")
+        import scala.jdk.CollectionConverters._
+        files.iterator.flatMap { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toURI),
+            new org.apache.hadoop.conf.Configuration())
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala.map(_.getCodec.toString)).toSet
+          finally reader.close()
+        }.toSet
+      }
+      def bytes(path: String): Long =
+        new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val zstdPath = writeWith("zstd")
+      val snapPath = writeWith("snappy")
+      val (zc, sc) = (footerCodecs(zstdPath), footerCodecs(snapPath))
+      require(zc == Set("ZSTD"), s"a23: zstd copy carries codecs $zc")
+      require(sc == Set("SNAPPY"), s"a23: snappy copy carries codecs $sc")
+      val zstdSmaller = bytes(zstdPath) < bytes(snapPath)
+      s.read.parquet(zstdPath)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+        .withColumn("zstd_smaller", lit(zstdSmaller))
+        .orderBy("o_orderstatus")
+    }),
+
     // a20: RAW TEXT-LINE SOURCE — the sixth format of the connector
     // family (parquet/orc/csv/json/binaryFile/text) and the zeroth step
     // of every log-ETL pipeline: `text` reads a directory of raw lines
@@ -1405,6 +1491,30 @@ object Relational {
                  row_number() OVER (ORDER BY o_orderkey) AS rn
                FROM orders WHERE o_orderstatus = 'O')
          WHERE rn <= 150 ORDER BY o_orderkey""",
+
+    // the permutation proof: count, distinct count, min/max, and the
+    // closed-form sum pin row_index to exactly [0, n); the two boolean
+    // gates (single file, fs-length match) are computed Spark-side and
+    // must land as literal true
+    "a22_source_file_metadata" ->
+      """SELECT 'orders.parquet' AS file_name,
+           CAST(1 AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           count(*) AS n_distinct_idx,
+           CAST(0 AS BIGINT) AS min_idx,
+           count(*) - 1 AS max_idx,
+           CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS sum_idx,
+           true AS size_matches_fs
+         FROM orders""",
+
+    // roundtrip truth = the same aggregate on the source table; the codec
+    // claims live in the require-gated footer check and the oracled
+    // size-ordering boolean
+    "a23_sink_codec_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           true AS zstd_smaller
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // the unnamed columns must arrive as their DECLARED defaults —
     // that contract is the whole key
