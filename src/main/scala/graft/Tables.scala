@@ -211,7 +211,7 @@ object Tables {
   private val cleanupHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def deleteRec(f: java.io.File): Unit = {
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRec)
     f.delete(): Unit

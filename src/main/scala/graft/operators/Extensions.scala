@@ -163,6 +163,37 @@ object Extensions {
                  round(graft_disc_price(l_extendedprice, l_discount), 4) AS disc_price
                FROM k8_lineitem
                ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    // k9: SQL-LANGUAGE TABLE FUNCTION — the table-valued member of the
+    // SQL-UDF family (k8 is the scalar): `CREATE FUNCTION … RETURNS TABLE
+    // (…) RETURN <query>` defines a parameterized view, and a correlated
+    // `LATERAL fn(t.col)` invocation applies it per row. The analyzer
+    // DECORRELATES the inlined body into an ordinary equi-join — the
+    // physical plan here is one BroadcastHashJoin, no per-row nested-loop
+    // re-execution (pinned in PlanShapeSpec), so the "function call per
+    // row" reads as relational algebra and scales like any join.
+    //
+    // MEASURED ENGINE HAZARD (probed this round, Spark 4.1.2): a LIMIT
+    // inside the function body is hoisted ABOVE the correlation when the
+    // lateral call is decorrelated — `… WHERE key = arg ORDER BY v LIMIT 3`
+    // returns the GLOBAL top-3 then filters (1 row where the per-group
+    // window form returns 63). Per-invocation LIMIT semantics are NOT
+    // preserved; use a row_number window (e1's shape) for per-group top-k
+    // and keep SQL-TVF bodies LIMIT-free. This key's body is a correlated
+    // filter + projection, the shape the rewrite handles exactly.
+    "k9_sql_table_function" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("k9_orders")
+      t(s, d, "customer").createOrReplaceTempView("k9_customer")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(ck BIGINT, floor_total DOUBLE)
+               RETURNS TABLE (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+               RETURN SELECT o_orderkey, o_orderstatus, o_totalprice
+                      FROM k9_orders
+                      WHERE o_custkey = ck AND o_totalprice >= floor_total""")
+      s.sql("""SELECT c.c_custkey, c.c_mktsegment, r.o_orderkey,
+                 r.o_orderstatus, r.o_totalprice
+               FROM k9_customer c, LATERAL graft_big_orders(c.c_custkey, 250000.0d) r
+               ORDER BY c.c_custkey, o_orderkey""")
     })
   )
 
@@ -225,6 +256,14 @@ object Extensions {
       """SELECT vec_id,
            round(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                        list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS l2_norm
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    // the decorrelated truth of the lateral TVF call: a plain equi-join
+    // with the function body's filter
+    "k9_sql_table_function" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_orderstatus, o_totalprice
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE o_totalprice >= 250000.0
+         ORDER BY c_custkey, o_orderkey"""
   )
 }

@@ -877,6 +877,55 @@ object Streaming {
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
         .orderBy("w_start_us", "event_type")
+    }),
+
+    // i23: DETERMINISTIC RATE SOURCE + EXACTLY-ONCE FILE-SINK RESUME —
+    // `rate-micro-batch` is the engine's deterministic load generator
+    // (batch b = values [b·R, (b+1)·R) at timestamp start + b·advance,
+    // REGARDLESS of wall clock — unlike `rate`, which scales with real
+    // time and can never be oracled), and the streaming-throughput
+    // harness shape every pipeline gets benchmarked with. The key drives
+    // it through THREE separate AvailableNow runs sharing ONE checkpoint
+    // + file sink: each run picks up at the next batch id (offsets from
+    // the checkpoint), writes its batch, and commits it to the sink's
+    // metadata log — the exactly-once resume contract of the file sink,
+    // proven by the values forming exactly [0, 3R) with one timestamp
+    // per batch (a re-delivered or dropped batch breaks the closed
+    // forms). The memory sink CANNOT recover a checkpoint (measured this
+    // round — "This query does not support recovering from checkpoint
+    // location"), which is why the lake-sink path carries this key.
+    // The sink's _spark_metadata log records ABSOLUTE file paths, so the
+    // fixture build (atomic rename — paths change) drops the log after
+    // the final run and the read is a plain directory listing; the log
+    // had already done its job: batch-level dedup across the 3 runs.
+    "i23_stream_rate_source" -> ((s, d) => {
+      val path = cachedFixture(s, d, "i23_rate") { p =>
+        val out = s"$p/out"; val ckpt = s"$p/ckpt"
+        for (_ <- 1 to 3) {
+          val q = s.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 1000)
+            .option("numPartitions", stateParts.toInt)
+            .option("startTimestamp", 0L)
+            .option("advanceMillisPerBatch", 60000)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        graft.Tables.deleteRec(new java.io.File(s"$out/_spark_metadata"))
+        graft.Tables.deleteRec(new java.io.File(ckpt))
+      }
+      s.read.parquet(s"$path/out")
+        .groupBy(unix_millis(col("timestamp")).as("batch_ms"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"),
+          sum(col("value")).as("sum_v"))
+        .orderBy("batch_ms")
     })
   )
 
@@ -1294,6 +1343,15 @@ object Streaming {
     "i21_stream_union_sources" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the source's closed form: 3 resumed AvailableNow runs × 1000 rows,
+    // batch b = values [1000b, 1000b+999] at timestamp 60000·b ms — any
+    // re-delivered or dropped batch breaks count/min/max/sum at once
+    "i23_stream_rate_source" ->
+      """SELECT (v // 1000) * 60000 AS batch_ms, count(*) AS n_rows,
+           min(v) AS min_v, max(v) AS max_v, CAST(sum(v) AS BIGINT) AS sum_v
+         FROM (SELECT unnest(range(0, 3000)) AS v)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

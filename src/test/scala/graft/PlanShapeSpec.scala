@@ -417,6 +417,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"k8's inlined body not visible in the projection:\n$p")
   }
 
+  test("k9: the lateral TVF call decorrelates to one equi-join — no per-row re-execution") {
+    val p = plan("k9_sql_table_function")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"k9's lateral TVF did not decorrelate to an equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"k9's lateral TVF degenerated to a nested-loop join:\n$p")
+  }
+
   test("d18: unpivot compiles to an in-task Expand — no exchange beyond agg and sort") {
     val p = plan("d18_unpivot")
     assert(p.contains("Expand"), s"d18 lost its Expand compilation:\n$p")
