@@ -1056,6 +1056,67 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // l45: INTERPOLATED BIGRAM-LM cross-entropy — the next rung of the
+    // l21 ladder (CCNet scores with a 5-gram KenLM; the structural step
+    // from unigram to any higher order is the SAME everywhere: condition
+    // on history, then smooth, because most bigrams are unseen in any
+    // corpus sample). p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(·w2)/T with
+    // λ = 0.7 (Jelinek-Mercer interpolation — the mixture keeps every
+    // probability strictly positive WITHOUT discounting arithmetic, so
+    // it is exactly reproducible in portable SQL, unlike backoff schemes
+    // whose normalization constants compound float error). Counts live
+    // on the PAIR event space (history = occurrences as pair-left,
+    // target = as pair-right) so each conditional sums to 1 exactly.
+    // A doc's score = mean −ln p over its transitions, micro-nat
+    // quantized before summation (the l21 portability rule: integer
+    // sums are order-independent; ln cross-engine parity has the
+    // j6/l21 precedent). keep ≤ 3.42 nats ≈ p92 of this corpus
+    // (probed non-vacuous at sf0.01: 458/500 keep, and sf0.1: 4719/5000;
+    // the word-salad corpus concentrates bigram xent tightly around the
+    // corpus entropy ≈ 3.40, so the quantized-4dp score — identical on
+    // both engines by construction — is what makes ANY cut deterministic;
+    // an unquantized double here would flip boundary docs per engine).
+    //
+    // Scale shape: three map-side-combinable aggregates over the pair
+    // stream (bigram model — output bounded by DISTINCT BIGRAMS, not
+    // corpus; history and target marginals — vocab-bounded), then joins
+    // back to the pair stream keyed by (w1,w2)/w1 — linear, no pairwise
+    // stage. The vocab-sized marginals broadcast (l21's rule); the
+    // bigram model itself shuffle-joins on its natural composite key —
+    // at web scale a bigram table outgrows any broadcast threshold but
+    // its join stays key-partitioned with the pair stream.
+    "l45_bigram_logprob" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(lower(col("text")), "[^a-z]+")))
+        .withColumnRenamed("col", "term")
+        .filter(col("term") =!= "")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks
+        .withColumn("nxt", lead(col("term"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"), col("term").as("w1"), col("nxt").as("w2"))
+        .localCheckpoint(eager = false) // feeds the model aggs AND the scoring join
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val hist = pairs.groupBy("w1").agg(count(lit(1)).as("ch"))
+      val uni = pairs.groupBy("w2").agg(count(lit(1)).as("cu"))
+        .withColumn("tot", sum(col("cu")).over(Window.partitionBy()))
+      pairs
+        .join(big, Seq("w1", "w2"))
+        .join(broadcast(hist), Seq("w1"))
+        .join(broadcast(uni), Seq("w2"))
+        .withColumn("q_nll", floor(-log(
+            lit(0.7) * (col("cb").cast(DoubleType) / col("ch")) +
+            lit(0.3) * (col("cu").cast(DoubleType) / col("tot"))) * 1e6 + 0.5)
+          .cast(LongType))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("q_nll")).as("sq"))
+        .withColumn("xent", floor(
+          col("sq").cast(DoubleType) / col("n_pairs") / 1e6 * 1e4 + 0.5) / 1e4)
+        .select(col("doc_id"), col("n_pairs"), col("xent"),
+          (col("xent") <= 3.42).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // l22: directional shingle CONTAINMENT — the asymmetric member of the
     // dedup family (j1 exact, j2/l9 symmetric Jaccard, l18 incremental):
     // find (A, B) where ≥ 90% of A's word-3-gram shingles also appear in
@@ -2744,6 +2805,38 @@ object TrainOps {
          SELECT doc_id, n_toks,
                 floor(CAST(sq AS DOUBLE) / n_toks / 1e6 * 1e4 + 5e-1) / 1e4 AS xent,
                 floor(CAST(sq AS DOUBLE) / n_toks / 1e6 * 1e4 + 5e-1) / 1e4 <= 3.41
+                  AS keep
+         FROM per_doc ORDER BY doc_id""",
+    "l45_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         seq AS (SELECT doc_id, pos, term,
+                   lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                 FROM toks WHERE term <> ''),
+         pairs AS (SELECT doc_id, term AS w1, nxt AS w2
+                   FROM seq WHERE nxt IS NOT NULL),
+         big AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         hist AS (SELECT w1, count(*) AS ch FROM pairs GROUP BY 1),
+         uni AS (SELECT w2, count(*) AS cu,
+                   sum(count(*)) OVER () AS tot
+                 FROM pairs GROUP BY 1),
+         scored AS (
+           SELECT p.doc_id,
+             CAST(floor(-ln(0.7 * (CAST(b.cb AS DOUBLE) / h.ch) +
+                            0.3 * (CAST(u.cu AS DOUBLE) / u.tot)) * 1e6 + 5e-1)
+               AS BIGINT) AS q_nll
+           FROM pairs p
+           JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+           JOIN hist h ON p.w1 = h.w1
+           JOIN uni u ON p.w2 = u.w2),
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_pairs, CAST(sum(q_nll) AS BIGINT) AS sq
+           FROM scored GROUP BY 1)
+         SELECT doc_id, n_pairs,
+                floor(CAST(sq AS DOUBLE) / n_pairs / 1e6 * 1e4 + 5e-1) / 1e4 AS xent,
+                floor(CAST(sq AS DOUBLE) / n_pairs / 1e6 * 1e4 + 5e-1) / 1e4 <= 3.42
                   AS keep
          FROM per_doc ORDER BY doc_id""",
 
