@@ -671,6 +671,57 @@ object LlmOps {
         rnd4(avg(col("n_events"))).as("avg_session_events"))
     }),
 
+    // j22: RIGHT-TO-ERASURE PROPAGATION — the compliance op every lake
+    // with personal data runs on a schedule (GDPR art. 17 / CCPA
+    // deletion): given a set of erasure requests keyed by customer, the
+    // delete must CASCADE through the star — the customer rows, their
+    // orders, and the lineitems of those orders — and the job must emit
+    // an AUDIT of exactly what it would remove (rows_before/erased/
+    // after per table), because deletion jobs are the one ETL class
+    // where "trust me" is not a valid completion report. Request set =
+    // the md5-derived ~1/16 of customers (the i22/l10 membership idiom
+    // — deterministic, oracle-reproducible). The counting legs compute
+    // erased rows with LEFT joins + non-null counts in ONE scan per
+    // table (no second "count the survivors" pass: after = before −
+    // erased by construction, and the left joins are fan-out-free since
+    // the request/order key sides are distinct by construction).
+    //
+    // Scale shape: the request set broadcasts (requests are human-scale,
+    // orders of magnitude under any fact table); the lineitem cascade
+    // keys on l_orderkey↔o_orderkey — at 100 TB the erased-orders side
+    // outgrows broadcast but the leg stays an equi-join on the fact
+    // table's natural key, and the actual DELETE this audit fronts is
+    // j16's MERGE / a12's dynamic-partition-overwrite rewrite shape.
+    "j22_erasure_propagation" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val isReq = substring(md5(col("c_custkey").cast(StringType)
+        .cast(BinaryType)), 1, 1) === "f"
+      val req = cust.filter(isReq).select(col("c_custkey"))
+      val custAudit = cust.agg(
+        count(lit(1)).as("rows_before"),
+        sum(when(isReq, 1L).otherwise(0L)).as("rows_erased"))
+      val ordersAudit = orders
+        .join(broadcast(req), col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          count(col("c_custkey")).as("rows_erased"))
+      val erasedOrders = orders
+        .join(broadcast(req), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"))
+      val liAudit = li
+        .join(erasedOrders, col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          count(col("o_orderkey")).as("rows_erased"))
+      def tag(name: String, a: org.apache.spark.sql.DataFrame) =
+        a.select(lit(name).as("tbl"), col("rows_before"), col("rows_erased"),
+          (col("rows_before") - col("rows_erased")).as("rows_after"))
+      tag("customer", custAudit)
+        .unionAll(tag("orders", ordersAudit))
+        .unionAll(tag("lineitem", liAudit))
+        .orderBy("tbl")
+    }),
+
     // j21: COHORT RETENTION — the third member of the product-analytics
     // trio (j19 funnel, j20 volume anomalies, now retention): users are
     // cohorted by FIRST-ACTIVE day, then each later active day counts
@@ -1003,6 +1054,31 @@ object LlmOps {
                               THEN 1 ELSE 0 END) AS BIGINT) AS converted,
                 round(avg(n_events), 4) AS avg_session_events
          FROM per_session""",
+
+    // the cascade counted from the request set down the star's keys;
+    // after = before − erased on both engines by construction
+    "j22_erasure_propagation" ->
+      """WITH req AS (
+           SELECT c_custkey FROM customer
+           WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = 'f'),
+         eo AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM req)),
+         audit AS (
+           SELECT 'customer' AS tbl,
+             (SELECT count(*) FROM customer) AS rows_before,
+             (SELECT count(*) FROM req) AS rows_erased
+           UNION ALL
+           SELECT 'orders',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM eo)
+           UNION ALL
+           SELECT 'lineitem',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM eo)))
+         SELECT tbl, rows_before, rows_erased,
+                rows_before - rows_erased AS rows_after
+         FROM audit ORDER BY tbl""",
 
     // identical cohorting arithmetic on calendar days
     "j21_retention_cohorts" ->
