@@ -1117,6 +1117,46 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // l46: CROSS-DOC DUPLICATED-SPAN FRACTION — the corpus-level text-
+    // duplication metric (C4/Gopher-family: "fraction of a document that
+    // also appears elsewhere"), the per-doc complement of the pairwise
+    // dedup family: j1/j2/l9/l22 find WHICH pairs overlap, this scores
+    // HOW MUCH of each doc is corpus-duplicated text, the signal used to
+    // downweight or drop boilerplate-heavy documents before training.
+    // A position is "duplicated" when its word-8-gram occurs in ≥ 2
+    // DISTINCT documents; dup_frac = duplicated positions / positions.
+    // 8-gram positional shingles are built IN-ROW (the shingleRows
+    // lesson: the token stream never leaves its doc, zero shuffle to
+    // shingle), with the l43-proven guard on short docs (sequence(0, n)
+    // DESCENDS for n < 0 — docs under 8 tokens shingle to empty, and
+    // drop from the output on both engines identically).
+    //
+    // Scale shape: one gram-keyed agg whose output is bounded by
+    // DISTINCT GRAMS (map-side combinable; the partial-agg dedups
+    // within partition), one gram-keyed join back — text never leaves
+    // its doc row, only grams shuffle; linear, no pairwise stage. The
+    // 0.30 flag cut is honest-to-quantization (4dp floor identical on
+    // both engines) and probed non-vacuous at sf0.01 AND sf0.1.
+    "l46_dup_span_fraction" -> ((s, d) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("w"))
+        .select(col("doc_id"), explode(when(size(col("w")) >= 8,
+            expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      val df = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac", floor(
+          col("n_dup").cast(DoubleType) / col("n_grams") * 1e4 + 0.5) / 1e4)
+        .select(col("doc_id"), col("n_grams"), col("n_dup"), col("dup_frac"),
+          (col("dup_frac") >= 0.30).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // l22: directional shingle CONTAINMENT — the asymmetric member of the
     // dedup family (j1 exact, j2/l9 symmetric Jaccard, l18 incremental):
     // find (A, B) where ≥ 90% of A's word-3-gram shingles also appear in
@@ -2838,6 +2878,33 @@ object TrainOps {
                 floor(CAST(sq AS DOUBLE) / n_pairs / 1e6 * 1e4 + 5e-1) / 1e4 AS xent,
                 floor(CAST(sq AS DOUBLE) / n_pairs / 1e6 * 1e4 + 5e-1) / 1e4 <= 3.42
                   AS keep
+         FROM per_doc ORDER BY doc_id""",
+    "l46_dup_span_fraction" ->
+      """WITH fw AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              x -> x <> '') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, w,
+                  unnest(range(0, CASE WHEN len(w) >= 8 THEN len(w) - 7
+                                       ELSE 0 END)) AS i
+           FROM fw),
+         grams AS (
+           SELECT doc_id, array_to_string(w[i + 1 : i + 8], ' ') AS gram
+           FROM pos),
+         df AS (SELECT gram, count(DISTINCT doc_id) AS nd
+                FROM grams GROUP BY 1),
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_dup
+           FROM grams JOIN df USING (gram) GROUP BY 1)
+         SELECT doc_id, n_grams, n_dup,
+                floor(CAST(n_dup AS DOUBLE) / n_grams * 1e4 + 5e-1) / 1e4
+                  AS dup_frac,
+                floor(CAST(n_dup AS DOUBLE) / n_grams * 1e4 + 5e-1) / 1e4 >= 0.30
+                  AS flagged
          FROM per_doc ORDER BY doc_id""",
 
     // the oracle brute-forces the directional shingle join (the asymmetric
