@@ -279,6 +279,47 @@ object Aggregates {
         .orderBy("event_type")
     }),
 
+    // d26: COUNT-MIN FREQUENCY SKETCH — the FREQUENCY member of the
+    // sketch ladder (d4/d21 cardinality, d16 quantiles, d17 top-k,
+    // d24 exact bitmaps): "how often does key X occur?" answered from a
+    // fixed-size array of counters instead of a key-cardinality-sized
+    // exact table. Same lake pattern as d21: per-DAY partial sketches
+    // built in one distributed pass (`count_min_sketch(user_id, ε=0.001,
+    // δ=0.99, seed=42)` — Spark's binary-typed sketch agg), then merged
+    // ASSOCIATIVELY at the coordinator (CMS merge = counter-wise add, so
+    // sketch(A ∪ B) ≡ merge(sketch(A), sketch(B)) EXACTLY — the property
+    // that makes per-partition/per-day artifacts composable; ApproxSpec
+    // pins it as bit-equal estimates vs the direct whole-table sketch).
+    // The merged sketch is probed for the EXACT top-10 users' counts;
+    // CMS guarantees est ≥ exact always (hash collisions only ADD) and
+    // est ≤ exact + ε·N w.h.p. — both gated in-result/in-spec. The two
+    // driver collects are COORDINATOR-SIZED by design: one sketch per
+    // day (kilobytes each — the artifact a lake would store) and the
+    // 10-row probe list; no event row ever reaches the driver.
+    // Unoracled (counter layout is sketch-internal); the driver's
+    // rows-only check sees a deterministic result (fixed seed).
+    "d26_agg_cms_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.util.sketch.CountMinSketch
+      val ev = t(s, d, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+        .select("sk").collect()
+      val merged = daily.iterator
+        .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val eventsTotal = merged.totalCount()
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10).collect()
+      top.toSeq.map { r =>
+        val (u, exact) = (r.getLong(0), r.getLong(1))
+        val est = merged.estimateCount(u)
+        (u, exact, est, est >= exact,
+          est <= exact + math.ceil(0.001 * eventsTotal).toLong)
+      }.toDF("user_id", "exact_cnt", "est_cnt", "no_undercount", "within_eps")
+        .orderBy(col("exact_cnt").desc, col("user_id"))
+    }),
+
     // d22: ORDERED-SET AGGREGATES — the SQL-standard `WITHIN GROUP
     // (ORDER BY ...)` spelling of quantiles, in both semantics:
     // percentile_cont (interpolating — d11's function behind standard

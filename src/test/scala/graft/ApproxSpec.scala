@@ -46,6 +46,33 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("d26: CMS bounds hold for every probe AND daily-merge == direct whole-table sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = SparkEntry.queries("d26_agg_cms_heavy_hitters")(spark, sfTiny).collect()
+    assert(rows.length == 10, s"expected the 10 probe rows, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"user ${r.getLong(0)}: CMS undercounted " +
+        s"(est=${r.getLong(2)} < exact=${r.getLong(1)}) — structurally impossible unless the " +
+        "add/estimate hash paths diverged")
+      assert(r.getBoolean(4), s"user ${r.getLong(0)}: est=${r.getLong(2)} " +
+        s"exceeds exact+ε·N for exact=${r.getLong(1)}")
+    }
+    // merge-consistency, the d21 property for the frequency sketch: the
+    // union of per-day sketches must estimate EXACTLY like one sketch
+    // over all rows (CMS merge is counter-wise addition — bit-exact, not
+    // approximate), so the stored per-day artifact is trustworthy
+    val ev = graft.Tables.t(spark, sfTiny, "events")
+    val direct = CountMinSketch.readFrom(
+      ev.agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sk"))
+        .head().getAs[Array[Byte]](0))
+    rows.foreach { r =>
+      assert(direct.estimateCount(r.getLong(0)) == r.getLong(2),
+        s"user ${r.getLong(0)}: merged estimate ${r.getLong(2)} != " +
+          s"direct ${direct.estimateCount(r.getLong(0))} — sketch merge drifted")
+    }
+  }
+
   test("d17: over-capacity sketch still finds the true heavy hitters (the regime the oracle can't see)") {
     // The oracled d17 runs UNDER capacity (31-token vocab ≤ 1000 tracked)
     // where DataSketches is exact; this covers the genuinely-approximate
