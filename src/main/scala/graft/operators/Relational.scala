@@ -718,6 +718,26 @@ object Relational {
         .withColumn("nseq", col("a") <=> col("b"))
         .orderBy("c_custkey")),
 
+    // b4: SUBTRACTIVE PROJECTION — `SELECT * EXCEPT (cols)`: the
+    // wide-table ETL idiom for "everything but the sensitive/heavy
+    // columns" (drop the PII or the 2-KB blob from a 300-column fact
+    // without enumerating the 297 survivors — the enumeration form rots
+    // the moment a column lands upstream, the subtractive form stays
+    // correct by construction; the h19/l23 redaction family's schema-
+    // level sibling). Column pruning still reaches the scan: the
+    // analyzer expands EXCEPT to a concrete projection, so the excluded
+    // columns are never read (ReadSchema drops them — same machinery as
+    // a2). DuckDB spells it EXCLUDE; same semantics. l_shipdate rides
+    // the exclusion list too — raw timestamp columns are banned from
+    // oracled outputs (§7.2's epoch-µs rule; the point here is the
+    // subtractive form, not the calendar).
+    "b4_project_star_except" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("b4_lineitem")
+      s.sql("""SELECT * EXCEPT (l_extendedprice, l_discount, l_tax, l_shipdate)
+               FROM b4_lineitem
+               ORDER BY l_orderkey, l_linenumber""")
+    }),
+
     // ---- C. joins ----
     "c1_join_broadcast_equi" -> ((s, d) =>
       t(s, d, "orders")
@@ -1662,6 +1682,11 @@ object Relational {
       """SELECT c_custkey, a, b, (a = b) AS eq3vl, (a IS NOT DISTINCT FROM b) AS nseq
          FROM (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS a, nullif(c_nationkey % 3, 0) AS b FROM customer) t
          ORDER BY c_custkey""",
+
+    // DuckDB's spelling of subtractive projection is EXCLUDE
+    "b4_project_star_except" ->
+      """SELECT * EXCLUDE (l_extendedprice, l_discount, l_tax, l_shipdate)
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
     "c1_join_broadcast_equi" ->
       """SELECT c_mktsegment, count(*) AS order_cnt
