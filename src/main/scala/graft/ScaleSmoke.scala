@@ -113,7 +113,7 @@ object ScaleSmoke {
       "l32_dedup_cluster_cc", "l33_select_dsir", "l34_join_dpp_prune",
       "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
       "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs",
-      "l43_bpe_vocab")
+      "l43_bpe_vocab", "l45_bigram_logprob", "l46_dup_span_fraction")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -139,10 +139,13 @@ object ScaleSmoke {
     // factor): the user-shifting clone grows the id domain the buckets
     // chunk, while per-(type, day, bucket) bitmap state stays fixed-size
     // j19's sessions multiply with user cardinality — the same key axis
+    // d26's sketch scales on the same key axis: the user domain grows
+    // x factor while the per-day sketch stays fixed-size — the regime
+    // where collisions (and the eps*N bound) actually get exercised
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
-      "j19_session_funnel", "j20_anomaly_zscore")
+      "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

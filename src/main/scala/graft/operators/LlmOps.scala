@@ -722,6 +722,56 @@ object LlmOps {
         .orderBy("tbl")
     }),
 
+    // j23: TWO-SOURCE RECONCILIATION — the migration/dual-write
+    // validation op (the other compliance-grade ETL report next to
+    // j22's erasure audit): given the system-of-record and a replica
+    // (new warehouse, vendor extract, dual-written table), produce the
+    // keyed diff ledger — MATCH / MISSING_IN_TARGET / EXTRA_IN_TARGET /
+    // FIELD_DRIFT with the drifted money totalled — that decides
+    // whether the cutover ships. The replica is DERIVED with planted
+    // divergence (the j14/l29 planted-violation idiom, md5-membership
+    // classes so both engines reproduce it bit-for-bit): ~1/16 of rows
+    // dropped, ~1/16 duplicated under shifted keys, ~1/16 with price
+    // drift; the reconciliation must find EXACTLY those classes.
+    //
+    // Scale shape: one FULL OUTER join on the natural key — each side
+    // shuffles once on o_orderkey, the classification is a codegen'd
+    // projection over the joined row, and the ledger agg map-side
+    // combines to 4 rows. No broadcast assumption anywhere: both sides
+    // are fact-sized by definition of the op.
+    "j23_reconcile_diff" -> ((s, d) => {
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val h = substring(md5(col("o_orderkey").cast(StringType)
+        .cast(BinaryType)), 1, 1)
+      val tgt = src.filter(h =!= "0")
+        .select(col("o_orderkey"),
+          // decimal-exact drift: +1.50 applied in DECIMAL then emitted
+          // as double — identical nearest-double on both engines (a
+          // double round(x+1.5, 2) could half-round differently)
+          when(h === "2", dbl(dec(col("o_totalprice"), 18, 2) + dec(lit(1.5), 3, 2)))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionAll(src.filter(h === "1")
+          .select(col("o_orderkey") + lit(100000000L), col("o_totalprice"),
+            col("o_orderstatus")))
+      val joined = src.as("s").join(tgt.as("t"),
+        col("s.o_orderkey") === col("t.o_orderkey"), "full_outer")
+      joined.select(
+          when(col("s.o_orderkey").isNull, "EXTRA_IN_TARGET")
+            .when(col("t.o_orderkey").isNull, "MISSING_IN_TARGET")
+            .when(col("s.o_totalprice") =!= col("t.o_totalprice") ||
+              col("s.o_orderstatus") =!= col("t.o_orderstatus"), "FIELD_DRIFT")
+            .otherwise("MATCH").as("status"),
+          when(col("s.o_orderkey").isNotNull && col("t.o_orderkey").isNotNull,
+            dec(col("t.o_totalprice"), 18, 2) - dec(col("s.o_totalprice"), 18, 2))
+            .otherwise(dec(lit(0), 18, 2)).as("delta"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(abs(col("delta")))).as("abs_drift_total"))
+        .orderBy("status")
+    }),
+
     // j21: COHORT RETENTION — the third member of the product-analytics
     // trio (j19 funnel, j20 volume anomalies, now retention): users are
     // cohorted by FIRST-ACTIVE day, then each later active day counts
@@ -1054,6 +1104,41 @@ object LlmOps {
                               THEN 1 ELSE 0 END) AS BIGINT) AS converted,
                 round(avg(n_events), 4) AS avg_session_events
          FROM per_session""",
+
+    // the same planted-divergence construction, reconciled with a full
+    // outer join and classified identically
+    "j23_reconcile_diff" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+           FROM orders),
+         tgt AS (
+           SELECT o_orderkey,
+                  CASE WHEN h = '2'
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1.50 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderstatus
+           FROM src WHERE h <> '0'
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+           FROM src WHERE h = '1'),
+         joined AS (
+           SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+                  s.o_totalprice AS sp, t.o_totalprice AS tp,
+                  s.o_orderstatus AS ss, t.o_orderstatus AS ts
+           FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey),
+         ledger AS (
+           SELECT CASE WHEN sk IS NULL THEN 'EXTRA_IN_TARGET'
+                       WHEN tk IS NULL THEN 'MISSING_IN_TARGET'
+                       WHEN sp <> tp OR ss <> ts THEN 'FIELD_DRIFT'
+                       ELSE 'MATCH' END AS status,
+                  CASE WHEN sk IS NOT NULL AND tk IS NOT NULL
+                       THEN CAST(tp AS DECIMAL(18,2)) - CAST(sp AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END AS delta
+           FROM joined)
+         SELECT status, count(*) AS n_rows,
+                CAST(sum(abs(delta)) AS DOUBLE) AS abs_drift_total
+         FROM ledger GROUP BY 1 ORDER BY 1""",
 
     // the cascade counted from the request set down the star's keys;
     // after = before − erased on both engines by construction

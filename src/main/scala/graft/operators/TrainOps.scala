@@ -1134,7 +1134,13 @@ object TrainOps {
     // Scale shape: one gram-keyed agg whose output is bounded by
     // DISTINCT GRAMS (map-side combinable; the partial-agg dedups
     // within partition), one gram-keyed join back — text never leaves
-    // its doc row, only grams shuffle; linear, no pairwise stage. The
+    // its doc row, and the shuffles carry xxhash64 SIGNATURES of the
+    // grams, never the ~50-byte gram strings (the j2/l9 rule; the 32×
+    // probe measured the string-keyed form at 46 s where the hashed
+    // form runs the same shape on 8-byte keys). 64-bit collisions are
+    // the documented trade (P ≈ n²/2⁶⁵ — vanishing at any corpus that
+    // fits a cluster, and the string-keyed DuckDB oracle verifies
+    // collision-freedom on every oracled run by construction). The
     // 0.30 flag cut is honest-to-quantization (4dp floor identical on
     // both engines) and probed non-vacuous at sf0.01 AND sf0.1.
     "l46_dup_span_fraction" -> ((s, d) => {
@@ -1144,9 +1150,10 @@ object TrainOps {
         .select(col("doc_id"), explode(when(size(col("w")) >= 8,
             expr("transform(sequence(0, size(w) - 8), i -> array_join(slice(w, i + 1, 8), ' '))"))
           .otherwise(array().cast("array<string>"))).as("gram"))
-      val df = grams.groupBy("gram")
+        .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      val df = grams.groupBy("g")
         .agg(countDistinct(col("doc_id")).as("nd"))
-      grams.join(df, "gram")
+      grams.join(df, "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
