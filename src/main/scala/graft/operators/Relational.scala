@@ -355,6 +355,40 @@ object Relational {
         .orderBy("st")
     }),
 
+    // a24: FIXED-WIDTH SOURCE — the seventh connector format and the
+    // mainframe/COBOL-extract shape that still feeds real warehouses:
+    // no delimiters at all, fields are BYTE RANGES in a layout contract
+    // (positions 1-10 key, 11-20 custkey, 21 status, 22-33 price).
+    // Parsed schema-on-read like a20 — `text` scan + substring/cast
+    // fused into the scan, codegen'd per row, zero extra passes. The
+    // zero-padded numeric render round-trips exactly: %010d parses back
+    // through the leading zeros, %012.2f of a 2dp-exact double is an
+    // exact decimal literal both engines re-read bit-for-bit. The key
+    // sums BOTH a parsed numeric field and the money column per group,
+    // so a one-byte boundary slip anywhere in the layout breaks the
+    // hash gate (off-by-one in fixed-width parsing is THE classic
+    // silent corruption of this format).
+    "a24_source_fixed_width" -> ((s, d) => {
+      val path = cachedFixture(s, d, "a24_fixed") { p =>
+        t(s, d, "orders").filter(col("o_orderkey") < 4000)
+          .select(format_string("%010d%010d%1s%012.2f",
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice")).as("value"))
+          .write.mode("overwrite").text(p)
+      }
+      s.read.text(path)
+        .select(
+          substring(col("value"), 1, 10).cast(LongType).as("k"),
+          substring(col("value"), 11, 10).cast(LongType).as("ck"),
+          substring(col("value"), 21, 1).as("st"),
+          substring(col("value"), 22, 12).cast(DoubleType).as("price"))
+        .groupBy("st")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("k")).as("sum_keys"),
+          dbl(sum(dec(col("price"), 18, 2))).as("sum_price"))
+        .orderBy("st")
+    }),
+
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
@@ -1542,6 +1576,15 @@ object Relational {
       """SELECT o_orderkey AS k, o_orderstatus AS st,
            false AS flagged, 'ingest' AS src
          FROM orders WHERE o_orderkey < 100 ORDER BY k""",
+
+    // byte-range parsing truth: the same rollup from the source table —
+    // a one-byte layout slip breaks keys, status, and money at once
+    "a24_source_fixed_width" ->
+      """SELECT o_orderstatus AS st, count(*) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey < 4000
+         GROUP BY 1 ORDER BY 1""",
 
     // the log rendering is fixture plumbing; the oracled truth is the
     // per-status rollup the parsed lines must reproduce exactly
