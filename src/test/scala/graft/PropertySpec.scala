@@ -468,4 +468,99 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"iter $iter rows=$rows")
     }
   }
+
+  test("l46 dup-span fraction == sequential 8-gram reference on planted-duplicate corpora") {
+    val rnd = new Random(46)
+    import spark.implicits._
+    (1 to 3).foreach { iter =>
+      // planted structure: some docs verbatim-duplicated (dup_frac must be
+      // 1.0 when ≥8 tokens), some built from globally-unique tokens
+      // (dup_frac 0.0), the rest random over a small shared vocab
+      val base = (0 until 30).map { i =>
+        val words = 3 + rnd.nextInt(30)
+        (i.toLong, List.fill(words)("w" + rnd.nextInt(40)).mkString(" "))
+      }
+      val dups = base.take(6).zipWithIndex.map { case ((_, t), k) => (100L + k, t) }
+      // letters-only tokens (the tokenizer splits on [^a-z]+ — digits
+      // would collapse all "unique" tokens to the same stem, the exact
+      // trap ScaleSmoke's cloneTok comment records)
+      val uniq = (0 until 4).map { k =>
+        (200L + k, (0 until 12).map(j =>
+          s"zq${('a' + iter).toChar}${('a' + k).toChar}${('a' + j).toChar}qz")
+          .mkString(" "))
+      }
+      val docs = (base ++ dups ++ uniq).map { case (id, t) =>
+        (id, "src0", t, "en", t.length.toLong)
+      }
+      val dir = s"/dev/shm/graft_tmp/l46test_${spark.sparkContext.applicationId}_$iter"
+      docs.toDF("doc_id", "source", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // sequential reference
+      val toks = docs.map { case (id, _, t, _, _) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      }
+      val gramsOf = toks.map { case (id, w) =>
+        id -> (if (w.size >= 8) w.sliding(8).map(_.mkString(" ")).toSeq else Seq.empty)
+      }.toMap
+      val docCount = gramsOf.toSeq.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val expected = gramsOf.collect { case (id, gs) if gs.nonEmpty =>
+        val nDup = gs.count(g => docCount(g) >= 2).toLong
+        val frac = math.floor(nDup.toDouble / gs.size * 1e4 + 0.5) / 1e4
+        (id, gs.size.toLong, nDup, frac, frac >= 0.30)
+      }.toSet
+      val got = SparkEntry.queries("l46_dup_span_fraction")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+      assert(got == expected, s"iter=$iter")
+      // the planted invariants, stated directly
+      dups.foreach { case (id, t) =>
+        if (t.toLowerCase.split("[^a-z]+").count(_.nonEmpty) >= 8)
+          assert(got.exists(r => r._1 == id && r._4 == 1.0),
+            s"verbatim duplicate $id must score 1.0")
+      }
+      uniq.foreach { case (id, _) =>
+        assert(got.exists(r => r._1 == id && r._4 == 0.0),
+          s"globally-unique doc $id must score 0.0")
+      }
+    }
+  }
+
+  test("l45 interpolated bigram xent == sequential reference on random corpora") {
+    val rnd = new Random(45)
+    import spark.implicits._
+    (1 to 3).foreach { iter =>
+      val docs = (0 until 25).map { i =>
+        val words = 2 + rnd.nextInt(25)
+        (i.toLong, "src0",
+          List.fill(words)("w" + rnd.nextInt(12)).mkString(" "), "en", 0L)
+      }
+      val dir = s"/dev/shm/graft_tmp/l45test_${spark.sparkContext.applicationId}_$iter"
+      docs.toDF("doc_id", "source", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // sequential reference with the same quantization arithmetic
+      val pairs = docs.flatMap { case (id, _, t, _, _) =>
+        val w = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        w.zip(w.drop(1)).map { case (a, b) => (id, a, b) }
+      }
+      val cb = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong).toMap
+      val ch = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val cu = pairs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val tot = pairs.size.toLong
+      val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+        val sq = ps.map { case (_, a, b) =>
+          val p = 0.7 * (cb((a, b)).toDouble / ch(a)) + 0.3 * (cu(b).toDouble / tot)
+          math.floor(-math.log(p) * 1e6 + 0.5).toLong
+        }.sum
+        val xent = math.floor(sq.toDouble / ps.size / 1e6 * 1e4 + 0.5) / 1e4
+        (id, ps.size.toLong, xent, xent <= 3.42)
+      }.toSet
+      val got = SparkEntry.queries("l45_bigram_logprob")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toSet
+      assert(got == expected, s"iter=$iter")
+    }
+  }
 }
