@@ -722,6 +722,34 @@ object LlmOps {
         .orderBy("tbl")
     }),
 
+    // j24: UPDATE/DELETE AS SQL TEXT — the row-level-DML siblings of
+    // j18's MERGE, completing the SQL DML trio: both statements are
+    // parsed with Spark's OWN parser and lowered by plans/DmlSql to the
+    // canonical copy-on-write compilation (UPDATE → CASE-projected
+    // columns; DELETE → keep `condition IS NOT TRUE`). The statements
+    // run SEQUENTIALLY against one logical table name — apply UPDATE,
+    // re-bind the view to its result, apply DELETE — the realistic
+    // maintenance-job shape. Both predicates are deliberately NULLABLE
+    // (nullif arithmetic): an UPDATE must NOT touch and a DELETE must
+    // NOT remove a NULL-predicate row (b3's three-valued logic applied
+    // to DML — `NOT p` instead of `p IS NOT TRUE` in a hand-rolled
+    // rewrite is the classic silent over-delete). Money updated in
+    // DECIMAL, emitted as double (§7.2).
+    "j24_update_delete_sql" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("j24_orders")
+      val updated = graft.plans.DmlSql.updateResult(s,
+        """UPDATE j24_orders
+           SET o_totalprice = CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10 AS DOUBLE)
+           WHERE nullif(o_custkey % 7, 0) >= 3""")
+      updated.createOrReplaceTempView("j24_orders")
+      graft.plans.DmlSql.deleteResult(s,
+        "DELETE FROM j24_orders WHERE nullif(o_custkey % 5, 0) >= 4")
+        .orderBy("o_orderkey")
+    }),
+
     // j23: TWO-SOURCE RECONCILIATION — the migration/dual-write
     // validation op (the other compliance-grade ETL report next to
     // j22's erasure audit): given the system-of-record and a replica
@@ -1104,6 +1132,17 @@ object LlmOps {
                               THEN 1 ELSE 0 END) AS BIGINT) AS converted,
                 round(avg(n_events), 4) AS avg_session_events
          FROM per_session""",
+
+    // the same two statements expressed as one SELECT: CASE for the
+    // UPDATE, `IS NOT TRUE` survivors for the DELETE
+    "j24_update_delete_sql" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN nullif(o_custkey % 7, 0) >= 3
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders
+         WHERE (nullif(o_custkey % 5, 0) >= 4) IS NOT TRUE
+         ORDER BY o_orderkey""",
 
     // the same planted-divergence construction, reconciled with a full
     // outer join and classified identically

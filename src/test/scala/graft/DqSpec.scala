@@ -97,6 +97,25 @@ class DqSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L, "a"), (2L, 22L, "B"), (9L, 99L, "Z")), s"got $out")
   }
 
+  test("DmlSql: UPDATE skips and DELETE keeps NULL-predicate rows (3VL), on a planted fixture") {
+    import spark.implicits._
+    // v: 1 → predicate TRUE, 0 → FALSE, null → NULL (the 3VL row)
+    Seq((1L, Some(1L)), (2L, Some(0L)), (3L, None))
+      .toDF("k", "v").createOrReplaceTempView("dml_t")
+    val upd = plans.DmlSql.updateResult(spark,
+      "UPDATE dml_t SET k = k + 100 WHERE v = 1")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(upd == Set((101L, 1L), (2L, 0L), (3L, -1L)),
+      s"UPDATE must fire only on TRUE predicates, got $upd")
+    val del = plans.DmlSql.deleteResult(spark,
+      "DELETE FROM dml_t WHERE v = 1")
+      .collect().map(_.getLong(0)).toSet
+    // the NULL-predicate row SURVIVES — `NOT p` instead of `p IS NOT
+    // TRUE` is exactly the hand-rolled rewrite bug this pins against
+    assert(del == Set(2L, 3L),
+      s"DELETE must keep FALSE and NULL predicates, got $del")
+  }
+
   test("MergeSql: unassigned INSERT columns are NULL") {
     import spark.implicits._
     Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("ms_null_t")
