@@ -740,6 +740,39 @@ object TrainOps {
           floor(col("sampled").cast(DoubleType) / col("total") * 1e4 + 0.5) / 1e4)
         .orderBy("lang"))
 ,
+    // l47: DETERMINISTIC PER-SOURCE CAP — domain capping, the mix-
+    // curation op next to l15's weights and l11's strata: no single
+    // source may contribute more than K documents (the boilerplate-farm
+    // guard — a handful of over-crawled domains otherwise dominate any
+    // web corpus). Which K survive must be (a) UNIFORM over the
+    // source's docs, not "first K by id" (ingestion order correlates
+    // with time and quality), and (b) DETERMINISTIC across reruns and
+    // engines — so the selection order is md5(doc_id) (the l10/l11
+    // membership idiom lifted to an ORDERING: a pseudorandom but
+    // reproducible permutation), with doc_id tie-breaking an
+    // astronomically-unlikely digest collision to keep rank total.
+    // K = 20: this corpus is UNIFORM per source (25 docs/source at
+    // sf0.01, 250 at sf0.1 — measured), so any K under the per-source
+    // count binds on EVERY source; the oracled contract is therefore
+    // WHICH K survive (the md5-permutation selection, hash-verified),
+    // not whether some sources dodge the cap. 400 of 500 survive at
+    // sf0.01, 400 of 5000 at sf0.1.
+    //
+    // Scale shape: e1's partial top-k machinery verbatim — the rank
+    // window is per-source, so InsertWindowGroupLimit caps each
+    // partition at K rows per source BELOW the shuffle and the exchange
+    // carries at most K·sources·partitions rows, never the corpus.
+    "l47_cap_per_source" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // l12: embedding-cosine near-dup — SRP-LSH banded candidates, exact
     // cosine >= 0.98, transitive cluster closure. Unoracled (LSH banding
     // is approximate by design, like j2/l1); TrainOpsSpec pins recall on
@@ -2398,6 +2431,14 @@ object TrainOps {
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
                 THEN 'train' ELSE 'eval' END AS split
          FROM documents ORDER BY doc_id""",
+
+    "l47_cap_per_source" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY doc_id""",
 
     "l11_sample_stratified" ->
       """SELECT lang, total, sampled,

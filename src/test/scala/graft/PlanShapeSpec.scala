@@ -417,6 +417,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"k8's inlined body not visible in the projection:\n$p")
   }
 
+  test("l47: the per-source cap reuses e1's partial pre-shuffle group limit") {
+    val p = plan("l47_cap_per_source")
+    assert(p.contains("WindowGroupLimit"), s"group-limit not planned:\n$p")
+    assert(p.contains("row_number(), 20, Partial"),
+      s"no PARTIAL group limit before the shuffle:\n$p")
+  }
+
   test("k9: the lateral TVF call decorrelates to one equi-join — no per-row re-execution") {
     val p = plan("k9_sql_table_function")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
