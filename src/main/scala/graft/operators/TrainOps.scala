@@ -62,6 +62,43 @@ object TrainOps {
     * order). The per-round head() is a 1-row aggregate by design:
     * distributed BPE trainers reduce pair counts on the cluster and
     * pick the single winning merge centrally, exactly this shape. */
+  /** One exhaustive left-to-right application of the merge rule
+    * [l, r] → lr over a symbol array — the (out, pending) one-symbol-
+    * lookahead fold shared by training (bpeMerges, one rule per round)
+    * and encoding (l48, the learned rules in rank order). A single pass
+    * IS exhaustive for one rule: greedy-leftmost consumption means no
+    * (l, r) adjacency can survive it (the merged symbol lr differs from
+    * both l and r — lengths add — so it can never re-form the pair with
+    * a neighbor the pass hasn't already considered). */
+  private[graft] def applyMerge(syms: Column, lS: String, rS: String): Column = {
+    val init = struct(expr("array()").cast("array<string>").as("out"),
+      lit(null).cast(StringType).as("p"))
+    aggregate(syms, init,
+      (acc, c) => {
+        val out = acc.getField("out")
+        val p = acc.getField("p")
+        when(p.isNull, struct(out.as("out"), c.as("p")))
+          .when(p === lit(lS) && c === lit(rS),
+            struct(concat(out, array(lit(lS + rS))).as("out"),
+              lit(null).cast(StringType).as("p")))
+          .otherwise(struct(concat(out, array(p)).as("out"), c.as("p")))
+      },
+      acc => when(acc.getField("p").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("p")))))
+  }
+
+  /** The distinct-term vocabulary encoded under `merges` (rank order):
+    * (term, syms) — the l48 kernel, factored for the spec's sequential-
+    * reference comparison. */
+  private[graft] def bpeEncodeVocab(toks: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var vocab = toks.select("term").distinct()
+      .withColumn("syms", concat(split(col("term"), ""), array(lit("#"))))
+    for ((l, r) <- merges)
+      vocab = vocab.withColumn("syms", applyMerge(col("syms"), l, r))
+    vocab
+  }
+
   private[graft] def bpeMerges(s: SparkSession, toks: DataFrame,
       nRounds: Int): DataFrame = {
     val eow = "#"
@@ -91,21 +128,7 @@ object TrainOps {
         val top = tops.head
         val (lS, rS, f) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, lS, rS, f))
-      val init = struct(expr("array()").cast("array<string>").as("out"),
-        lit(null).cast(StringType).as("p"))
-      words = words.withColumn("syms",
-        aggregate(col("syms"), init,
-          (acc, c) => {
-            val out = acc.getField("out")
-            val p = acc.getField("p")
-            when(p.isNull, struct(out.as("out"), c.as("p")))
-              .when(p === lit(lS) && c === lit(rS),
-                struct(concat(out, array(lit(lS + rS))).as("out"),
-                  lit(null).cast(StringType).as("p")))
-              .otherwise(struct(concat(out, array(p)).as("out"), c.as("p")))
-          },
-          acc => when(acc.getField("p").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))))
+      words = words.withColumn("syms", applyMerge(col("syms"), lS, rS))
           .localCheckpoint(true)
       }
     }
@@ -2203,6 +2226,41 @@ object TrainOps {
     // textbook fixture (low/lower/newest/widest) whose first five
     // merges are hand-derivable, tie-breaks included.
     "l43_bpe_vocab" -> ((s, d) => bpeMerges(s, LlmOps.tokens(s, d), 5)),
+
+    // l48: BPE ENCODE — tokenizer APPLICATION, closing the loop l43's
+    // training opens (train the merges → encode the corpus → the token
+    // counts every downstream op budgets with): apply the learned merge
+    // rules in rank order to every word and report each document's true
+    // post-BPE token count next to its character baseline. The encode
+    // runs on the DISTINCT-TERM VOCABULARY, not the token stream — the
+    // decisive scale move for any tokenizer: merge-fold cost is
+    // ∝ vocabulary (thousands; sub-linear in corpus by Heaps' law) and
+    // the corpus-sized work is ONE broadcast join of per-doc term
+    // counts against the tiny (term → n_syms) table (at web scale the
+    // vocab outgrows broadcast and the join re-keys on term — same
+    // plan, bigger exchange). Each rank's rule is one exhaustive
+    // left-to-right fold ([[applyMerge]], shared with the trainer);
+    // five ranks nest as five codegen'd aggregates in ONE projection.
+    // Unoracled for l43's reason (the stateful fold is not expressible
+    // in non-recursive SQL); TrainOpsSpec pins the textbook fixture's
+    // hand-derivable encodings AND fuzzes the vocab encoder against a
+    // sequential reference on random corpora.
+    "l48_bpe_encode" -> ((s, d) => {
+      val toks = LlmOps.tokens(s, d).select("doc_id", "term")
+      val merges = bpeMerges(s, LlmOps.tokens(s, d), 5)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = bpeEncodeVocab(toks, merges)
+        .select(col("term"), size(col("syms")).as("n_syms"))
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+        .join(broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(col("n") * (length(col("term")) + 1)).as("n_chars_eow"),
+          sum(col("n") * col("n_syms")).as("n_bpe_syms"))
+        .withColumn("compression", floor(
+          col("n_bpe_syms").cast(DoubleType) / col("n_chars_eow") * 1e4 + 0.5) / 1e4)
+        .orderBy("doc_id")
+    }),
 
     // l42: PAGERANK — the iterative-graph-compute representative (the
     // same dataflow shape as label propagation, HITS, or embedding

@@ -638,4 +638,58 @@ class TrainOpsSpec extends AnyFunSuite {
       (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "#", 9L),
       (4, "l", "o", 7L), (5, "lo", "w", 7L)), s"got ${m.toSeq}")
   }
+
+  test("l48: textbook merges encode the fixture words to their hand-derived symbol sequences") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("est", "#"), ("l", "o"), ("lo", "w"))
+    val toks = Seq("low", "lower", "newest", "widest", "lowest").toDF("term")
+    val got = graft.operators.TrainOps.bpeEncodeVocab(toks, merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // hand-derivation under the 5 rules, rank order, greedy-leftmost:
+    //  low    → l o w #       → (l,o) → lo w # → (lo,w) → low #
+    //  lower  → l o w e r #   → lo w e r # → low e r #
+    //  newest → n e w e s t # → (e,s) n e w es t # → (es,t) n e w est #
+    //           → (est,#) n e w est#
+    //  widest → w i d est#    (same suffix path)
+    //  lowest → l o w e s t # → es → l o w es t # → est → l o w est # →
+    //           est# → l o w est# → lo → lo w est# → low → low est#
+    assert(got == Map(
+      "low" -> List("low", "#"),
+      "lower" -> List("low", "e", "r", "#"),
+      "newest" -> List("n", "e", "w", "est#"),
+      "widest" -> List("w", "i", "d", "est#"),
+      "lowest" -> List("low", "est#")), s"got $got")
+  }
+
+  test("l48: vocab encoder == sequential reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(48)
+    def refApply(w: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == l && w(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.toList
+    }
+    (1 to 3).foreach { iter =>
+      val words = (0 until 40).map { _ =>
+        val n = 1 + rnd.nextInt(7)
+        List.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString // dense repeats
+      }.distinct
+      val toks = words.toDF("term")
+      // learn real merges from this corpus, then encode with them
+      val merges = graft.operators.TrainOps.bpeMerges(spark, toks, 4)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = graft.operators.TrainOps.bpeEncodeVocab(toks, merges)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      val want = words.map { t =>
+        val start = t.split("").toList :+ "#"
+        t -> merges.foldLeft(start) { case (syms, (l, r)) => refApply(syms, l, r) }
+      }.toMap
+      assert(got == want, s"iter=$iter merges=$merges")
+    }
+  }
 }
