@@ -796,6 +796,49 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // l49: CHARACTER-ENTROPY FILTER — the gibberish/degeneracy signal
+    // the word-level quality ladder (l5 ratios, l14 repetition, l21/l45
+    // LM scores) cannot see: base64 blobs and minified payloads score
+    // HIGH char entropy, stuck-key runs and template spam score LOW —
+    // both tails are non-language. Shannon entropy over the per-doc
+    // char histogram, computed ENTIRELY IN-ROW: sort the char array,
+    // one (prev, run, acc) fold walks the runs and quantizes each
+    // run's −(k/n)·ln(k/n) term to integer micro-nats as it closes —
+    // ZERO shuffle, the histogram never materializes, the whole key is
+    // one codegen'd projection fused into the scan (the l7 in-row
+    // class; the contract ORDER BY is the only exchange). Integer
+    // term quantization is what makes the in-row fold and the oracle's
+    // group-by arithmetic agree exactly despite opposite evaluation
+    // orders (the l21 portability rule). flag = ent < 2.77 ≈ p10
+    // (probed non-vacuous: 50/500 low at sf0.01, ~10% at sf0.1; the
+    // 4dp-quantized score is engine-identical, so the cut is
+    // deterministic).
+    "l49_char_entropy" -> ((s, d) => {
+      t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("n"),
+          expr("""aggregate(
+              array_sort(split(text, '')),
+              named_struct('prev', CAST(NULL AS STRING),
+                           'run',  CAST(0 AS BIGINT),
+                           'acc',  CAST(0 AS BIGINT)),
+              (a, c) -> IF(a.prev IS NULL OR c = a.prev,
+                named_struct('prev', c, 'run', a.run + 1L, 'acc', a.acc),
+                named_struct('prev', c, 'run', 1L,
+                  'acc', a.acc + CAST(floor(
+                    -(a.run / CAST(length(text) AS DOUBLE)) *
+                     ln(a.run / CAST(length(text) AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT))),
+              a -> a.acc + IF(a.run > 0L, CAST(floor(
+                    -(a.run / CAST(length(text) AS DOUBLE)) *
+                     ln(a.run / CAST(length(text) AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT), 0L))""").as("sq"))
+        .select(col("doc_id"), col("n"),
+          (floor(col("sq").cast(DoubleType) / 1e6 * 1e4 + 0.5) / 1e4).as("entropy"))
+        .withColumn("low_entropy", col("entropy") < 2.77)
+        .orderBy("doc_id")
+    }),
+
     // l12: embedding-cosine near-dup — SRP-LSH banded candidates, exact
     // cosine >= 0.98, transitive cluster closure. Unoracled (LSH banding
     // is approximate by design, like j2/l1); TrainOpsSpec pins recall on
@@ -2489,6 +2532,26 @@ object TrainOps {
            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
                 THEN 'train' ELSE 'eval' END AS split
          FROM documents ORDER BY doc_id""",
+
+    // group-by arithmetic instead of the in-row fold; the quantized
+    // per-(char,count) terms are identical integers on both paths
+    "l49_char_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch,
+                  len(text) AS n
+           FROM documents WHERE len(text) > 0),
+         counts AS (SELECT doc_id, ch, count(*) AS k, any_value(n) AS n
+                    FROM chars GROUP BY 1, 2),
+         terms AS (SELECT doc_id, any_value(n) AS n_any,
+                     CAST(sum(CAST(floor(-(CAST(k AS DOUBLE) / n) *
+                       ln(CAST(k AS DOUBLE) / n) * 1e6 + 5e-1) AS BIGINT))
+                       AS BIGINT) AS sq
+                   FROM counts GROUP BY doc_id)
+         SELECT doc_id, CAST(n_any AS BIGINT) AS n,
+                floor(CAST(sq AS DOUBLE) / 1e6 * 1e4 + 5e-1) / 1e4 AS entropy,
+                floor(CAST(sq AS DOUBLE) / 1e6 * 1e4 + 5e-1) / 1e4 < 2.77
+                  AS low_entropy
+         FROM terms ORDER BY doc_id""",
 
     "l47_cap_per_source" ->
       """SELECT doc_id, source, rk FROM (
