@@ -114,7 +114,7 @@ object ScaleSmoke {
       "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
       "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs",
       "l43_bpe_vocab", "l45_bigram_logprob", "l46_dup_span_fraction",
-      "l47_cap_per_source", "l48_bpe_encode")
+      "l47_cap_per_source", "l48_bpe_encode", "l49_char_entropy")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1

@@ -801,38 +801,36 @@ object TrainOps {
     // LM scores) cannot see: base64 blobs and minified payloads score
     // HIGH char entropy, stuck-key runs and template spam score LOW —
     // both tails are non-language. Shannon entropy over the per-doc
-    // char histogram, computed ENTIRELY IN-ROW: sort the char array,
-    // one (prev, run, acc) fold walks the runs and quantizes each
-    // run's −(k/n)·ln(k/n) term to integer micro-nats as it closes —
-    // ZERO shuffle, the histogram never materializes, the whole key is
-    // one codegen'd projection fused into the scan (the l7 in-row
-    // class; the contract ORDER BY is the only exchange). Integer
-    // term quantization is what makes the in-row fold and the oracle's
-    // group-by arithmetic agree exactly despite opposite evaluation
-    // orders (the l21 portability rule). flag = ent < 2.77 ≈ p10
-    // (probed non-vacuous: 50/500 low at sf0.01, ~10% at sf0.1; the
-    // 4dp-quantized score is engine-identical, so the cut is
-    // deterministic).
+    // char histogram as explode → two-level hash agg: the partial agg
+    // on (doc, char) collapses each doc's char stream to its ~30-row
+    // histogram BEFORE the exchange (a doc's chars all sit in one input
+    // row, so map-side combine is total) — the shuffle carries
+    // histograms, never characters, and every operator stays inside
+    // whole-stage codegen. MEASURED A/B (8×/32× clone probe) against
+    // two "clever" in-row forms, both of which LOSE because Spark's
+    // array HOFs are interpreted, not codegen'd: sort + (prev,run,acc)
+    // fold 21.4/81.1 s (struct churn per char), distinct+filter counts
+    // 76 s @8× (split() re-evaluated per lambda element — no CSE inside
+    // HOFs); this form 3.4/10.9 s — 6–7× over the best in-row variant.
+    // The zero-shuffle instinct was wrong here and the probe caught it:
+    // interpreted per-element expression trees cost more than a
+    // histogram-sized exchange. Per-(char,count) terms quantized to
+    // integer micro-nats, so the sum is order-free and engine-exact
+    // (l21's rule). flag = ent < 2.77 ≈ p10 (50/500 @sf0.01, 534/5000
+    // @sf0.1; 4dp-quantized, so the cut is deterministic).
     "l49_char_entropy" -> ((s, d) => {
       t(s, d, "documents")
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), length(col("text")).cast(LongType).as("n"),
-          expr("""aggregate(
-              array_sort(split(text, '')),
-              named_struct('prev', CAST(NULL AS STRING),
-                           'run',  CAST(0 AS BIGINT),
-                           'acc',  CAST(0 AS BIGINT)),
-              (a, c) -> IF(a.prev IS NULL OR c = a.prev,
-                named_struct('prev', c, 'run', a.run + 1L, 'acc', a.acc),
-                named_struct('prev', c, 'run', 1L,
-                  'acc', a.acc + CAST(floor(
-                    -(a.run / CAST(length(text) AS DOUBLE)) *
-                     ln(a.run / CAST(length(text) AS DOUBLE)) * 1e6 + 0.5)
-                    AS BIGINT))),
-              a -> a.acc + IF(a.run > 0L, CAST(floor(
-                    -(a.run / CAST(length(text) AS DOUBLE)) *
-                     ln(a.run / CAST(length(text) AS DOUBLE)) * 1e6 + 0.5)
-                    AS BIGINT), 0L))""").as("sq"))
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "n", "ch")
+        .agg(count(lit(1)).as("k"))
+        .select(col("doc_id"), col("n"),
+          floor(-(col("k").cast(DoubleType) / col("n")) *
+            log(col("k").cast(DoubleType) / col("n")) * 1e6 + 0.5)
+            .cast(LongType).as("t"))
+        .groupBy("doc_id", "n")
+        .agg(sum(col("t")).as("sq"))
         .select(col("doc_id"), col("n"),
           (floor(col("sq").cast(DoubleType) / 1e6 * 1e4 + 0.5) / 1e4).as("entropy"))
         .withColumn("low_entropy", col("entropy") < 2.77)
