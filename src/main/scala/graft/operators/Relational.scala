@@ -389,6 +389,66 @@ object Relational {
         .orderBy("st")
     }),
 
+    // a25: EXECUTABLE ROW-LEVEL DELETE — the missing half of j24: there
+    // the DELETE *language* is lowered over views (Spark rejects row-
+    // level DML on plain file relations); here a custom V2 TableCatalog
+    // ([[graft.sources.CowDeleteCatalog]]) implements the engine's
+    // actual `SupportsDeleteV2` contract, so the SAME statement runs
+    // END-TO-END: analyzer → predicate translation → connector
+    // `canDeleteWhere`/`deleteWhere`. The connector is the copy-on-
+    // write lake shape in miniature — data files carry k-range stats in
+    // their names (the manifest idiom), `deleteWhere` FILE-LEVEL PRUNES
+    // (files whose range cannot intersect the predicate stay physically
+    // untouched — byte/mtime-gated below; at 100 TB this is why a keyed
+    // purge costs minutes, not a table rewrite) and rewrites only the
+    // touched files via temp + atomic rename, refreshing their stats.
+    // `canDeleteWhere` REFUSES predicates it cannot apply exactly, so
+    // the engine raises instead of half-deleting (SinkSpec pins the
+    // refusal). Re-running is idempotent: the rewritten files' stats no
+    // longer intersect, so the second delete touches nothing.
+    "a25_catalog_cow_delete" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a25_cow") { p =>
+        val dir = new java.io.File(p, "orders_cow"); dir.mkdirs()
+        val rows = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 8.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_cow_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_cow")
+      // files provably outside the predicate, with their pre-delete state
+      val untouchable = graft.sources.CowTable.manifest(dir)
+        .filter { case (_, lo, _) => lo >= 1500L }
+        .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+      s.sql(s"DELETE FROM $cat.orders_cow WHERE k < 1500")
+      // the file-level pruning gate: non-intersecting files byte-identical
+      val after = graft.sources.CowTable.manifest(dir)
+        .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }.toSet
+      untouchable.foreach { st =>
+        require(after.contains(st),
+          s"a25: file ${st._1} outside the predicate range was rewritten — " +
+            "file-level pruning lost")
+      }
+      s.table(s"$cat.orders_cow")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("k")).as("min_k"),
+          dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+        .withColumn("purged", col("min_k") >= 1500L)
+        .orderBy("st")
+    }),
+
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
@@ -1576,6 +1636,16 @@ object Relational {
       """SELECT o_orderkey AS k, o_orderstatus AS st,
            false AS flagged, 'ingest' AS src
          FROM orders WHERE o_orderkey < 100 ORDER BY k""",
+
+    // the executed DELETE's post-state == the source table minus the
+    // purged key range
+    "a25_catalog_cow_delete" ->
+      """SELECT o_orderstatus AS st, count(*) AS n_orders,
+           min(o_orderkey) AS min_k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           true AS purged
+         FROM orders WHERE o_orderkey >= 1500
+         GROUP BY 1 ORDER BY 1""",
 
     // byte-range parsing truth: the same rollup from the source table —
     // a one-byte layout slip breaks keys, status, and money at once

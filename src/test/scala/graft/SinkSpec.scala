@@ -197,4 +197,39 @@ class SinkSpec extends AnyFunSuite {
     }
     assert(!new File(dirT, "_graft_committed").exists())
   }
+
+  test("CowDeleteCatalog: executable DELETE prunes files, is idempotent, and refuses inexact predicates") {
+    val root = freshDir("cow")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    // three files with known k-ranges: [1,3], [10,12], [20,22]
+    def write(i: Int, lo: Int, hi: Int): Unit =
+      java.nio.file.Files.write(new File(tbl, s"part-$i-$lo-$hi.csv").toPath,
+        java.util.Arrays.asList((lo to hi).map(k => s"$k,x,1.5"): _*))
+    write(0, 1, 3); write(1, 10, 12); write(2, 20, 22)
+    val cat = s"cow_spec_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val untouched = new File(tbl, "part-2-20-22.csv")
+    val mt0 = untouched.lastModified
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 11")
+    // rows 1-3 and 10 gone; file 2 physically untouched; file 0 removed
+    val survivors = spark.table(s"$cat.t").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(11L, 12L, 20L, 21L, 22L), s"got $survivors")
+    assert(!new File(tbl, "part-0-1-3.csv").exists(), "emptied file must be removed")
+    assert(untouched.lastModified == mt0, "non-intersecting file was rewritten")
+    // stats refresh: the rewritten middle file re-declares its range
+    assert(new File(tbl, "part-1-11-12.csv").exists(), "rewritten file stats not refreshed")
+    // idempotence: the same DELETE again touches nothing (stats no longer intersect)
+    val mts = graft.sources.CowTable.manifest(tbl)
+      .map { case (f, _, _) => f.getName -> f.lastModified }.toMap
+    spark.sql(s"DELETE FROM $cat.t WHERE k < 11")
+    graft.sources.CowTable.manifest(tbl).foreach { case (f, _, _) =>
+      assert(mts(f.getName) == f.lastModified, s"${f.getName} rewritten on re-delete")
+    }
+    // a predicate the connector cannot apply exactly must RAISE, not half-delete
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM $cat.t WHERE st = 'x'") }
+    assert(e.getMessage.toLowerCase.contains("delete"), s"unexpected error: ${e.getMessage}")
+    assert(spark.table(s"$cat.t").count() == 5, "refused delete must not change data")
+  }
 }
