@@ -95,9 +95,12 @@ object CowTable {
         }
       }.sortBy(_._1.getName)
 
-  /** One supported comparison on the stats column: k <op> literal. */
+  /** One supported comparison on the stats column: k <op> literal
+    * ("true" = the ALWAYS_TRUE predicate TRUNCATE routes through
+    * SupportsDeleteV2's default `truncateTable`). */
   case class KBound(op: String, v: Long) {
     def rowMatches(k: Long): Boolean = op match {
+      case "true" => true
       case "<" => k < v
       case "<=" => k <= v
       case ">" => k > v
@@ -106,6 +109,7 @@ object CowTable {
     }
     /** can rows of a file with k-range [lo, hi] match? */
     def mayIntersect(lo: Long, hi: Long): Boolean = op match {
+      case "true" => true
       case "<" => lo < v
       case "<=" => lo <= v
       case ">" => hi > v
@@ -119,6 +123,7 @@ object CowTable {
   def translate(predicates: Array[Predicate]): Option[Seq[KBound]] = {
     val bounds = predicates.map { p =>
       p.name() match {
+        case "ALWAYS_TRUE" => Some(KBound("true", 0L))
         case op @ ("<" | "<=" | ">" | ">=" | "=") =>
           p.children() match {
             case Array(f: NamedReference, l: Literal[_])

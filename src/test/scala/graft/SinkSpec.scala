@@ -231,5 +231,10 @@ class SinkSpec extends AnyFunSuite {
     val e = intercept[Exception] { spark.sql(s"DELETE FROM $cat.t WHERE st = 'x'") }
     assert(e.getMessage.toLowerCase.contains("delete"), s"unexpected error: ${e.getMessage}")
     assert(spark.table(s"$cat.t").count() == 5, "refused delete must not change data")
+    // TRUNCATE routes through SupportsDeleteV2's default truncateTable
+    // (deleteWhere(ALWAYS_TRUE)) — the same CoW path, delete-everything case
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.table(s"$cat.t").count() == 0, "TRUNCATE left rows behind")
+    assert(graft.sources.CowTable.manifest(tbl).isEmpty, "TRUNCATE left data files")
   }
 }
