@@ -821,6 +821,46 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // i24: TRANSACTIONAL DUAL SINK — the "outbox problem" of streaming
+    // ETL (i19 upserts ONE store; production batches usually must land
+    // in TWO: the raw audit LOG and the serving AGGREGATE — the classic
+    // "write the DB row AND publish the event" consistency trap): both
+    // stores are versioned by the SAME batchId, each write is an
+    // idempotent overwrite of its own version, so a replayed batch —
+    // including one that crashed BETWEEN the two writes — re-lands both
+    // halves and the pair can never diverge durably (the at-least-once
+    // replay + idempotent-commit route to exactly-once, applied to a
+    // MULTI-sink transaction; StreamingSpec pins the replay and the
+    // crash-between-writes recovery on hand-fed batches). The result
+    // joins the log's counts against the aggregate store — `consistent`
+    // must be uniformly true, and is derivable by the oracle since the
+    // two stores must agree with the SOURCE.
+    "i24_stream_dual_sink" -> ((s, d) => {
+      val tag = runSeq.incrementAndGet()
+      val log = scratch(s, s"i24_$tag", "log")
+      val agg = scratch(s, s"i24_$tag", "agg")
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      try {
+        val q = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            Streaming.dualSinkBatch(s, log, agg, batch, batchId)
+          }
+          .option("checkpointLocation", scratch(s, s"i24_$tag", "ckpt"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevPart)
+      val fin = latestVersion(agg).getOrElse(
+        sys.error("i24: no aggregate version published"))
+      s.read.parquet(s"$log/v*")
+        .groupBy("event_type").agg(count(lit(1)).as("n_log"))
+        .join(s.read.parquet(s"$agg/v$fin"), "event_type")
+        .withColumn("consistent", col("n_log") === col("cnt"))
+        .orderBy("event_type")
+    }),
+
     // i20: CHAINED STATEFUL AGGREGATIONS — two windowed aggregations in
     // ONE streaming query (Spark ≥3.5's multiple-stateful-operators
     // support): a fine 10-minute tumbling count per event_type feeds an
@@ -953,6 +993,25 @@ object Streaming {
             col("x.value").as("last_value"))
     }
     merged.write.mode("overwrite").parquet(s"$store/v$batchId")
+  }
+
+  /** i24's per-batch dual commit: the raw LOG slice and the merged
+    * AGGREGATE are each written as an idempotent overwrite of version
+    * `batchId` — log first, aggregate second; a crash between the two
+    * leaves the pair one version apart for exactly as long as it takes
+    * the replayed batch to overwrite both (pinned in StreamingSpec). */
+  private[graft] def dualSinkBatch(s: SparkSession, log: String, agg: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    batch.write.mode("overwrite").parquet(s"$log/v$batchId")
+    val upd = batch.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val merged = latestVersion(agg, below = Some(batchId)) match {
+      case None => upd
+      case Some(v) =>
+        s.read.parquet(s"$agg/v$v").unionByName(upd)
+          .groupBy("event_type").agg(sum(col("cnt")).as("cnt"))
+    }
+    merged.write.mode("overwrite").parquet(s"$agg/v$batchId")
   }
 
   private def latestVersion(store: String, below: Option[Long] = None): Option[Long] = {
@@ -1344,6 +1403,13 @@ object Streaming {
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // both stores must agree with the SOURCE, so the dual-sink pair's
+    // consistency flag is oracle-derivable
+    "i24_stream_dual_sink" ->
+      """SELECT event_type, count(*) AS n_log, count(*) AS cnt,
+           true AS consistent
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // the source's closed form: 3 resumed AvailableNow runs × 1000 rows,
     // batch b = values [1000b, 1000b+999] at timestamp 60000·b ms — any

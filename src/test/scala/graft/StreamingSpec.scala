@@ -428,6 +428,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s2.streams.resetTerminated() }
   }
 
+  test("i24 dual sink: replay and crash-between-writes both heal to a consistent pair") {
+    import spark.implicits._
+    val log = Tables.scratch(spark, "i24spec", "log")
+    val agg = Tables.scratch(spark, "i24spec", "agg")
+    def apply(id: Long, rows: (Long, String, Long)*): Unit =
+      operators.Streaming.dualSinkBatch(spark, log, agg,
+        rows.toDF("event_id", "event_type", "user_id"), id)
+    def state(): (Map[String, Long], Map[String, Long]) = {
+      val l = spark.read.parquet(s"$log/v*").groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vs = new java.io.File(agg).list().filter(_.startsWith("v"))
+        .map(_.drop(1).toLong)
+      val a = spark.read.parquet(s"$agg/v${vs.max}")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (l, a)
+    }
+    apply(0L, (1L, "a", 1L), (2L, "a", 2L))
+    apply(1L, (3L, "a", 1L), (4L, "b", 2L))
+    val healthy = state()
+    assert(healthy == (Map("a" -> 3L, "b" -> 1L), Map("a" -> 3L, "b" -> 1L)),
+      s"2-batch fold wrong: $healthy")
+    // REPLAY batch 1 verbatim (at-least-once delivery): both stores must
+    // re-land the same versions — nothing double-counts
+    apply(1L, (3L, "a", 1L), (4L, "b", 2L))
+    assert(state() == healthy, "replay changed the pair")
+    // CRASH between the two writes: simulate by deleting the aggregate's
+    // v1 (the log's v1 landed, the agg write "crashed") — the recovery
+    // replay of batch 1 must rebuild the aggregate from v0 + the batch
+    Tables.deleteRec(new java.io.File(s"$agg/v1"))
+    apply(1L, (3L, "a", 1L), (4L, "b", 2L))
+    assert(state() == healthy, "crash-between-writes replay did not heal")
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
