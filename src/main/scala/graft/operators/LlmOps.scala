@@ -750,6 +750,57 @@ object LlmOps {
         .orderBy("o_orderkey")
     }),
 
+    // j25: POINT-IN-TIME (PIT) DIMENSION JOIN — the query-side half of
+    // j15: j15 BUILDS the SCD2 validity intervals; this key USES them
+    // the way every warehouse fact load must — each fact row joins the
+    // dimension version that was valid AT THE FACT'S OWN TIMESTAMP, not
+    // the current one (joining current is the classic "time-travel
+    // leak": a 2023 purchase credited to the user's 2024 tier). The
+    // signup stream is the per-user profile history (value = the
+    // versioned attribute), purchases are the facts. Three semantics
+    // pinned: (1) at-most-one match per fact — validity intervals are
+    // disjoint by construction, and a zero-width version (two updates at
+    // the same ts) can never match (from <= t AND t < to is vacuous when
+    // from = to); (2) half-open intervals — a fact AT a version's
+    // effective ts belongs to that version; (3) facts BEFORE the user's
+    // first version keep NULL dimension columns via the left join
+    // (no_dim_yet) — dropping them silently is the PIT bug auditors
+    // actually find. Engine shape: the history build is j15's single
+    // window over one user_id exchange; the join is an EQUI join on
+    // user_id with the interval test as a codegen'd residual — per-user
+    // fanout is bounded by that user's version count (the SCD2 update
+    // rate), so the residual filter sees versions-per-user rows, never a
+    // cross product. At 100 TB the dimension history shuffles once on
+    // its natural key and is reusable across every fact table that
+    // needs PIT correctness — the reason warehouses store SCD2 instead
+    // of re-deriving as-of pairs per fact (c10/c13 solve the nearest-
+    // match problem for two STREAMS; this is the interval-keyed lookup
+    // against a MAINTAINED dimension).
+    "j25_pit_scd2_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value").as("dim_value"),
+          col("ts"), col("event_id"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("from_us", epochUs(col("ts")))
+        .withColumn("to_us", lead(epochUs(col("ts")), 1).over(w))
+        .select("user_id", "dim_value", "version", "from_us", "to_us")
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          epochUs(col("ts")).as("ts_us"), col("value").as("fact_value"))
+      fact.as("f").join(dim.as("d"),
+          col("f.user_id") === col("d.user_id") &&
+            col("d.from_us") <= col("f.ts_us") &&
+            (col("d.to_us").isNull || col("f.ts_us") < col("d.to_us")),
+          "left")
+        .select(col("f.event_id"), col("f.user_id"), col("f.ts_us"),
+          col("fact_value"), col("d.version"), col("dim_value"),
+          col("d.from_us").as("dim_from_us"),
+          col("d.version").isNull.as("no_dim_yet"))
+        .orderBy("event_id")
+    }),
+
     // j23: TWO-SOURCE RECONCILIATION — the migration/dual-write
     // validation op (the other compliance-grade ETL report next to
     // j22's erasure audit): given the system-of-record and a replica
@@ -1143,6 +1194,28 @@ object LlmOps {
          FROM orders
          WHERE (nullif(o_custkey % 5, 0) >= 4) IS NOT TRUE
          ORDER BY o_orderkey""",
+
+    // same SCD2 history + half-open interval lookup; the left join keeps
+    // pre-first-version facts with NULL dimension columns
+    "j25_pit_scd2_join" ->
+      """WITH dim AS (
+           SELECT user_id, value AS dim_value,
+                  CAST(row_number() OVER w AS INTEGER) AS version,
+                  epoch_us(ts) AS from_us,
+                  lead(epoch_us(ts)) OVER w AS to_us
+           FROM events WHERE event_type = 'signup'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         fact AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                  value AS fact_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts_us, f.fact_value,
+                d.version, d.dim_value, d.from_us AS dim_from_us,
+                d.version IS NULL AS no_dim_yet
+         FROM fact f LEFT JOIN dim d
+           ON f.user_id = d.user_id AND d.from_us <= f.ts_us
+          AND (d.to_us IS NULL OR f.ts_us < d.to_us)
+         ORDER BY f.event_id""",
 
     // the same planted-divergence construction, reconciled with a full
     // outer join and classified identically
