@@ -449,6 +449,89 @@ object Relational {
         .orderBy("st")
     }),
 
+    // a26: WRITE-SIDE SCHEMA EVOLUTION — the other half of a9 (which
+    // reads files that ALREADY disagree): here the engine EVOLVES the
+    // table — `ALTER TABLE ADD COLUMNS` through the V2 catalog, then
+    // `INSERT INTO` rows carrying the new columns — the ship-first
+    // evolution of every lakehouse format, because trailing ADD COLUMN
+    // is METADATA-ONLY: the sidecar schema manifest gains two fields,
+    // history files are NEVER rewritten (gated below on byte-size+mtime
+    // — rewriting history on ALTER is the 100-TB anti-pattern this key
+    // exists to forbid), and readers null-pad short rows against the
+    // current schema. Three contracts pinned: (1) seeded rows read back
+    // with NULL in both added columns; (2) inserted rows round-trip
+    // values AND genuine NULLs in the added columns (NULL-in-new-column
+    // ≠ short-row NULL — same surface, different provenance, both
+    // correct); (3) any evolution that would require rewriting history
+    // (DROP COLUMN) is REFUSED loudly by the catalog, not faked. The
+    // INSERT runs the full V2 write path: staged task files, commit-
+    // coordinated renames, each new file entering the manifest with its
+    // own k-range stats — so a25's delete pruning works unchanged on
+    // post-evolution files.
+    "a26_catalog_schema_evolution" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a26_evo") { p =>
+        val dir = new java.io.File(p, "orders_evo"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+        // fresh fixture ⇒ no leftover sidecar/inserted files from a
+        // previous session's run (cachedFixture reuses the dir)
+      }
+      val cat = s"graft_evo_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_evo")
+      // idempotent re-run: evolution + insert happen once per fixture
+      val already = graft.sources.CowTable.addedColumns(dir).nonEmpty
+      if (!already) {
+        val seeded = graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+        s.sql(s"ALTER TABLE $cat.orders_evo ADD COLUMNS (chan STRING, prio BIGINT)")
+        // refusal gate: history-rewriting evolution must raise
+        val refused =
+          try { s.sql(s"ALTER TABLE $cat.orders_evo DROP COLUMN total"); false }
+          catch { case _: Exception => true }
+        require(refused, "a26: DROP COLUMN was accepted — the catalog " +
+          "must refuse evolutions that need a history rewrite")
+        t(s, d, "orders")
+          .filter(col("o_orderkey") >= 3000 && col("o_orderkey") < 4500)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            when(col("o_orderkey") % 3 === 0, lit(null).cast(StringType))
+              .otherwise(concat(lit("ch_"),
+                (col("o_orderkey") % 3).cast(StringType))).as("chan"),
+            nullif(col("o_orderkey") % 5, lit(0)).as("prio"))
+          .createOrReplaceTempView("a26_new_rows")
+        s.sql(s"INSERT INTO $cat.orders_evo SELECT * FROM a26_new_rows")
+        // metadata-only gate: every pre-evolution file byte-identical
+        val after = graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }.toSet
+        seeded.foreach { st =>
+          require(after.contains(st),
+            s"a26: history file ${st._1} was rewritten by ALTER/INSERT — " +
+              "trailing ADD COLUMN must be metadata-only")
+        }
+      }
+      s.table(s"$cat.orders_evo")
+        .groupBy(
+          when(col("k") < 3000, "seeded").otherwise("inserted").as("src"),
+          col("chan"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("prio")).as("n_prio"),
+          sum(col("prio")).as("sum_prio"),
+          dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+        .orderBy(col("src"), col("chan").asc_nulls_first)
+    }),
+
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
@@ -1646,6 +1729,26 @@ object Relational {
            true AS purged
          FROM orders WHERE o_orderkey >= 1500
          GROUP BY 1 ORDER BY 1""",
+
+    // seeded rows carry NULL in both added columns (short-row padding);
+    // inserted rows reproduce the derived chan/prio including real NULLs
+    "a26_catalog_schema_evolution" ->
+      """WITH seeded AS (
+           SELECT o_orderkey AS k, o_totalprice AS total,
+                  CAST(NULL AS VARCHAR) AS chan, CAST(NULL AS BIGINT) AS prio
+           FROM orders WHERE o_orderkey < 3000),
+         inserted AS (
+           SELECT o_orderkey, o_totalprice,
+                  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                       ELSE 'ch_' || CAST(o_orderkey % 3 AS VARCHAR) END,
+                  nullif(o_orderkey % 5, 0)
+           FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 4500),
+         allrows AS (SELECT * FROM seeded UNION ALL SELECT * FROM inserted)
+         SELECT CASE WHEN k < 3000 THEN 'seeded' ELSE 'inserted' END AS src,
+                chan, count(*) AS n_rows, count(prio) AS n_prio,
+                CAST(sum(prio) AS BIGINT) AS sum_prio,
+                CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+         FROM allrows GROUP BY 1, 2 ORDER BY src, chan NULLS FIRST""",
 
     // byte-range parsing truth: the same rollup from the source table —
     // a one-byte layout slip breaks keys, status, and money at once

@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,8 +66,35 @@ class CowDeleteCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException("tables are seeded externally")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("immutable schema")
+
+  /** Schema evolution, write-side (a26): ONLY trailing ADD COLUMN is
+    * supported — the one evolution every lakehouse format ships first,
+    * because it is metadata-only: history files are NEVER rewritten
+    * (readers null-pad short rows against the current schema), and the
+    * new column starts materializing with the next write. Everything
+    * else (drop/rename/retype) would require a CoW rewrite of history
+    * or versioned per-file schemas — REFUSED loudly rather than faked. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable &&
+            CowTable.typeTag(a.dataType).isDefined =>
+        val name = a.fieldNames.head
+        val taken = CowTable.currentSchema(dir).fieldNames.toSet
+        require(!taken.contains(name),
+          s"ADD COLUMN $name: column already exists in ${ident.name}")
+        StructField(name, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"CowDeleteCatalog supports only nullable top-level ADD COLUMN " +
+          s"of long/double/string (got $other)")
+    }
+    CowTable.persistAdded(dir, CowTable.addedColumns(dir) ++ adds)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val d = dirOf(ident)
     val ok = d.isDirectory
@@ -78,10 +106,54 @@ class CowDeleteCatalog extends TableCatalog {
 }
 
 object CowTable {
+  // declared nullable so INSERT INTO ... SELECT from always-nullable
+  // parquet reads passes V2 write analysis; the writer enforces base
+  // columns non-null at runtime (the connector's own integrity check)
   val schema: StructType = StructType(Seq(
-    StructField("k", LongType, nullable = false),
-    StructField("st", StringType, nullable = false),
-    StructField("total", DoubleType, nullable = false)))
+    StructField("k", LongType, nullable = true),
+    StructField("st", StringType, nullable = true),
+    StructField("total", DoubleType, nullable = true)))
+
+  /** round-trippable type tag for the schema sidecar (a26). */
+  def typeTag(dt: DataType): Option[String] = dt match {
+    case LongType => Some("long")
+    case DoubleType => Some("double")
+    case StringType => Some("string")
+    case _ => None
+  }
+  private def tagType(tag: String): DataType = tag match {
+    case "long" => LongType
+    case "double" => DoubleType
+    case "string" => StringType
+    case other => sys.error(s"corrupt _schema.tsv: unknown type tag $other")
+  }
+
+  private def schemaFile(dir: java.io.File) = new java.io.File(dir, "_schema.tsv")
+
+  /** Columns ADDED after seeding, from the `_schema.tsv` sidecar — the
+    * table-level schema manifest (what a lakehouse format keeps in its
+    * metadata log). Base files never learn about them; readers null-pad. */
+  def addedColumns(dir: java.io.File): Seq[StructField] = {
+    val f = schemaFile(dir)
+    if (!f.isFile) Seq.empty
+    else java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
+      .toSeq.filter(_.nonEmpty).map { ln =>
+        val Array(name, tag) = ln.split("\t", 2)
+        StructField(name, tagType(tag), nullable = true)
+      }
+  }
+
+  def persistAdded(dir: java.io.File, added: Seq[StructField]): Unit = {
+    val lines = added.map(f => s"${f.name}\t${typeTag(f.dataType).get}")
+    val tmp = new java.io.File(dir, "._schema.tsv.tmp")
+    java.nio.file.Files.write(tmp.toPath, java.util.Arrays.asList(lines: _*))
+    java.nio.file.Files.move(tmp.toPath, schemaFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def currentSchema(dir: java.io.File): StructType =
+    StructType(schema.fields ++ addedColumns(dir))
 
   private val FileName = """part-(\d+)-(-?\d+)-(-?\d+)\.csv""".r
 
@@ -144,16 +216,35 @@ object CowTable {
 }
 
 class CowTable(tableName: String, dir: java.io.File)
-    extends Table with SupportsRead with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import CowTable._
 
   override def name(): String = tableName
-  override def schema(): StructType = CowTable.schema
+  override def schema(): StructType = currentSchema(dir)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new CowScan(dir)
+
+  /** INSERT INTO leg (a26): rows arrive in the table's CURRENT schema.
+    * Tasks stage to temp files; task commit (serialized by the commit
+    * coordinator) renames to `part-<idx>-<lo>-<hi>.csv` with the file's
+    * own k-range stats — a new file enters the manifest with exactly the
+    * metadata the delete path (a25) prunes on. Base columns are
+    * non-nullable and enforced; added columns encode NULL as the empty
+    * field, matching how history files (shorter rows) read back. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new CowBatchWrite(dir, currentSchema(dir))
+        }
+    }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     translate(predicates).isDefined
@@ -196,30 +287,120 @@ class CowTable(tableName: String, dir: java.io.File)
 }
 
 /** Batch scan: one input partition per data file (the lake parallelism
-  * unit), line-parsed against the fixed schema. */
+  * unit), line-parsed against the table's CURRENT schema — history files
+  * written before an ADD COLUMN have fewer fields and read back with
+  * NULLs in the added positions (the metadata-only-evolution contract). */
 class CowScan(dir: java.io.File) extends Scan with Batch {
-  override def readSchema(): StructType = CowTable.schema
+  private val schema = CowTable.currentSchema(dir)
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     CowTable.manifest(dir).map(m => CowPartition(m._1.getAbsolutePath)).toArray
-  override def createReaderFactory(): PartitionReaderFactory = CowReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowReaderFactory(schema)
 }
 
 case class CowPartition(path: String) extends InputPartition
 
-case class CowReaderFactory() extends PartitionReaderFactory {
+case class CowReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(partition.asInstanceOf[CowPartition].path))
+    val width = schema.fields.length
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < lines.size() }
       override def get(): InternalRow = {
-        val parts = lines.get(i).split(",", 3)
-        InternalRow(parts(0).toLong, UTF8String.fromString(parts(1)),
-          parts(2).toDouble)
+        // keep-trailing-empties split, then null-pad to the current width:
+        // short rows are history from before an ADD COLUMN
+        val parts = lines.get(i).split(",", -1)
+        val vals = Array.tabulate[Any](width) { j =>
+          if (j >= parts.length || (j >= 3 && parts(j).isEmpty)) null
+          else schema.fields(j).dataType match {
+            case LongType => parts(j).toLong
+            case DoubleType => parts(j).toDouble
+            case StringType => UTF8String.fromString(parts(j))
+            case dt => sys.error(s"unreachable: $dt")
+          }
+        }
+        InternalRow.fromSeq(vals.toSeq)
       }
       override def close(): Unit = {}
     }
   }
+}
+
+case class CowFileCommitted(name: String) extends WriterCommitMessage
+
+/** INSERT INTO's physical write: `idxBase` is the driver-side successor
+  * of the manifest's max file index, so concurrently-committing task
+  * partitions claim disjoint final names. */
+class CowBatchWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
+  private val idxBase: Int =
+    CowTable.manifest(dir).map(_._1.getName.split("-")(1).toInt)
+      .foldLeft(-1)(math.max) + 1
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    CowWriterFactory(dir.getAbsolutePath, schema, idxBase)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CowFileCommitted(name) if name.nonEmpty =>
+        new java.io.File(dir, name).delete(): Unit
+      case _ =>
+    }
+}
+
+case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val dir = new java.io.File(dirPath)
+      private val tmp = new java.io.File(dir, s"._ins-$partitionId-$taskId.tmp")
+      private val out = new java.io.BufferedWriter(new java.io.FileWriter(tmp))
+      private var n = 0L
+      private var lo = Long.MaxValue
+      private var hi = Long.MinValue
+
+      override def write(row: InternalRow): Unit = {
+        val line = schema.fields.indices.map { j =>
+          val f = schema.fields(j)
+          if (row.isNullAt(j)) {
+            require(j >= 3, s"INSERT: NULL in non-nullable base column ${f.name}")
+            ""
+          } else f.dataType match {
+            case LongType => row.getLong(j).toString
+            case DoubleType => row.getDouble(j).toString
+            case StringType =>
+              val s = row.getUTF8String(j).toString
+              require(!s.contains(",") && s.nonEmpty,
+                s"INSERT: string value for ${f.name} must be non-empty and comma-free")
+              s
+            case dt => sys.error(s"unreachable: $dt")
+          }
+        }.mkString(",")
+        val k = row.getLong(0)
+        if (k < lo) lo = k
+        if (k > hi) hi = k
+        out.write(line); out.newLine()
+        n += 1
+      }
+
+      // the commit coordinator guarantees one committing attempt per
+      // partition; empty partitions publish nothing
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (n == 0) { tmp.delete(); CowFileCommitted("") }
+        else {
+          val fin = s"part-${idxBase + partitionId}-$lo-$hi.csv"
+          val target = new java.io.File(dir, fin)
+          require(tmp.renameTo(target), s"CowBatchWrite: rename to $fin failed")
+          CowFileCommitted(fin)
+        }
+      }
+      override def abort(): Unit = { out.close(); tmp.delete(): Unit }
+      override def close(): Unit = ()
+    }
 }

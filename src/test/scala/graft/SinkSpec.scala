@@ -237,4 +237,51 @@ class SinkSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.t").count() == 0, "TRUNCATE left rows behind")
     assert(graft.sources.CowTable.manifest(tbl).isEmpty, "TRUNCATE left data files")
   }
+
+  test("CowDeleteCatalog: ADD COLUMNS is metadata-only, INSERT round-trips NULLs, history null-pads, DELETE prunes evolved files") {
+    val root = freshDir("cow_evo")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new File(tbl, "part-0-1-2.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,b,2.5"))
+    val cat = s"cow_evo_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val seeded = new File(tbl, "part-0-1-2.csv")
+    val (len0, mt0) = (seeded.length, seeded.lastModified)
+
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (chan STRING, prio BIGINT)")
+    assert(spark.table(s"$cat.t").schema.fieldNames.toSeq ==
+      Seq("k", "st", "total", "chan", "prio"))
+    // history untouched, reads back null-padded
+    assert((seeded.length, seeded.lastModified) == (len0, mt0),
+      "ADD COLUMNS rewrote a history file")
+    val old = spark.table(s"$cat.t").where("k = 1").collect().head
+    assert(old.isNullAt(3) && old.isNullAt(4), "short row must null-pad")
+
+    // evolutions that need a history rewrite are refused
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t DROP COLUMN total") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN st TO status") }
+    assert(spark.table(s"$cat.t").schema.fieldNames.length == 5,
+      "refused evolution must not change the schema")
+
+    // INSERT with a value and a genuine NULL in the added columns
+    spark.sql(s"INSERT INTO $cat.t VALUES " +
+      "(10, 'c', 3.5, 'web', 7), (11, 'd', 4.5, CAST(NULL AS STRING), CAST(NULL AS BIGINT))")
+    val got = spark.table(s"$cat.t").orderBy("k").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 10L, 11L))
+    val r10 = got(2); val r11 = got(3)
+    assert(r10.getString(3) == "web" && r10.getLong(4) == 7L)
+    assert(r11.isNullAt(3) && r11.isNullAt(4), "inserted NULLs must survive")
+    // new files joined the manifest with their own k-range stats
+    val ranges = graft.sources.CowTable.manifest(tbl).map { case (_, lo, hi) => (lo, hi) }
+    assert(ranges.contains((10L, 11L)) || (ranges.contains((10L, 10L)) && ranges.contains((11L, 11L))),
+      s"inserted file missing k-range stats: $ranges")
+    // a25's file-level pruning still applies to post-evolution files
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 10")
+    assert((seeded.length, seeded.lastModified) == (len0, mt0),
+      "DELETE outside the seeded range rewrote the seeded file")
+    assert(spark.table(s"$cat.t").collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+  }
 }
