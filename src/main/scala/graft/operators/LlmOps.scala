@@ -801,6 +801,74 @@ object LlmOps {
         .orderBy("event_id")
     }),
 
+    // j26: INCREMENTAL VIEW MAINTENANCE from CDC before/after images —
+    // the op a streaming materialized view actually runs: a changelog in
+    // the Debezium shape (op I/U/D, BEFORE image, AFTER image — planted
+    // from orders via md5 classes, the j23 idiom, so both engines derive
+    // it bit-for-bit) maintains a per-status aggregate WITHOUT touching
+    // the base table: Δn = ΣI − ΣD, Δsum = Σ(after − before) with the
+    // missing image as 0 — count and sum are SELF-MAINTAINABLE, the
+    // whole point of IVM (the maintenance pass aggregates ONLY the
+    // changelog; at 100 TB that's delta-sized work against a base-sized
+    // view). The NON-maintainable half is pinned in the same key: max
+    // under retraction cannot be patched from the delta (deleting the
+    // current max forces a re-scan), so max_total comes from the direct
+    // recompute — the honest asymmetry every IVM engine documents. The
+    // emitted `ivm_consistent` flag equates the maintained n/sum with a
+    // full direct recompute IN DECIMAL (the U delta is +2.25 exactly, no
+    // rounding-mode hazard) — the oracle pins it true, so any drift in
+    // the maintenance algebra hash-fails the key.
+    "j26_cdc_ivm_apply" -> ((s, d) => {
+      val src = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("total"),
+          substring(md5(col("o_orderkey").cast(StringType)
+            .cast(BinaryType)), 1, 1).as("h"))
+      val p = dec(col("total"), 18, 2)
+      val d225 = dec(lit(2.25), 3, 2)
+      val dnull = lit(null).cast("decimal(18,2)")
+      // the changelog: D drops h∈{0,1}, U bumps h∈{2,3,4} by +2.25,
+      // I adds fresh keys (h=5, shifted) — before/after images inline
+      val changelog =
+        src.filter(col("h").isin("0", "1"))
+          .select(lit("D").as("op"), col("st"), p.as("before_p"),
+            dnull.as("after_p"))
+        .unionAll(src.filter(col("h").isin("2", "3", "4"))
+          .select(lit("U").as("op"), col("st"), p.as("before_p"),
+            (p + d225).as("after_p")))
+        .unionAll(src.filter(col("h") === "5")
+          .select(lit("I").as("op"), col("st"), dnull.as("before_p"),
+            p.as("after_p")))
+      val baseAgg = src.groupBy("st")
+        .agg(count(lit(1)).as("n0"), sum(p).as("sum0"))
+      val deltaAgg = changelog.groupBy("st")
+        .agg(sum(when(col("op") === "I", 1L).when(col("op") === "D", -1L)
+            .otherwise(0L)).as("dn"),
+          sum(coalesce(col("after_p"), dec(lit(0), 3, 2)) -
+            coalesce(col("before_p"), dec(lit(0), 3, 2))).as("dsum"))
+      // direct recompute: the post-changelog table (survivors with the U
+      // bump applied, plus inserts) — max's only correct source
+      val finalRows =
+        src.filter(!col("h").isin("0", "1"))
+          .select(col("st"),
+            (p + when(col("h").isin("2", "3", "4"), d225)
+              .otherwise(dec(lit(0), 3, 2))).as("pf"))
+        .unionAll(src.filter(col("h") === "5").select(col("st"), p.as("pf")))
+      val direct = finalRows.groupBy("st")
+        .agg(count(lit(1)).as("n_direct"), sum(col("pf")).as("sum_direct"),
+          max(col("pf")).as("max_direct"))
+      baseAgg.join(deltaAgg, Seq("st"), "left").join(direct, Seq("st"))
+        .select(col("st"),
+          (col("n0") + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          dbl(col("sum0") + coalesce(col("dsum"), dec(lit(0), 3, 2)))
+            .as("sum_total"),
+          dbl(col("max_direct")).as("max_total"),
+          ((col("n0") + coalesce(col("dn"), lit(0L))) === col("n_direct") &&
+            (col("sum0") + coalesce(col("dsum"), dec(lit(0), 3, 2)))
+              === col("sum_direct")).as("ivm_consistent"))
+        .orderBy("st")
+    }),
+
     // j23: TWO-SOURCE RECONCILIATION — the migration/dual-write
     // validation op (the other compliance-grade ETL report next to
     // j22's erasure audit): given the system-of-record and a replica
@@ -1216,6 +1284,28 @@ object LlmOps {
            ON f.user_id = d.user_id AND d.from_us <= f.ts_us
           AND (d.to_us IS NULL OR f.ts_us < d.to_us)
          ORDER BY f.event_id""",
+
+    // the maintained view must equal the direct recompute over the
+    // post-changelog table — the oracle IS that recompute, flag pinned true
+    "j26_cdc_ivm_apply" ->
+      """WITH src AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+           FROM orders),
+         final AS (
+           SELECT st,
+                  p + CASE WHEN h IN ('2','3','4')
+                           THEN CAST(2.25 AS DECIMAL(3,2))
+                           ELSE CAST(0 AS DECIMAL(3,2)) END AS pf
+           FROM src WHERE h NOT IN ('0','1')
+           UNION ALL
+           SELECT st, p FROM src WHERE h = '5')
+         SELECT st, count(*) AS n_rows,
+                CAST(sum(pf) AS DOUBLE) AS sum_total,
+                CAST(max(pf) AS DOUBLE) AS max_total,
+                true AS ivm_consistent
+         FROM final GROUP BY st ORDER BY st""",
 
     // the same planted-divergence construction, reconciled with a full
     // outer join and classified identically

@@ -211,6 +211,41 @@ object Windows {
     // (no neighbor on one side) stay NULL — interpolation is an
     // interior-only contract, extrapolation is a different op. One
     // user_id shuffle serves all four window calls (same frame spec).
+    // e13: TIME-WEIGHTED AVERAGE over an irregular series — the metric
+    // a plain avg() silently gets wrong on unevenly-sampled data (a
+    // value held for 6 hours must count 360× a value held for a minute;
+    // sensor/price/gauge pipelines all need this form). Interval
+    // convention: each sample is held until the user's NEXT sample
+    // (lead), the final open-ended sample contributes no interval — no
+    // day-boundary convention to disagree on. A same-ts pair (ordered by
+    // event_id) yields a zero-width interval that correctly contributes
+    // nothing. Exactness: value quantized to integer micro-units (the
+    // l5/l21/j17 rule), weights are epoch-µs longs, and the Σ(uval·w)
+    // accumulator runs in DECIMAL(38,0) — uval·w reaches ~8.6e19, past
+    // Long range, so a bigint accumulator would silently wrap; the
+    // decimal product is exact in both engines and only the final
+    // division touches floating point (round 4, the j20 idiom). Scale:
+    // one window + one groupBy over the SAME user_id key — Catalyst
+    // plans a single hash exchange, and the window's lead(1) is a
+    // bounded frame (no full-partition buffering).
+    "e13_win_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 1e6 + 0.5).cast("long").as("uval"),
+          epochUs(col("ts")).as("ts_us"))
+        .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("nxt") - col("ts_us")).as("total_w_us"),
+          sum(dec(col("uval"), 20, 0) *
+            dec(col("nxt") - col("ts_us"), 18, 0)).as("numer"))
+        .select(col("user_id"), col("n_intervals"), col("total_w_us"),
+          rnd4(dbl(col("numer")) / dbl(col("total_w_us")) / lit(1e6)).as("twap"))
+        .orderBy("user_id")
+    }),
+
     "e12_win_interpolate" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val trail = w.rowsBetween(Window.unboundedPreceding, -1)
@@ -343,6 +378,23 @@ object Windows {
          FROM (SELECT *, CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS gappy
                FROM events)
          ORDER BY event_id""",
+
+    // same hold-until-next intervals; Σ(uval·w) in DECIMAL(38,0) (past
+    // bigint range), only the final division is floating point
+    "e13_win_time_weighted_avg" ->
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS uval,
+                  lead(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           FROM events)
+         SELECT user_id, count(*) AS n_intervals,
+                CAST(sum(nxt - ts_us) AS BIGINT) AS total_w_us,
+                round(CAST(sum(CAST(uval AS DECIMAL(20,0)) *
+                               CAST(nxt - ts_us AS DECIMAL(18,0))) AS DOUBLE)
+                      / CAST(sum(nxt - ts_us) AS DOUBLE) / 1e6, 4) AS twap
+         FROM s WHERE nxt IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
 
     // identical prev/next-neighbor windows and interpolation arithmetic;
     // edges (no neighbor on one side) stay NULL on both engines
