@@ -818,6 +818,51 @@ object TrainOps {
     // integer micro-nats, so the sum is order-free and engine-exact
     // (l21's rule). flag = ent < 2.77 ≈ p10 (50/500 @sf0.01, 534/5000
     // @sf0.1; 4dp-quantized, so the cut is deterministic).
+    // l50: QUALITY-AWARE SURVIVOR SELECTION — the last step every
+    // near-dedup pass (j2/l1/l9/l31) leaves implicit: WHICH copy of a
+    // duplicate cluster ships. min-doc-id (l32's `is_canonical`) is the
+    // bookkeeping answer; production pipelines (FineWeb, SemDeDup) keep
+    // the BEST copy — the cluster member maximizing the l5 quality
+    // composite (quantized to an integer 1e-4 grid so the argmax can
+    // never ride a float boundary), ties broken by min doc_id. Reuses
+    // l32's exact clusters (verifiedPairs + min-label closure — one
+    // computation per session via sharedFrame) and l5's exact scoring;
+    // emits the full per-doc ledger (cluster, quality, survivor, kept)
+    // — the auditable artifact, not just the survivor list. Scale: the
+    // quality agg rides the tokenizer's doc_id grouping; the survivor
+    // window partitions by cluster_id over (id, cluster, q) triples —
+    // partition size = dup-cluster size, text never shuffles.
+    "l50_dedup_survivor_select" -> ((s, d) => {
+      val pairs = verifiedPairs(s, d).select("a_id", "b_id")
+      val edges = pairs
+        .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .localCheckpoint(eager = false)
+      val clusters = LlmOps.minLabelClosureLog(
+        t(s, d, "documents").select("doc_id"), edges)._1
+      val stop = Seq("the", "a", "of", "and")
+      val q = LlmOps.tokens(s, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("term").isin(stop: _*), 1).otherwise(0)).as("stop_cnt"),
+          sum(length(col("term"))).as("len_sum"))
+        .select(col("doc_id"),
+          floor((lit(0.4) * (col("stop_cnt").cast(DoubleType) / col("n_tokens"))
+            + lit(0.3) * least(lit(1.0), col("n_tokens") / 100.0)
+            + lit(0.3) * least(lit(1.0),
+              (col("len_sum").cast(DoubleType) / col("n_tokens")) / 8.0))
+            * 1e4 + 0.5).cast(LongType).as("q1e4"))
+      val scored = clusters.join(q, "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("q1e4").desc, col("doc_id"))
+      val surv = scored
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+      scored.join(surv, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("q1e4"),
+          col("survivor_id"), (col("doc_id") === col("survivor_id")).as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "l49_char_entropy" -> ((s, d) => {
       t(s, d, "documents")
         .filter(length(col("text")) > 0)
@@ -2726,6 +2771,70 @@ object TrainOps {
     // recursive CTE: r holds every (src, reachable node); min(dst) per src
     // IS the component minimum — the same label minLabelClosure converges
     // to. UNION (distinct) bounds the recursion.
+    // l32's closure + l5's quality (both verbatim), argmax per cluster
+    // on the integer 1e-4 grid, ties to min doc_id
+    "l50_dedup_survivor_select" ->
+      """WITH toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT a_id, b_id FROM common
+           JOIN sz sa ON sa.doc_id = a_id
+           JOIN sz sb ON sb.doc_id = b_id
+           WHERE 5 * c >= 4 * (sa.n + sb.n - c)),
+         edges AS (SELECT a_id, b_id FROM prs
+                   UNION ALL SELECT b_id, a_id FROM prs),
+         reach AS (
+           WITH RECURSIVE r(src, dst) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b_id FROM r JOIN edges e ON e.a_id = r.dst)
+           SELECT src AS doc_id, min(dst) AS cluster_id FROM r GROUP BY src),
+         per_doc AS (
+           SELECT doc_id, count(*) AS n_tokens,
+                  sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                    AS stop_cnt,
+                  CAST(sum(length(term)) AS DOUBLE) / count(*) AS avg_len
+           FROM ftoks GROUP BY 1),
+         q AS (
+           SELECT doc_id,
+                  CAST(floor((4e-1 * (CAST(stop_cnt AS DOUBLE) / n_tokens)
+                       + 3e-1 * least(1e0, n_tokens / 1e2)
+                       + 3e-1 * least(1e0, avg_len / 8e0)) * 1e4 + 5e-1)
+                    AS BIGINT) AS q1e4
+           FROM per_doc),
+         scored AS (
+           SELECT r.doc_id, r.cluster_id, q.q1e4
+           FROM reach r JOIN q USING (doc_id)),
+         surv AS (
+           SELECT cluster_id, doc_id AS survivor_id FROM (
+             SELECT cluster_id, doc_id,
+                    row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY q1e4 DESC, doc_id) AS rk
+             FROM scored) WHERE rk = 1)
+         SELECT s.doc_id, s.cluster_id, s.q1e4, v.survivor_id,
+                s.doc_id = v.survivor_id AS kept
+         FROM scored s JOIN surv v USING (cluster_id)
+         ORDER BY s.doc_id""",
+
     "l32_dedup_cluster_cc" ->
       """WITH toks AS (
            SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
