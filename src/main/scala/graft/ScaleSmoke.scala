@@ -114,7 +114,8 @@ object ScaleSmoke {
       "l35_compact_small_files", "l36_pmi_cooccur", "l38_budget_select",
       "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs",
       "l43_bpe_vocab", "l45_bigram_logprob", "l46_dup_span_fraction",
-      "l47_cap_per_source", "l48_bpe_encode", "l49_char_entropy")
+      "l47_cap_per_source", "l48_bpe_encode", "l49_char_entropy",
+      "l50_dedup_survivor_select")
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1
@@ -143,10 +144,14 @@ object ScaleSmoke {
     // d26's sketch scales on the same key axis: the user domain grows
     // x factor while the per-day sketch stays fixed-size — the regime
     // where collisions (and the eps*N bound) actually get exercised
+    // j25's dimension-version chains and e13's per-user interval series
+    // both multiply on the user axis (chain/series LENGTH fixed) — the
+    // same growth shape as j15's history build
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
-      "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters")
+      "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters",
+      "j25_pit_scd2_join", "e13_win_time_weighted_avg")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
@@ -185,6 +190,21 @@ object ScaleSmoke {
     // density). Keeping the blocking key instead would grow per-block
     // pair counts quadratically — a probe of the data's skew, not the
     // operator (blocked linkage is quadratic in block size BY DESIGN).
+    // j26 (CDC IVM) scales on the KEY axis of its base table: clone k
+    // shifts o_orderkey, so base rows, changelog rows, and every md5 op
+    // class multiply by the factor while the per-status agg output stays
+    // 3 rows — the delta-sized-work-vs-base-sized-view regime the op is
+    // built for
+    val ordersKeys = Set("j26_cdc_ivm_apply")
+    if (keys.exists(ordersKeys)) {
+      val od = spark.read.parquet(s"$src/orders.parquet")
+      val no = od.agg(max("o_orderkey")).head().getLong(0) + 1
+      od.crossJoin(spark.range(factor.toLong).select(col("id").as("clone")))
+        .select((col("o_orderkey") + col("clone") * no).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
     val partKeys = Set("l37_fuzzy_blocked_match")
     if (keys.exists(partKeys)) {
       val pt = spark.read.parquet(s"$src/part.parquet")
