@@ -208,6 +208,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"l9/l32 shared pair production degenerated to an all-pairs join:\n$pp")
   }
 
+  test("j25: PIT join is an equi join on user_id riding the history window's exchange") {
+    // SURVEY §2-J's scale claim: the lookup is an EQUI join on user_id
+    // with the interval test as residual. Catalyst picks between the
+    // two correct physical forms by dimension size: BROADCAST the
+    // compacted history (what it does here — the fact side then
+    // shuffles ZERO times beyond the window's own exchange), or a
+    // shuffled join whose dim side rides the history window's
+    // hashpartitioning (≤ 2 hash Exchanges total). A 3rd hash Exchange
+    // or a nested-loop/cartesian means the interval test displaced the
+    // equi key or the join stopped inheriting the window's partitioning.
+    val p = plan("j25_pit_scd2_join")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles <= 2, s"expected <= 2 hash Exchanges, found $hashShuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"PIT lookup lost its equi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT lookup degenerated to an all-pairs join:\n$p")
+  }
+
+  test("e13: TWAP's window and groupBy share one user_id exchange") {
+    // lead(1) window and the interval aggregate both key on user_id —
+    // a 2nd hash Exchange means the aggregate stopped riding the
+    // window's partitioning
+    val p = plan("e13_win_time_weighted_avg")
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1, s"expected 1 hash Exchange, found $hashShuffles:\n$p")
+  }
+
   test("c9: band join is a bucketed equi-join on (brand, floor(price))") {
     val p = plan("c9_join_theta_band")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -461,6 +461,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() == healthy, "crash-between-writes replay did not heal")
   }
 
+  test("stateful rescale contract: a restart keeps the checkpoint's state partition count, ignoring a changed conf") {
+    // the ops contract behind every stateful key's partition sizing
+    // (SURVEY §7.5 / the r10 stateParts rule): the state store's
+    // partition count is fixed by spark.sql.shuffle.partitions at the
+    // query's FIRST run and recorded in the checkpoint's offset log —
+    // a restart under a DIFFERENT conf silently keeps the original
+    // count (it does not fail and does not rescale). Rescaling state
+    // means an offline state rebuild, not a conf change; this pin makes
+    // the engine's behavior visible instead of folklore.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "3")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val input = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rescale_ckpt").toString
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    // (the i23 finding), and this test exists to RESTART from the
+    // checkpoint
+    def start() = input.toDF().toDF("v").groupBy("v").count()
+      .writeStream.foreachBatch(
+        // must CONSUME every partition: Spark 4 validates all state
+        // stores committed per batch (a foreachBatch that skips
+        // partitions fails STATE_STORE_COMMIT_VALIDATION)
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          df.count(): Unit
+        })
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    val q1 = start()
+    val parts1 = try {
+      input.addData(1L, 2L, 3L)
+      q1.processAllAvailable()
+      q1.lastProgress.stateOperators.head.numShufflePartitions
+    } finally q1.stop()
+    assert(parts1 == 3L, s"first run must create 3 state partitions, got $parts1")
+    // restart under a different conf — the checkpoint must win
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val q2 = start()
+    val parts2 = try {
+      input.addData(4L, 5L)
+      q2.processAllAvailable()
+      q2.lastProgress.stateOperators.head.numShufflePartitions
+    } finally { q2.stop(); s2.streams.resetTerminated() }
+    assert(parts2 == 3L,
+      s"restart rescaled state partitions to $parts2 — the checkpoint's 3 must win")
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
