@@ -532,6 +532,77 @@ object Relational {
         .orderBy(col("src"), col("chan").asc_nulls_first)
     }),
 
+    // a27: SNAPSHOT VERSIONING + TIME TRAVEL — the third leg of the
+    // lakehouse storage story (a25 CoW delete, a26 metadata-only
+    // evolution): with versioning enabled, every mutation snapshots the
+    // pre-state — retired data files move to `_archive/` instead of
+    // dying, `_versions.log` records each snapshot's file list — and
+    // `VERSION AS OF n` re-reads any historical state through the V2
+    // catalog's time-travel loadTable. The mutation history here is the
+    // canonical audit scenario: seed (v0) → keyed DELETE (v1) → INSERT
+    // batch (v2 = current); the key emits all four reads (v0, v1, v2,
+    // current) as one ledger — v2 and current must agree (the newest
+    // snapshot IS the live table), v0 must still show rows the DELETE
+    // purged. Archived copies are keyed by their retirement version
+    // (`rv<m>-<name>`) so a file NAME recreated by a later insert can
+    // never shadow an old snapshot's content (SinkSpec pins that
+    // collision plus vacuum expiry). A nonexistent version RAISES —
+    // gated in-key. Un-versioned tables (a25/a26) keep delete-means-
+    // delete unchanged: versioning is per-table opt-in, exactly like
+    // every lakehouse format's retention config. At 100 TB: a snapshot
+    // costs one manifest line — time travel is metadata, storage cost
+    // is bounded by the churn the vacuum horizon retains, never by
+    // table size.
+    "a27_catalog_time_travel" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a27_tt") { p =>
+        val dir = new java.io.File(p, "orders_tt"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_tt_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_tt")
+      if (!graft.sources.CowVersions.enabled(dir)) {
+        graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed
+        s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 1000") // -> v1
+        t(s, d, "orders")
+          .filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+          .select((col("o_orderkey") + 100000L).as("k"),
+            col("o_orderstatus").as("st"), col("o_totalprice").as("total"))
+          .createOrReplaceTempView("a27_ins")
+        s.sql(s"INSERT INTO $cat.orders_tt SELECT * FROM a27_ins") // -> v2
+        val badVersionRaises =
+          try { s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 9")
+                 .collect(); false }
+          catch { case _: Exception => true }
+        require(badVersionRaises,
+          "a27: VERSION AS OF a nonexistent snapshot must raise")
+      }
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+          .select(lit(name).as("leg"), col("n_rows"), col("min_k"),
+            col("max_k"), col("sum_total"))
+      leg("v0", s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 0"))
+        .unionAll(leg("v1", s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 1")))
+        .unionAll(leg("v2", s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 2")))
+        .unionAll(leg("current", s.table(s"$cat.orders_tt")))
+        .orderBy("leg")
+    }),
+
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
     // every CSV/JSON ingest job needs pinned: the fixture plants THREE
     // token-count violations among clean orders rows (two truncated rows,
@@ -1729,6 +1800,30 @@ object Relational {
            true AS purged
          FROM orders WHERE o_orderkey >= 1500
          GROUP BY 1 ORDER BY 1""",
+
+    // each snapshot reconstructed from the mutation history: v0 = seed,
+    // v1 = seed minus the purged range, v2 = current = v1 + the insert
+    "a27_catalog_time_travel" ->
+      """WITH v0 AS (
+           SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 3000),
+         v1 AS (SELECT * FROM v0 WHERE k >= 1000),
+         ins AS (
+           SELECT o_orderkey + 100000 AS k,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM ins),
+         legs AS (
+           SELECT 'v0' AS leg, count(*) AS n_rows, min(k) AS min_k,
+                  max(k) AS max_k, CAST(sum(p) AS DOUBLE) AS sum_total FROM v0
+           UNION ALL
+           SELECT 'v1', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE) FROM v1
+           UNION ALL
+           SELECT 'v2', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE) FROM v2
+           UNION ALL
+           SELECT 'current', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE)
+           FROM v2)
+         SELECT * FROM legs ORDER BY leg""",
 
     // seeded rows carry NULL in both added columns (short-row padding);
     // inserted rows reproduce the derived chan/prio including real NULLs

@@ -63,6 +63,20 @@ class CowDeleteCatalog extends TableCatalog {
         Seq(catalogName, ident.name))
     new CowTable(s"$catalogName.${ident.name}", dir)
   }
+
+  /** `VERSION AS OF n` (a27): a read-only table pinned to snapshot n's
+    * file list — live or archived copies per the resolution rule.
+    * Requires versioning enabled on the table ([[CowVersions.enable]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    require(CowVersions.enabled(dir),
+      s"table ${ident.name} is not versioned — call CowVersions.enable first")
+    val files = CowVersions.resolve(dir, version.toLong)
+    new CowTable(s"$catalogName.${ident.name}@v$version", dir, Some(files))
+  }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException("tables are seeded externally")
@@ -103,6 +117,115 @@ class CowDeleteCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename unsupported")
+}
+
+/** Snapshot versioning for a [[CowTable]] directory (a27) — the other
+  * half of the lakehouse storage story next to a25's CoW delete and
+  * a26's metadata-only evolution: every mutation first snapshots the
+  * pre-state, retired data files move to `_archive/` instead of being
+  * deleted, and `_versions.log` records each snapshot's file list, so
+  * `VERSION AS OF n` re-reads any historical state until `vacuum`
+  * expires it. OPT-IN per table (`enable`): a25's un-versioned tables
+  * keep their delete-means-delete contract unchanged.
+  *
+  * Collision safety: one file NAME can be created, retired, and
+  * re-created (the insert path reuses freed indices), so archived
+  * copies are keyed by the version whose mutation retired them
+  * (`rv<m>-<name>`). Resolving `name` for snapshot v: the copy live AT
+  * v is the one archived at the SMALLEST retirement version m > v —
+  * retirement versions per name strictly increase, so that copy is
+  * unique — else the currently-live file. `vacuum(keep)` drops log
+  * entries below the cutoff and deletes exactly the archive copies
+  * `rv<m>-*` with m ≤ the oldest kept version (such a copy only serves
+  * snapshots v < m, all expired). */
+object CowVersions {
+  private def logFile(dir: java.io.File) = new java.io.File(dir, "_versions.log")
+  private def archiveDir(dir: java.io.File) = new java.io.File(dir, "_archive")
+
+  def enabled(dir: java.io.File): Boolean = logFile(dir).isFile
+
+  /** version -> data-file names of that snapshot, ascending. */
+  def read(dir: java.io.File): Seq[(Long, Seq[String])] =
+    if (!enabled(dir)) Seq.empty
+    else java.nio.file.Files.readAllLines(logFile(dir).toPath)
+      .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { ln =>
+        val parts = ln.split("\t", 2)
+        (parts(0).toLong,
+          if (parts.length < 2 || parts(1).isEmpty) Seq.empty
+          else parts(1).split(",").toSeq)
+      }
+
+  private def liveNames(dir: java.io.File): Seq[String] =
+    CowTable.manifest(dir).map(_._1.getName)
+
+  private def appendLine(dir: java.io.File, v: Long, names: Seq[String]): Unit =
+    java.nio.file.Files.write(logFile(dir).toPath,
+      java.util.Arrays.asList(s"$v\t${names.mkString(",")}"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+
+  /** Turn versioning ON: record the current state as snapshot 0. */
+  def enable(dir: java.io.File): Unit =
+    if (!enabled(dir)) appendLine(dir, 0L, liveNames(dir))
+
+  /** Retire a data file under the version the in-flight mutation will
+    * create (move, never delete — snapshots still reference it). */
+  def retire(dir: java.io.File, f: java.io.File): Unit = {
+    val ad = archiveDir(dir); ad.mkdirs()
+    val v = read(dir).map(_._1).max + 1
+    java.nio.file.Files.move(f.toPath,
+      new java.io.File(ad, s"rv$v-${f.getName}").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Record the post-mutation state as the next snapshot. */
+  def commitSnapshot(dir: java.io.File): Unit =
+    appendLine(dir, read(dir).map(_._1).max + 1, liveNames(dir))
+
+  /** Absolute paths of snapshot v's files, per the resolution rule. */
+  def resolve(dir: java.io.File, v: Long): Seq[java.io.File] = {
+    val versions = read(dir)
+    val entry = versions.find(_._1 == v).getOrElse(sys.error(
+      s"VERSION AS OF $v: no such snapshot (have ${versions.map(_._1).mkString(",")})"))
+    val Archived = """rv(\d+)-(.+)""".r
+    val archived = Option(archiveDir(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap { f => f.getName match {
+        case Archived(m, n) => Some((n, m.toLong, f))
+        case _ => None
+      }}.toSeq
+    entry._2.map { name =>
+      archived.filter { case (n, m, _) => n == name && m > v }
+        .sortBy(_._2).headOption.map(_._3)
+        .getOrElse {
+          val live = new java.io.File(dir, name)
+          require(live.isFile, s"snapshot $v references $name but neither a " +
+            "live nor an archived copy exists — vacuumed or corrupt")
+          live
+        }
+    }
+  }
+
+  /** Expire all but the newest `keep` snapshots; physically delete the
+    * archive copies that only served expired snapshots. */
+  def vacuum(dir: java.io.File, keep: Int): Unit = {
+    require(keep >= 1, "vacuum must keep at least the latest snapshot")
+    val versions = read(dir)
+    val kept = versions.takeRight(keep)
+    val minKept = kept.head._1
+    val tmp = new java.io.File(dir, "._versions.log.tmp")
+    java.nio.file.Files.write(tmp.toPath, java.util.Arrays.asList(
+      kept.map { case (v, ns) => s"$v\t${ns.mkString(",")}" }: _*))
+    java.nio.file.Files.move(tmp.toPath, logFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val Archived = """rv(\d+)-.+""".r
+    Option(archiveDir(dir).listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Archived(m) if m.toLong <= minKept => f.delete(): Unit
+        case _ =>
+      }
+    }
+  }
 }
 
 object CowTable {
@@ -215,18 +338,21 @@ object CowTable {
   }
 }
 
-class CowTable(tableName: String, dir: java.io.File)
+class CowTable(tableName: String, dir: java.io.File,
+    pinned: Option[Seq[java.io.File]] = None)
     extends Table with SupportsRead with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import CowTable._
 
   override def name(): String = tableName
   override def schema(): StructType = currentSchema(dir)
+  // a pinned snapshot (VERSION AS OF) is read-only by construction
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CowScan(dir)
+    () => new CowScan(dir, pinned)
 
   /** INSERT INTO leg (a26): rows arrive in the table's CURRENT schema.
     * Tasks stage to temp files; task commit (serialized by the commit
@@ -247,12 +373,20 @@ class CowTable(tableName: String, dir: java.io.File)
     }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    translate(predicates).isDefined
+    pinned.isEmpty && translate(predicates).isDefined
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(pinned.isEmpty, "cannot DELETE from a VERSION AS OF snapshot")
     val bounds = translate(predicates).getOrElse(
       sys.error(s"deleteWhere called with untranslatable predicates: " +
         predicates.mkString("[", ", ", "]")))
+    val versioned = CowVersions.enabled(dir)
+    var changed = false
+    // a versioned table's touched files RETIRE to the archive (snapshots
+    // still reference them); an un-versioned table keeps a25's
+    // delete-means-delete contract
+    def dispose(f: java.io.File): Unit =
+      if (versioned) CowVersions.retire(dir, f) else { f.delete(): Unit }
     // conjunction semantics: a row is deleted iff EVERY predicate matches
     def deletes(k: Long) = bounds.forall(_.rowMatches(k))
     manifest(dir).foreach { case (f, lo, hi) =>
@@ -260,13 +394,14 @@ class CowTable(tableName: String, dir: java.io.File)
       // [lo, hi] for any row of this file to be deletable — else the
       // file is left physically untouched (mtime-gated by the a25 key)
       if (bounds.forall(_.mayIntersect(lo, hi))) {
+        changed = true
         val lines = java.nio.file.Files.readAllLines(f.toPath)
         val kept = new util.ArrayList[String]()
         lines.forEach { ln =>
           if (!deletes(ln.substring(0, ln.indexOf(',')).toLong)) kept.add(ln)
         }
         val idx = f.getName.split("-")(1)
-        if (kept.isEmpty) { f.delete() }
+        if (kept.isEmpty) { dispose(f) }
         else {
           var (nlo, nhi) = (Long.MaxValue, Long.MinValue)
           kept.forEach { ln =>
@@ -277,12 +412,13 @@ class CowTable(tableName: String, dir: java.io.File)
           val tmp = new java.io.File(dir, s".tmp-${f.getName}")
           java.nio.file.Files.write(tmp.toPath, kept)
           val target = new java.io.File(dir, s"part-$idx-$nlo-$nhi.csv")
-          f.delete()
+          dispose(f)
           java.nio.file.Files.move(tmp.toPath, target.toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
       }
     }
+    if (versioned && changed) CowVersions.commitSnapshot(dir)
   }
 }
 
@@ -290,12 +426,14 @@ class CowTable(tableName: String, dir: java.io.File)
   * unit), line-parsed against the table's CURRENT schema — history files
   * written before an ADD COLUMN have fewer fields and read back with
   * NULLs in the added positions (the metadata-only-evolution contract). */
-class CowScan(dir: java.io.File) extends Scan with Batch {
+class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None)
+    extends Scan with Batch {
   private val schema = CowTable.currentSchema(dir)
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    CowTable.manifest(dir).map(m => CowPartition(m._1.getAbsolutePath)).toArray
+    pinned.getOrElse(CowTable.manifest(dir).map(_._1))
+      .map(f => CowPartition(f.getAbsolutePath)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     CowReaderFactory(schema)
 }
@@ -343,7 +481,13 @@ class CowBatchWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
     CowWriterFactory(dir.getAbsolutePath, schema, idxBase)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val wroteAny = messages.exists {
+      case CowFileCommitted(n) => n.nonEmpty
+      case _ => false
+    }
+    if (wroteAny && CowVersions.enabled(dir)) CowVersions.commitSnapshot(dir)
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case CowFileCommitted(name) if name.nonEmpty =>

@@ -238,6 +238,56 @@ class SinkSpec extends AnyFunSuite {
     assert(graft.sources.CowTable.manifest(tbl).isEmpty, "TRUNCATE left data files")
   }
 
+  test("CowVersions: name re-use cannot shadow history; vacuum expires exactly the dead copies") {
+    val root = freshDir("cow_tt")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new File(tbl, "part-0-1-2.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,a,2.5"))
+    java.nio.file.Files.write(new File(tbl, "part-1-10-11.csv").toPath,
+      java.util.Arrays.asList("10,b,1.0", "11,b,2.0"))
+    val cat = s"cow_tt_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    graft.sources.CowVersions.enable(tbl) // v0
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 10") // v1: part-1 retired
+    // recreate the EXACT file name the delete just retired: idxBase
+    // re-uses the freed index 1 and the k-range matches — the
+    // collision the rv<version> archive prefix exists for
+    import spark.implicits._
+    Seq((10L, "c", 9.0), (11L, "c", 9.5)).toDF("k", "st", "total")
+      .coalesce(1).createOrReplaceTempView("tt_ins")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM tt_ins") // v2
+    assert(new File(tbl, "part-1-10-11.csv").isFile,
+      "test setup: the insert was expected to recreate part-1-10-11.csv")
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 10") // v3: retired AGAIN
+    def stOf(v: Long, k: Long): String =
+      spark.sql(s"SELECT st FROM $cat.t VERSION AS OF $v WHERE k = $k")
+        .collect().head.getString(0)
+    def keys(v: Long): Set[Long] =
+      spark.sql(s"SELECT k FROM $cat.t VERSION AS OF $v")
+        .collect().map(_.getLong(0)).toSet
+    assert(keys(0) == Set(1L, 2L, 10L, 11L) && stOf(0, 10) == "b",
+      "v0 must read the ORIGINAL copy of the re-used name")
+    assert(keys(2) == Set(1L, 2L, 10L, 11L) && stOf(2, 10) == "c",
+      "v2 must read the SECOND copy of the re-used name")
+    assert(keys(1) == Set(1L, 2L) && keys(3) == Set(1L, 2L))
+    assert(spark.table(s"$cat.t").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "current must equal the newest snapshot")
+    // a snapshot is read-only
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM (SELECT * FROM $cat.t VERSION AS OF 0) WHERE k = 1") }
+    // vacuum keep=2: v0/v1 expire (and only their archive copy rv1 dies)
+    graft.sources.CowVersions.vacuum(tbl, 2)
+    intercept[Exception] { keys(0) }
+    intercept[Exception] { keys(1) }
+    assert(keys(2) == Set(1L, 2L, 10L, 11L) && stOf(2, 10) == "c",
+      "vacuum must not touch kept snapshots")
+    val archived = new File(tbl, "_archive").list().toSeq
+    assert(archived.exists(_.startsWith("rv3-")) && !archived.exists(_.startsWith("rv1-")),
+      s"vacuum kept/dropped the wrong archive copies: $archived")
+  }
+
   test("CowDeleteCatalog: ADD COLUMNS is metadata-only, INSERT round-trips NULLs, history null-pads, DELETE prunes evolved files") {
     val root = freshDir("cow_evo")
     val tbl = new File(root, "t"); tbl.mkdirs()
