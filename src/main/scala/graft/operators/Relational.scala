@@ -16,6 +16,51 @@ object Relational {
   /** memory-sink names must be unique per started query within a session */
   private val a11Seq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Shared versioned-table fixture for a27 (time travel) and a28
+    * (change feed): seed orders k<3000 as 4 stat-named files, enable
+    * versioning (v0), DELETE k<1000 (v1), INSERT the +100000-shifted
+    * [1500,3000) slice (v2). Registers the catalog and returns its
+    * name; idempotent — the mutation history runs once per fixture. */
+  private def ttFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val root = cachedFixture(s, d, "a27_tt") { p =>
+      val dir = new java.io.File(p, "orders_tt"); dir.mkdirs()
+      val rows = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+      val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+      rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+        val lines = chunk.map(r =>
+          s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+        java.nio.file.Files.write(
+          new java.io.File(dir,
+            s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+          java.util.Arrays.asList(lines: _*))
+      }
+    }
+    val cat = s"graft_tt_${Integer.toHexString(root.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val dir = new java.io.File(root, "orders_tt")
+    if (!graft.sources.CowVersions.enabled(dir)) {
+      graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed
+      s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 1000") // -> v1
+      t(s, d, "orders")
+        .filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+        .select((col("o_orderkey") + 100000L).as("k"),
+          col("o_orderstatus").as("st"), col("o_totalprice").as("total"))
+        .createOrReplaceTempView("a27_ins")
+      s.sql(s"INSERT INTO $cat.orders_tt SELECT * FROM a27_ins") // -> v2
+      val badVersionRaises =
+        try { s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 9")
+               .collect(); false }
+        catch { case _: Exception => true }
+      require(badVersionRaises,
+        "a27: VERSION AS OF a nonexistent snapshot must raise")
+    }
+    cat
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- A. scans / sources / sinks ----
     "a1_scan_parquet_full" -> ((s, d) =>
@@ -554,42 +599,7 @@ object Relational {
     // is bounded by the churn the vacuum horizon retains, never by
     // table size.
     "a27_catalog_time_travel" -> ((s, d) => {
-      val root = cachedFixture(s, d, "a27_tt") { p =>
-        val dir = new java.io.File(p, "orders_tt"); dir.mkdirs()
-        val rows = t(s, d, "orders").filter(col("o_orderkey") < 3000)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
-        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
-        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
-          val lines = chunk.map(r =>
-            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
-          java.nio.file.Files.write(
-            new java.io.File(dir,
-              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
-            java.util.Arrays.asList(lines: _*))
-        }
-      }
-      val cat = s"graft_tt_${Integer.toHexString(root.hashCode)}"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.CowDeleteCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.root", root)
-      val dir = new java.io.File(root, "orders_tt")
-      if (!graft.sources.CowVersions.enabled(dir)) {
-        graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed
-        s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 1000") // -> v1
-        t(s, d, "orders")
-          .filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
-          .select((col("o_orderkey") + 100000L).as("k"),
-            col("o_orderstatus").as("st"), col("o_totalprice").as("total"))
-          .createOrReplaceTempView("a27_ins")
-        s.sql(s"INSERT INTO $cat.orders_tt SELECT * FROM a27_ins") // -> v2
-        val badVersionRaises =
-          try { s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 9")
-                 .collect(); false }
-          catch { case _: Exception => true }
-        require(badVersionRaises,
-          "a27: VERSION AS OF a nonexistent snapshot must raise")
-      }
+      val cat = ttFixture(s, d)
       def leg(name: String, df: org.apache.spark.sql.DataFrame) =
         df.agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
             max(col("k")).as("max_k"),
@@ -601,6 +611,50 @@ object Relational {
         .unionAll(leg("v2", s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 2")))
         .unionAll(leg("current", s.table(s"$cat.orders_tt")))
         .orderBy("leg")
+    }),
+
+    // a28: CHANGE DATA FEED between snapshots — the read-side payoff of
+    // a27's versioning (Delta's CDF / Iceberg's incremental read): the
+    // row-level changes from v0 to v2 of the same mutation history,
+    // computed from the MANIFEST DIFF, not a full-table diff. Files
+    // present in both snapshots' manifests (identical resolved paths —
+    // immutable data files make path equality a content guarantee)
+    // contribute NOTHING and are never read (require-gated); only the
+    // symmetric difference is scanned, and the rewritten file's
+    // surviving rows cancel in the multiset difference (exceptAll), so
+    // the feed is exactly {deleted rows, inserted rows}. This is why a
+    // lakehouse CDC consumer costs churn-sized I/O, not table-sized:
+    // at 100 TB with a 0.1% daily churn, the feed reads ~100 GB. The
+    // differing files are read as plain CSV against the connector's
+    // schema — the storage format IS the contract (same bytes the
+    // pinned-snapshot scan serves).
+    "a28_catalog_change_feed" -> ((s, d) => {
+      val cat = ttFixture(s, d)
+      val dir = new java.io.File(
+        s.conf.get(s"spark.sql.catalog.$cat.root"), "orders_tt")
+      val va = graft.sources.CowVersions.resolve(dir, 0L).map(_.getAbsolutePath)
+      val vb = graft.sources.CowVersions.resolve(dir, 2L).map(_.getAbsolutePath)
+      val common = va.toSet.intersect(vb.toSet)
+      val onlyA = va.filterNot(common)
+      val onlyB = vb.filterNot(common)
+      require(common.nonEmpty,
+        "a28: the manifest diff must skip unchanged files — none were " +
+          "shared between the snapshots (file-diff scale story lost)")
+      val schema = graft.sources.CowTable.schema
+      def readFiles(paths: Seq[String]) =
+        if (paths.isEmpty)
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+            schema)
+        else s.read.schema(schema).csv(paths: _*)
+      val removed = readFiles(onlyA).exceptAll(readFiles(onlyB))
+      val added = readFiles(onlyB).exceptAll(readFiles(onlyA))
+      def leg(op: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+          .select(lit(op).as("op"), col("n_rows"), col("min_k"),
+            col("max_k"), col("sum_total"))
+      leg("D", removed).unionAll(leg("I", added)).orderBy("op")
     }),
 
     // a17: MALFORMED-ROW HANDLING MODES — the schema-enforcement contract
@@ -1824,6 +1878,21 @@ object Relational {
            SELECT 'current', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE)
            FROM v2)
          SELECT * FROM legs ORDER BY leg""",
+
+    // the v0→v2 feed is exactly {the purged range, the insert batch}
+    "a28_catalog_change_feed" ->
+      """WITH del AS (
+           SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1000),
+         ins AS (
+           SELECT o_orderkey + 100000 AS k,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000)
+         SELECT 'D' AS op, count(*) AS n_rows, min(k) AS min_k,
+                max(k) AS max_k, CAST(sum(p) AS DOUBLE) AS sum_total FROM del
+         UNION ALL
+         SELECT 'I', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE) FROM ins
+         ORDER BY op""",
 
     // seeded rows carry NULL in both added columns (short-row padding);
     // inserted rows reproduce the derived chan/prio including real NULLs
