@@ -801,6 +801,57 @@ object LlmOps {
         .orderBy("event_id")
     }),
 
+    // j27: LATE-ARRIVING DIMENSION with retro-correction — the failure
+    // mode j25's PIT join meets in production: the dimension FEED lags
+    // the fact feed, so a fact resolved at load time may bind a STALE
+    // version (a newer one valid at the fact's ts exists but hasn't
+    // arrived) or no version at all (the user's first signup is still
+    // in flight). The op resolves every fact TWICE — round 1 against
+    // the dimension as delivered by the lag cutoff, round 2 against
+    // the full history — and ledgers each fact: STABLE (same version
+    // both rounds — the early resolution was already right),
+    // CORRECTED (round 1 bound a stale version — the Kimball retro-
+    // correction case, the rows a naive load silently mis-attributes
+    // forever), LATE_MATCHED (unresolvable in round 1, parked and
+    // matched on retry), NEVER (no version at any time). The cutoff
+    // (2024-01-03) is probed non-vacuous: all four classes populate at
+    // both sf tiers (sf0.01: 945/714/190/132). Version identity = its
+    // effective ts (the argmax key), so the class test is exact
+    // integer comparison. Scale: each resolve is j25's equi-join on
+    // user_id + a map-side-combinable per-fact argmax; the two rounds
+    // then join on the fact key and the ledger is a 4-row
+    // map-side-combined agg — at 100 TB, round 1 is the load itself
+    // and round 2 is the churn-sized retry pass.
+    "j27_late_arriving_dim" -> ((s, d) => {
+      val cutoff = lit("2024-01-03 00:00:00").cast(TimestampType)
+      val ev = t(s, d, "events")
+      val dim = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), epochUs(col("ts")).as("from_us"), col("ts"))
+      val fact = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("ts_us"))
+      def resolve(dd: org.apache.spark.sql.DataFrame, tag: String) =
+        fact.as("f").join(dd.as("d"),
+            col("f.user_id") === col("d.user_id") &&
+              col("d.from_us") <= col("f.ts_us"), "left")
+          .groupBy(col("f.event_id").as("event_id"),
+            col("f.user_id").as("user_id"))
+          .agg(max(col("d.from_us")).as(tag))
+      val r1 = resolve(dim.filter(col("ts") <= cutoff), "m1")
+      val r2 = resolve(dim, "m2")
+      r1.join(r2, Seq("event_id", "user_id"))
+        .select(col("event_id"), col("user_id"),
+          when(col("m1").isNull && col("m2").isNull, "NEVER")
+            .when(col("m1").isNull, "LATE_MATCHED")
+            .when(col("m1") === col("m2"), "STABLE")
+            .otherwise("CORRECTED").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_facts"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy("status")
+    }),
+
     // j26: INCREMENTAL VIEW MAINTENANCE from CDC before/after images —
     // the op a streaming materialized view actually runs: a changelog in
     // the Debezium shape (op I/U/D, BEFORE image, AFTER image — planted
@@ -1284,6 +1335,37 @@ object LlmOps {
            ON f.user_id = d.user_id AND d.from_us <= f.ts_us
           AND (d.to_us IS NULL OR f.ts_us < d.to_us)
          ORDER BY f.event_id""",
+
+    // same two-round resolution; version identity = its effective ts
+    "j27_late_arriving_dim" ->
+      """WITH dim AS (
+           SELECT user_id, epoch_us(ts) AS from_us, ts
+           FROM events WHERE event_type = 'signup'),
+         fact AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         v1 AS (
+           SELECT f.event_id, f.user_id, max(d.from_us) AS m1
+           FROM fact f LEFT JOIN dim d
+             ON f.user_id = d.user_id AND d.from_us <= f.ts_us
+            AND d.ts <= TIMESTAMP '2024-01-03 00:00:00'
+           GROUP BY 1, 2),
+         v2 AS (
+           SELECT f.event_id, f.user_id, max(d.from_us) AS m2
+           FROM fact f LEFT JOIN dim d
+             ON f.user_id = d.user_id AND d.from_us <= f.ts_us
+           GROUP BY 1, 2),
+         cls AS (
+           SELECT v1.event_id, v1.user_id,
+                  CASE WHEN m1 IS NULL AND m2 IS NULL THEN 'NEVER'
+                       WHEN m1 IS NULL THEN 'LATE_MATCHED'
+                       WHEN m1 = m2 THEN 'STABLE'
+                       ELSE 'CORRECTED' END AS status
+           FROM v1 JOIN v2 USING (event_id, user_id))
+         SELECT status, count(*) AS n_facts,
+                count(DISTINCT user_id) AS n_users,
+                min(event_id) AS min_event, max(event_id) AS max_event
+         FROM cls GROUP BY 1 ORDER BY 1""",
 
     // the maintained view must equal the direct recompute over the
     // post-changelog table — the oracle IS that recompute, flag pinned true
