@@ -22,9 +22,13 @@ object Relational {
     * [1500,3000) slice (v2). Registers the catalog and returns its
     * name; idempotent — the mutation history runs once per fixture. */
   private def ttFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val root = cachedFixture(s, d, "a27_tt") { p =>
+    // ranges are TIER-PROOF: sf0.001's orders keys stop at 1499, so the
+    // seed/delete/insert slices all live below 1200 (the first cut used
+    // [1500,3000) for the insert — empty at sf0.001, which silently
+    // skipped the v2 snapshot and broke VERSION AS OF 2 at that tier)
+    val root = cachedFixture(s, d, "a27_tt_v2") { p =>
       val dir = new java.io.File(p, "orders_tt"); dir.mkdirs()
-      val rows = t(s, d, "orders").filter(col("o_orderkey") < 3000)
+      val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
       val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
@@ -44,13 +48,16 @@ object Relational {
     val dir = new java.io.File(root, "orders_tt")
     if (!graft.sources.CowVersions.enabled(dir)) {
       graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed
-      s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 1000") // -> v1
+      s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 400") // -> v1
       t(s, d, "orders")
-        .filter(col("o_orderkey") >= 1500 && col("o_orderkey") < 3000)
+        .filter(col("o_orderkey") >= 600 && col("o_orderkey") < 1200)
         .select((col("o_orderkey") + 100000L).as("k"),
           col("o_orderstatus").as("st"), col("o_totalprice").as("total"))
         .createOrReplaceTempView("a27_ins")
       s.sql(s"INSERT INTO $cat.orders_tt SELECT * FROM a27_ins") // -> v2
+      require(graft.sources.CowVersions.read(dir).map(_._1).max == 2L,
+        "ttFixture: the mutation history must produce snapshots 0,1,2 — " +
+          "a degenerate slice at this tier skipped one")
       val badVersionRaises =
         try { s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 9")
                .collect(); false }
@@ -632,11 +639,8 @@ object Relational {
       val cat = ttFixture(s, d)
       val dir = new java.io.File(
         s.conf.get(s"spark.sql.catalog.$cat.root"), "orders_tt")
-      val va = graft.sources.CowVersions.resolve(dir, 0L).map(_.getAbsolutePath)
-      val vb = graft.sources.CowVersions.resolve(dir, 2L).map(_.getAbsolutePath)
-      val common = va.toSet.intersect(vb.toSet)
-      val onlyA = va.filterNot(common)
-      val onlyB = vb.filterNot(common)
+      val (onlyA, onlyB, common) =
+        graft.sources.CowVersions.manifestDiff(dir, 0L, 2L)
       require(common.nonEmpty,
         "a28: the manifest diff must skip unchanged files — none were " +
           "shared between the snapshots (file-diff scale story lost)")
@@ -1860,12 +1864,12 @@ object Relational {
     "a27_catalog_time_travel" ->
       """WITH v0 AS (
            SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
-           FROM orders WHERE o_orderkey < 3000),
-         v1 AS (SELECT * FROM v0 WHERE k >= 1000),
+           FROM orders WHERE o_orderkey < 1200),
+         v1 AS (SELECT * FROM v0 WHERE k >= 400),
          ins AS (
            SELECT o_orderkey + 100000 AS k,
                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
-           FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000),
+           FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200),
          v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM ins),
          legs AS (
            SELECT 'v0' AS leg, count(*) AS n_rows, min(k) AS min_k,
@@ -1883,11 +1887,11 @@ object Relational {
     "a28_catalog_change_feed" ->
       """WITH del AS (
            SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
-           FROM orders WHERE o_orderkey < 1000),
+           FROM orders WHERE o_orderkey < 400),
          ins AS (
            SELECT o_orderkey + 100000 AS k,
                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
-           FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000)
+           FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200)
          SELECT 'D' AS op, count(*) AS n_rows, min(k) AS min_k,
                 max(k) AS max_k, CAST(sum(p) AS DOUBLE) AS sum_total FROM del
          UNION ALL

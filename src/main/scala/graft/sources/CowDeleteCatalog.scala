@@ -205,6 +205,18 @@ object CowVersions {
     }
   }
 
+  /** Manifest diff for the change feed (a28): (onlyA, onlyB, common)
+    * as resolved absolute paths. Files in `common` are byte-identical
+    * in both snapshots (immutable data files) — a CDC reader skips
+    * them without opening a single one. */
+  def manifestDiff(dir: java.io.File, va: Long, vb: Long)
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val a = resolve(dir, va).map(_.getAbsolutePath)
+    val b = resolve(dir, vb).map(_.getAbsolutePath)
+    val common = a.toSet.intersect(b.toSet)
+    (a.filterNot(common), b.filterNot(common), common.toSeq.sorted)
+  }
+
   /** Expire all but the newest `keep` snapshots; physically delete the
     * archive copies that only served expired snapshots. */
   def vacuum(dir: java.io.File, keep: Int): Unit = {

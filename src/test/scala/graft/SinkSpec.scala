@@ -288,6 +288,107 @@ class SinkSpec extends AnyFunSuite {
       s"vacuum kept/dropped the wrong archive copies: $archived")
   }
 
+  test("CowVersions fuzz: a random mutation history replays exactly through time travel and the manifest diff") {
+    // adversarial pin for the a27/a28 machinery: 14 seeded-random
+    // mutations (keyed deletes through the SQL surface, multi-row
+    // inserts through the V2 write path) against a sequential Scala
+    // reference model; every snapshot must replay byte-exactly via
+    // VERSION AS OF, the manifest diff must reproduce the reference
+    // multiset diff for two version pairs, and vacuum must expire
+    // exactly the dropped prefix.
+    val root = freshDir("cow_fuzz")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new File(tbl, "part-0-1-3.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,b,2.5", "3,c,3.5"))
+    java.nio.file.Files.write(new File(tbl, "part-1-10-12.csv").toPath,
+      java.util.Arrays.asList("10,d,1.0", "11,e,2.0", "12,f,3.0"))
+    val cat = s"cow_fuzz_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    graft.sources.CowVersions.enable(tbl)
+
+    type R = (Long, String, Double)
+    var cur: Vector[R] = Vector((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5),
+      (10L, "d", 1.0), (11L, "e", 2.0), (12L, "f", 3.0))
+    val snaps = scala.collection.mutable.ArrayBuffer[Vector[R]](cur)
+    val rnd = new scala.util.Random(42)
+    var nextKey = 100L
+    for (_ <- 1 to 14) {
+      if (rnd.nextBoolean() && cur.nonEmpty) {
+        // ops whose bound is an EXISTING key always delete >= 1 row, so
+        // engine and model agree a snapshot was created
+        val op = Seq("<=", ">=", "=")(rnd.nextInt(3))
+        val bound = cur(rnd.nextInt(cur.size))._1
+        spark.sql(s"DELETE FROM $cat.t WHERE k $op $bound")
+        val pred: Long => Boolean = op match {
+          case "<=" => _ <= bound
+          case ">=" => _ >= bound
+          case "=" => _ == bound
+        }
+        cur = cur.filterNot(r => pred(r._1))
+        snaps += cur
+      } else {
+        val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          // occasionally re-use a retired key range to exercise the
+          // file-name collision path
+          val k = if (rnd.nextInt(4) == 0 && nextKey > 100L)
+            100L + rnd.nextInt((nextKey - 100L).toInt)
+          else { nextKey += 1; nextKey }
+          (k, ('a' + rnd.nextInt(26)).toChar.toString,
+            rnd.nextInt(1000).toDouble / 4)
+        }
+        spark.sql(s"INSERT INTO $cat.t VALUES " +
+          rows.map { case (k, st, v) => s"($k, '$st', $v)" }.mkString(", "))
+        cur = cur ++ rows
+        snaps += cur
+      }
+    }
+    def ms(rows: Iterable[R]): Map[R, Int] =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    def msDiff(a: Iterable[R], b: Iterable[R]): Map[R, Int] = {
+      val mb = ms(b)
+      ms(a).map { case (r, n) => r -> (n - mb.getOrElse(r, 0)) }
+        .filter(_._2 > 0)
+    }
+    val versions = graft.sources.CowVersions.read(tbl).map(_._1)
+    assert(versions.size == snaps.size,
+      s"engine has ${versions.size} snapshots, model has ${snaps.size}")
+    def readVersion(v: Long): Seq[R] =
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    versions.zip(snaps).foreach { case (v, snap) =>
+      assert(ms(readVersion(v)) == ms(snap), s"snapshot $v diverged from model")
+    }
+    assert(ms(spark.table(s"$cat.t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))) ==
+      ms(snaps.last), "current diverged from the newest snapshot")
+    // manifest diff == reference multiset diff, and common files skipped
+    val last = versions.size - 1
+    Seq((0, last), (last / 2, last)).foreach { case (ia, ib) =>
+      val (onlyA, onlyB, _) = graft.sources.CowVersions.manifestDiff(
+        tbl, versions(ia), versions(ib))
+      def readPaths(ps: Seq[String]): Seq[R] =
+        if (ps.isEmpty) Seq.empty
+        else spark.read.schema(graft.sources.CowTable.schema).csv(ps: _*)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+          .toSeq
+      val ra = readPaths(onlyA); val rb = readPaths(onlyB)
+      assert(msDiff(ra, rb) == msDiff(snaps(ia), snaps(ib)),
+        s"change feed v${versions(ia)}->v${versions(ib)}: removed diverged")
+      assert(msDiff(rb, ra) == msDiff(snaps(ib), snaps(ia)),
+        s"change feed v${versions(ia)}->v${versions(ib)}: added diverged")
+    }
+    // vacuum keeps the newest 3; the expired prefix raises, the rest replay
+    graft.sources.CowVersions.vacuum(tbl, 3)
+    versions.dropRight(3).foreach { v =>
+      intercept[Exception] { readVersion(v) }
+    }
+    versions.takeRight(3).zip(snaps.takeRight(3)).foreach { case (v, snap) =>
+      assert(ms(readVersion(v)) == ms(snap), s"vacuum corrupted kept snapshot $v")
+    }
+  }
+
   test("CowDeleteCatalog: ADD COLUMNS is metadata-only, INSERT round-trips NULLs, history null-pads, DELETE prunes evolved files") {
     val root = freshDir("cow_evo")
     val tbl = new File(root, "t"); tbl.mkdirs()
