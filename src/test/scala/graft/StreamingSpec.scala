@@ -507,6 +507,59 @@ class StreamingSpec extends AnyFunSuite {
       s"restart rescaled state partitions to $parts2 — the checkpoint's 3 must win")
   }
 
+  test("transformWithState state-schema evolution: an avro-encoded restart adds an optional state field") {
+    // the r15-starter question answered by measurement: with
+    // spark.sql.streaming.stateStore.encodingFormat=avro, a restarted
+    // StatefulProcessor whose state type gained an Option field decodes
+    // v1-written state with the new field defaulted — the upgrade path
+    // that ships a new feature without an offline state rebuild (the
+    // default unsaferow encoding refuses this with a schema-compat
+    // error; the rescale-contract test above pins the sibling
+    // partition-count invariant).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_evo_ckpt").toString
+    val input = MemoryStream[(Long, Long)]
+    val q1 = input.toDS().groupByKey(_._1)
+      .transformWithState(new EvoV1Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("k", "cnt", "sum")
+      .writeStream.foreachBatch(
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          df.count(): Unit
+        })
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    try {
+      input.addData((1L, 5L), (1L, 7L), (2L, 3L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q2 = input.toDS().groupByKey(_._1)
+      .transformWithState(new EvoV2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("k", "cnt", "sum", "maxv")
+      .writeStream.foreachBatch(
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+          got.synchronized {
+            got ++= df.collect().map(_.toSeq.map(_.asInstanceOf[Long]))
+          }: Unit
+        })
+      .option("checkpointLocation", ckpt).outputMode("update").start()
+    try {
+      input.addData((1L, 10L))
+      q2.processAllAvailable()
+    } finally { q2.stop(); s2.streams.resetTerminated() }
+    // cnt/sum carried over from the v1 state; maxv defaulted then updated
+    assert(got.contains(Seq(1L, 3L, 22L, 10L)),
+      s"evolved state did not carry v1 values with the new field defaulted: $got")
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
@@ -758,6 +811,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(st.map(_.numRowsRemoved).sum >= 4,
         s"expected slot+hour eviction, got ${st.map(_.numRowsRemoved).mkString(",")}")
     } finally q.stop()
+  }
+}
+
+/** State-schema-evolution probe (the r15-starter question, answered):
+  * v1 keeps (cnt, sum); v2 adds an OPTIONAL maxv field. Under the avro
+  * state encoding the restart must decode v1-written state with the new
+  * field defaulted — the upgrade path a stateful job needs to ship a new
+  * feature without an offline state rebuild. */
+case class EvoStateV1(cnt: Long, sum: Long)
+case class EvoStateV2(cnt: Long, sum: Long, maxv: Option[Long])
+
+class EvoV1Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[EvoStateV1] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV1]("agg",
+      org.apache.spark.sql.Encoders.product[EvoStateV1], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    val vs = rows.map(_._2).toSeq
+    val prev = if (st.exists()) st.get() else EvoStateV1(0L, 0L)
+    val next = EvoStateV1(prev.cnt + vs.size, prev.sum + vs.sum)
+    st.update(next)
+    Iterator((key, next.cnt, next.sum))
+  }
+}
+
+class EvoV2Processor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[EvoStateV2] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV2]("agg",
+      org.apache.spark.sql.Encoders.product[EvoStateV2], TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    val vs = rows.map(_._2).toSeq
+    val prev = if (st.exists()) st.get() else EvoStateV2(0L, 0L, None)
+    val next = EvoStateV2(prev.cnt + vs.size, prev.sum + vs.sum,
+      Some(math.max(prev.maxv.getOrElse(Long.MinValue), vs.max)))
+    st.update(next)
+    Iterator((key, next.cnt, next.sum, next.maxv.get))
   }
 }
 
