@@ -21,7 +21,7 @@ object Relational {
     * versioning (v0), DELETE k<1000 (v1), INSERT the +100000-shifted
     * [1500,3000) slice (v2). Registers the catalog and returns its
     * name; idempotent — the mutation history runs once per fixture. */
-  private def ttFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  private[operators] def ttFixture(s: org.apache.spark.sql.SparkSession, d: String): String = {
     // ranges are TIER-PROOF: sf0.001's orders keys stop at 1499, so the
     // seed/delete/insert slices all live below 1200 (the first cut used
     // [1500,3000) for the insert — empty at sf0.001, which silently

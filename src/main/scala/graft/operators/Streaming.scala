@@ -835,6 +835,39 @@ object Streaming {
     // joins the log's counts against the aggregate store — `consistent`
     // must be uniformly true, and is derivable by the oracle since the
     // two stores must agree with the SOURCE.
+    // i25: STREAMING CHANGE DATA FEED from the versioned catalog — the
+    // lakehouse CDC consumer (Delta's table-as-a-stream): snapshot
+    // VERSIONS are the offsets, each micro-batch emits the row-level
+    // diff of the versions it covers, tagged (op, version). The source
+    // (sources/CowChangeFeed) derives every batch from a28's MANIFEST
+    // diff — files shared by adjacent snapshots are never opened, a
+    // rewritten file's survivors cancel in the multiset difference —
+    // so a batch costs the CHURN of its versions, never a table scan.
+    // Offsets are committed version numbers: recovery replays
+    // byte-identical batches (StreamingSpec pins that a resumed feed
+    // emits ONLY versions committed after the checkpoint). Run over
+    // a27's mutation history, the feed must contain exactly two change
+    // sets: v1 = the keyed DELETE, v2 = the INSERT batch — which makes
+    // the whole streaming path oracle-derivable from orders.
+    "i25_stream_catalog_cdf" -> ((s, d) => {
+      val cat = Relational.ttFixture(s, d)
+      val dir = new java.io.File(
+        s.conf.get(s"spark.sql.catalog.$cat.root"), "orders_tt")
+      val name = s"graft_stream_${runSeq.incrementAndGet()}"
+      val q = s.readStream.format("graft.sources.CowChangeFeed")
+        .option("table", dir.getAbsolutePath).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratch(s, name, "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("version", "op")
+        .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+        .orderBy("version", "op")
+    }),
+
     "i24_stream_dual_sink" -> ((s, d) => {
       val tag = runSeq.incrementAndGet()
       val log = scratch(s, s"i24_$tag", "log")
@@ -1403,6 +1436,24 @@ object Streaming {
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the streamed feed must be exactly a27's mutation history:
+    // version 1 = the keyed DELETE, version 2 = the INSERT batch
+    "i25_stream_catalog_cdf" ->
+      """WITH del AS (
+           SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 400),
+         ins AS (
+           SELECT o_orderkey + 100000 AS k,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200)
+         SELECT CAST(1 AS BIGINT) AS version, 'D' AS op, count(*) AS n_rows,
+                min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(p) AS DOUBLE) AS sum_total FROM del
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'I', count(*), min(k), max(k),
+                CAST(sum(p) AS DOUBLE) FROM ins
+         ORDER BY version, op""",
 
     // both stores must agree with the SOURCE, so the dual-sink pair's
     // consistency flag is oracle-derivable

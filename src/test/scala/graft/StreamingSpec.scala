@@ -560,6 +560,42 @@ class StreamingSpec extends AnyFunSuite {
       s"evolved state did not carry v1 values with the new field defaulted: $got")
   }
 
+  test("i25 CDF resume: a restarted feed emits only versions committed after the checkpoint") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val tbl = new java.io.File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tbl, "part-0-1-2.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,b,2.5"))
+    val cat = s"cdf_spec_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    graft.sources.CowVersions.enable(tbl) // v0
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1") // v1
+    spark.sql(s"INSERT INTO $cat.t VALUES (5, 'x', 1.0)") // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
+    def drain(): Seq[(String, Long, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val q = spark.readStream.format("graft.sources.CowChangeFeed")
+        .option("table", tbl.getAbsolutePath).load()
+        .writeStream.foreachBatch(
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+            got.synchronized {
+              got ++= df.collect().map(r =>
+                (r.getString(0), r.getLong(1), r.getLong(2)))
+            }: Unit
+          })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSeq.sorted
+    }
+    assert(drain() == Seq(("D", 1L, 1L), ("I", 2L, 5L)),
+      "first drain must emit exactly the v1 delete and the v2 insert")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 2") // v3, after the checkpoint
+    assert(drain() == Seq(("D", 3L, 2L)),
+      "resumed drain must emit ONLY the post-checkpoint version")
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
