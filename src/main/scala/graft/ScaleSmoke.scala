@@ -196,7 +196,9 @@ object ScaleSmoke {
     // class multiply by the factor while the per-status agg output stays
     // 3 rows — the delta-sized-work-vs-base-sized-view regime the op is
     // built for
-    val ordersKeys = Set("j26_cdc_ivm_apply")
+    val ordersKeys = Set("j26_cdc_ivm_apply", "a26_catalog_schema_evolution",
+      "a27_catalog_time_travel", "a28_catalog_change_feed",
+      "i25_stream_catalog_cdf")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1
