@@ -46,16 +46,20 @@ object Relational {
       classOf[graft.sources.CowDeleteCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     val dir = new java.io.File(root, "orders_tt")
-    if (!graft.sources.CowVersions.enabled(dir)) {
-      graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed
-      s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 400") // -> v1
+    // per-mutation version-count guards: a crash mid-history resumes at
+    // the missing step instead of wedging the fixture at a partial state
+    graft.sources.CowVersions.enable(dir) // snapshot v0 = the seed (idempotent)
+    def ver(): Long = graft.sources.CowVersions.read(dir).map(_._1).max
+    if (ver() < 2L) {
+      if (ver() == 0L)
+        s.sql(s"DELETE FROM $cat.orders_tt WHERE k < 400") // -> v1
       t(s, d, "orders")
         .filter(col("o_orderkey") >= 600 && col("o_orderkey") < 1200)
         .select((col("o_orderkey") + 100000L).as("k"),
           col("o_orderstatus").as("st"), col("o_totalprice").as("total"))
         .createOrReplaceTempView("a27_ins")
       s.sql(s"INSERT INTO $cat.orders_tt SELECT * FROM a27_ins") // -> v2
-      require(graft.sources.CowVersions.read(dir).map(_._1).max == 2L,
+      require(ver() == 2L,
         "ttFixture: the mutation history must produce snapshots 0,1,2 — " +
           "a degenerate slice at this tier skipped one")
       val badVersionRaises =
@@ -618,6 +622,67 @@ object Relational {
         .unionAll(leg("v2", s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 2")))
         .unionAll(leg("current", s.table(s"$cat.orders_tt")))
         .orderBy("leg")
+    }),
+
+    // a29: EXECUTED UPDATE through the V2 row-level-operation API — the
+    // final DML leg (a25 executes DELETE via the METADATA path;
+    // j24 lowers UPDATE *language* over views; this runs `UPDATE` SQL
+    // END-TO-END through analyzer → RewriteUpdateTable → group-based
+    // ReplaceData → connector): the engine scans the affected group,
+    // applies the SET expressions itself (so three-valued predicate
+    // semantics are the ENGINE's — the nullable predicate below must
+    // leave NULL-pred rows untouched, b3/j24's 3VL pinned in actual
+    // execution), and hands the group's full post-image to the
+    // connector, whose commit atomically swaps the group's files.
+    // Versioning composes: the swap retires the old files and
+    // snapshots, so the BEFORE state stays readable via VERSION AS OF —
+    // both legs emitted and oracled. Group granularity here is the
+    // whole table; a finer format adds `_file` metadata + runtime group
+    // filtering on the same protocol (documented tradeoff, like the
+    // catalog's driver-local file IO). Money updated in DECIMAL,
+    // emitted as double (§7.2).
+    "a29_catalog_update_exec" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a29_upd") { p =>
+        val dir = new java.io.File(p, "orders_upd"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_upd_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_upd")
+      // guard each mutation on the VERSION COUNT, not on "versioning
+      // enabled" — a crash between enable and the mutation must retry
+      // the mutation on the next run, not skip it
+      graft.sources.CowVersions.enable(dir) // v0 = pre-update (idempotent)
+      if (graft.sources.CowVersions.read(dir).map(_._1).max == 0L) {
+        s.sql(s"""UPDATE $cat.orders_upd
+          SET total = CAST(CAST(total AS DECIMAL(18,2))
+                           + CAST(1.25 AS DECIMAL(3,2)) AS DOUBLE)
+          WHERE nullif(k % 7, 0) >= 3""") // -> v1
+        require(graft.sources.CowVersions.read(dir).map(_._1).max == 1L,
+          "a29: the executed UPDATE must commit exactly one snapshot")
+      }
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("st"))
+          .agg(count(lit(1)).as("n_rows"),
+            dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+          .select(lit(name).as("leg"), col("st"), col("n_rows"),
+            col("sum_total"))
+      leg("before", s.sql(s"SELECT * FROM $cat.orders_upd VERSION AS OF 0"))
+        .unionAll(leg("after", s.table(s"$cat.orders_upd")))
+        .orderBy("leg", "st")
     }),
 
     // a28: CHANGE DATA FEED between snapshots — the read-side payoff of
@@ -1882,6 +1947,25 @@ object Relational {
            SELECT 'current', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE)
            FROM v2)
          SELECT * FROM legs ORDER BY leg""",
+
+    // the engine's own CASE rewrite: NULL-pred rows (k%7=0) untouched
+    "a29_catalog_update_exec" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         upd AS (
+           SELECT k, st,
+                  CASE WHEN nullif(k % 7, 0) >= 3
+                       THEN p + CAST(1.25 AS DECIMAL(3,2)) ELSE p END AS p
+           FROM seed),
+         legs AS (
+           SELECT 'before' AS leg, st, count(*) AS n_rows,
+                  CAST(sum(p) AS DOUBLE) AS sum_total FROM seed GROUP BY st
+           UNION ALL
+           SELECT 'after', st, count(*), CAST(sum(p) AS DOUBLE)
+           FROM upd GROUP BY st)
+         SELECT * FROM legs ORDER BY leg, st""",
 
     // the v0→v2 feed is exactly {the purged range, the insert batch}
     "a28_catalog_change_feed" ->

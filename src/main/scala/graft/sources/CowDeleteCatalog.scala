@@ -353,8 +353,24 @@ object CowTable {
 class CowTable(tableName: String, dir: java.io.File,
     pinned: Option[Seq[java.io.File]] = None)
     extends Table with SupportsRead with SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import CowTable._
+
+  /** UPDATE execution (a29): the GROUP-BASED (copy-on-write) row-level
+    * operation — the engine rewrites the affected group with the SET
+    * expressions applied and the connector swaps the group's files.
+    * Granularity here is the whole table (one group); a format with
+    * finer groups adds `_file` metadata + runtime group filtering on
+    * the same protocol. DELETE does NOT route here: `canDeleteWhere`'s
+    * metadata path (a25) takes precedence for exact predicates, which
+    * is the correct economics (metadata delete ≪ CoW rewrite). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot mutate a VERSION AS OF snapshot")
+    () => new CowRowLevelOperation(dir, info.command)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = currentSchema(dir)
@@ -555,6 +571,122 @@ case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int)
           require(tmp.renameTo(target), s"CowBatchWrite: rename to $fin failed")
           CowFileCommitted(fin)
         }
+      }
+      override def abort(): Unit = { out.close(); tmp.delete(): Unit }
+      override def close(): Unit = ()
+    }
+}
+
+/** a29: GROUP-BASED row-level operation — Spark's RewriteUpdateTable
+  * plans `UPDATE` against this as: scan the affected group through
+  * [[newScanBuilder]], apply the SET expressions (with three-valued
+  * predicate semantics — the engine's own CASE rewrite), and hand the
+  * group's FULL post-image to [[newWriteBuilder]]'s write, whose commit
+  * atomically swaps the group's files (retiring them to the version
+  * archive when the table is versioned, so UPDATE history time-travels
+  * exactly like DELETE/INSERT history). */
+class CowRowLevelOperation(dir: java.io.File,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CowScan(dir)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: BatchWrite =
+            new CowReplaceWrite(dir, info.schema())
+        }
+    }
+}
+
+case class CowStagedReplacement(name: String, lo: Long, hi: Long, rows: Long)
+    extends WriterCommitMessage
+
+/** The replacement write: tasks STAGE the group's post-image; the
+  * driver-side commit swaps it in — retire-or-delete every current data
+  * file, publish the staged files under fresh indices, snapshot if
+  * versioned. Staged files are invisible to the manifest (the name
+  * pattern excludes them), so a crash before commit leaves the table
+  * untouched. */
+class CowReplaceWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    CowReplaceWriterFactory(dir.getAbsolutePath, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case m: CowStagedReplacement if m.name.nonEmpty => m }
+    val versioned = CowVersions.enabled(dir)
+    CowTable.manifest(dir).foreach { case (f, _, _) =>
+      if (versioned) CowVersions.retire(dir, f) else { f.delete(): Unit }
+    }
+    staged.zipWithIndex.foreach { case (m, i) =>
+      val target = new java.io.File(dir, s"part-$i-${m.lo}-${m.hi}.csv")
+      require(new java.io.File(dir, m.name).renameTo(target),
+        s"CowReplaceWrite: rename ${m.name} -> ${target.getName} failed")
+    }
+    if (versioned) CowVersions.commitSnapshot(dir)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CowStagedReplacement(n, _, _, _) if n.nonEmpty =>
+        new java.io.File(dir, n).delete(): Unit
+      case _ =>
+    }
+}
+
+case class CowReplaceWriterFactory(dirPath: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val dir = new java.io.File(dirPath)
+      private val tmp = new java.io.File(dir, s"._rpl-$partitionId-$taskId.tmp")
+      private val out = new java.io.BufferedWriter(new java.io.FileWriter(tmp))
+      private var n = 0L
+      private var lo = Long.MaxValue
+      private var hi = Long.MinValue
+      override def write(row: InternalRow): Unit = {
+        // the group-based rewrite's physical rows carry the engine's
+        // LEADING row-operation marker column (a per-row constant used
+        // for rewrite metrics) ahead of the declared write schema —
+        // align by offset, and fail loud if the layout ever changes
+        // shape rather than writing shifted garbage
+        val off = row.numFields - schema.fields.length
+        require(off >= 0 && off <= 1,
+          s"replace: unexpected row layout (${row.numFields} fields for " +
+            s"schema ${schema.fieldNames.mkString(",")})")
+        val line = schema.fields.indices.map { j =>
+          val f = schema.fields(j)
+          if (row.isNullAt(j + off)) {
+            require(j >= 3, s"replace: NULL in non-nullable base column ${f.name}")
+            ""
+          } else f.dataType match {
+            case LongType => row.getLong(j + off).toString
+            case DoubleType => row.getDouble(j + off).toString
+            case StringType =>
+              val s = row.getUTF8String(j + off).toString
+              require(!s.contains(",") && s.nonEmpty,
+                s"replace: string for ${f.name} must be non-empty, comma-free")
+              s
+            case dt => sys.error(s"unreachable: $dt")
+          }
+        }.mkString(",")
+        val k = row.getLong(off)
+        if (k < lo) lo = k
+        if (k > hi) hi = k
+        out.write(line); out.newLine()
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        if (n == 0) { tmp.delete(); CowStagedReplacement("", 0L, 0L, 0L) }
+        else CowStagedReplacement(tmp.getName, lo, hi, n)
       }
       override def abort(): Unit = { out.close(); tmp.delete(): Unit }
       override def close(): Unit = ()

@@ -201,11 +201,11 @@ class SinkSpec extends AnyFunSuite {
   test("CowDeleteCatalog: executable DELETE prunes files, is idempotent, and refuses inexact predicates") {
     val root = freshDir("cow")
     val tbl = new File(root, "t"); tbl.mkdirs()
-    // three files with known k-ranges: [1,3], [10,12], [20,22]
-    def write(i: Int, lo: Int, hi: Int): Unit =
+    // three files with known k-ranges: [1,3], [10,12] (st=x), [20,22] (st=y)
+    def write(i: Int, lo: Int, hi: Int, st: String): Unit =
       java.nio.file.Files.write(new File(tbl, s"part-$i-$lo-$hi.csv").toPath,
-        java.util.Arrays.asList((lo to hi).map(k => s"$k,x,1.5"): _*))
-    write(0, 1, 3); write(1, 10, 12); write(2, 20, 22)
+        java.util.Arrays.asList((lo to hi).map(k => s"$k,$st,1.5"): _*))
+    write(0, 1, 3, "x"); write(1, 10, 12, "x"); write(2, 20, 22, "y")
     val cat = s"cow_spec_${root.hashCode.toHexString}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.CowDeleteCatalog].getName)
@@ -227,10 +227,13 @@ class SinkSpec extends AnyFunSuite {
     graft.sources.CowTable.manifest(tbl).foreach { case (f, _, _) =>
       assert(mts(f.getName) == f.lastModified, s"${f.getName} rewritten on re-delete")
     }
-    // a predicate the connector cannot apply exactly must RAISE, not half-delete
-    val e = intercept[Exception] { spark.sql(s"DELETE FROM $cat.t WHERE st = 'x'") }
-    assert(e.getMessage.toLowerCase.contains("delete"), s"unexpected error: ${e.getMessage}")
-    assert(spark.table(s"$cat.t").count() == 5, "refused delete must not change data")
+    // a predicate the METADATA path cannot apply exactly falls back to
+    // the row-level CoW rewrite (a29's SupportsRowLevelOperations) and
+    // still deletes EXACTLY the matching rows — before a29 landed, the
+    // engine raised here; executing is the lakehouse-correct upgrade
+    spark.sql(s"DELETE FROM $cat.t WHERE st = 'x'")
+    assert(spark.table(s"$cat.t").collect().map(_.getLong(0)).toSet ==
+      Set(20L, 21L, 22L), "row-level fallback deleted the wrong rows")
     // TRUNCATE routes through SupportsDeleteV2's default truncateTable
     // (deleteWhere(ALWAYS_TRUE)) — the same CoW path, delete-everything case
     spark.sql(s"TRUNCATE TABLE $cat.t")
