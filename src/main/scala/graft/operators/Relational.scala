@@ -685,6 +685,70 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a30: EXECUTED MERGE INTO through the same row-level-operation API
+    // as a29 — the capstone of the DML story: one connector surface
+    // (SupportsRowLevelOperations + the CoW replace write) and the
+    // engine executes ALL of UPDATE (a29), inexact DELETE (a25's
+    // fallback), and now the full THREE-CLAUSE MERGE — matched UPDATE,
+    // not-matched INSERT, not-matched-BY-SOURCE conditional DELETE —
+    // via RewriteMergeIntoTable → group-based ReplaceData. j18 proved
+    // the MERGE *language* lowers to the right plan over views; this
+    // proves the engine DRIVES A CONNECTOR with it, end-to-end, with
+    // the versioned before-state readable via VERSION AS OF (both legs
+    // oracled). Tier-proof slices: matched = [600,1200) (bump +2.50 in
+    // DECIMAL), inserts = [0,600) shifted +200000, by-source delete =
+    // target k < 300.
+    "a30_catalog_merge_exec" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a30_mrg") { p =>
+        val dir = new java.io.File(p, "orders_mrg"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_mrg_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_mrg")
+      graft.sources.CowVersions.enable(dir) // v0 (idempotent)
+      if (graft.sources.CowVersions.read(dir).map(_._1).max == 0L) {
+        val ord = t(s, d, "orders")
+        ord.filter(col("o_orderkey") >= 600 && col("o_orderkey") < 1200)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_totalprice").as("total"))
+          .unionAll(ord.filter(col("o_orderkey") < 600)
+            .select((col("o_orderkey") + 200000L).as("k"),
+              col("o_orderstatus").as("st"), col("o_totalprice").as("total")))
+          .createOrReplaceTempView("a30_src")
+        s.sql(s"""MERGE INTO $cat.orders_mrg t USING a30_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET
+            total = CAST(CAST(t.total AS DECIMAL(18,2))
+                         + CAST(2.50 AS DECIMAL(3,2)) AS DOUBLE)
+          WHEN NOT MATCHED THEN INSERT (k, st, total) VALUES (s.k, s.st, s.total)
+          WHEN NOT MATCHED BY SOURCE AND t.k < 300 THEN DELETE""") // -> v1
+        require(graft.sources.CowVersions.read(dir).map(_._1).max == 1L,
+          "a30: the executed MERGE must commit exactly one snapshot")
+      }
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("st"))
+          .agg(count(lit(1)).as("n_rows"),
+            dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+          .select(lit(name).as("leg"), col("st"), col("n_rows"),
+            col("sum_total"))
+      leg("before", s.sql(s"SELECT * FROM $cat.orders_mrg VERSION AS OF 0"))
+        .unionAll(leg("after", s.table(s"$cat.orders_mrg")))
+        .orderBy("leg", "st")
+    }),
+
     // a28: CHANGE DATA FEED between snapshots — the read-side payoff of
     // a27's versioning (Delta's CDF / Iceberg's incremental read): the
     // row-level changes from v0 to v2 of the same mutation history,
@@ -1947,6 +2011,30 @@ object Relational {
            SELECT 'current', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE)
            FROM v2)
          SELECT * FROM legs ORDER BY leg""",
+
+    // the three-clause merge reconstructed: k<300 deleted (no source
+    // match), 300-599 untouched, 600-1199 bumped, shifted [0,600) inserted
+    "a30_catalog_merge_exec" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         merged AS (
+           SELECT k, st,
+                  CASE WHEN k >= 600 THEN p + CAST(2.50 AS DECIMAL(3,2))
+                       ELSE p END AS p
+           FROM seed WHERE k >= 300
+           UNION ALL
+           SELECT o_orderkey + 200000, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 600),
+         legs AS (
+           SELECT 'before' AS leg, st, count(*) AS n_rows,
+                  CAST(sum(p) AS DOUBLE) AS sum_total FROM seed GROUP BY st
+           UNION ALL
+           SELECT 'after', st, count(*), CAST(sum(p) AS DOUBLE)
+           FROM merged GROUP BY st)
+         SELECT * FROM legs ORDER BY leg, st""",
 
     // the engine's own CASE rewrite: NULL-pred rows (k%7=0) untouched
     "a29_catalog_update_exec" ->
