@@ -821,6 +821,51 @@ object Streaming {
         .orderBy("user_id")
     }),
 
+    // i26: STREAMING MATERIALIZED VIEW from the change feed — the full
+    // CDC pipeline closed end-to-end: i25's catalog CDF stream drives
+    // j26's IVM algebra inside foreachBatch, maintaining a per-status
+    // aggregate store that only ever does DELTA-sized work (Δn = I−D,
+    // Δsum from the change rows — count/sum self-maintainability,
+    // j26's theorem, now exercised by the ENGINE's own micro-batches).
+    // The store is versioned by batchId (i19's idempotent-overwrite
+    // idiom): a replayed batch re-lands its own version, so the view
+    // can never double-apply. Money folds in exact integer CENTS
+    // (dec(total)·100 → long) so batch boundaries cannot drift the
+    // sum. The final maintained view must equal a direct aggregate of
+    // the table's final state — which is exactly what the oracle
+    // computes from orders, so the whole stream→apply→merge path is
+    // hash-pinned.
+    "i26_stream_cdf_materialize" -> ((s, d) => {
+      val cat = Relational.ttFixture(s, d)
+      val dir = new java.io.File(
+        s.conf.get(s"spark.sql.catalog.$cat.root"), "orders_tt")
+      val tag = runSeq.incrementAndGet()
+      val store = scratch(s, s"i26_$tag", "view")
+      // initial-snapshot load: the feed starts AFTER v0 (the seed is
+      // table state, not a change), so the view bootstraps from the v0
+      // snapshot at version −1 — the standard snapshot-then-CDC pattern
+      s.sql(s"SELECT * FROM $cat.orders_tt VERSION AS OF 0")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((dec(col("total"), 18, 2) * 100).cast(LongType)).as("sum_cents"))
+        .write.mode("overwrite").parquet(s"$store/v-1")
+      val q = s.readStream.format("graft.sources.CowChangeFeed")
+        .option("table", dir.getAbsolutePath).load()
+        .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+          cdfApplyBatch(s, store, batch, batchId)
+        }
+        .option("checkpointLocation", scratch(s, s"i26_$tag", "ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val versions = new java.io.File(store).list()
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      require(versions.nonEmpty, "i26: the feed produced no batches")
+      s.read.parquet(s"$store/v${versions.max}")
+        .select(col("st"), col("n_rows"),
+          dbl(dec(col("sum_cents"), 20, 0) / 100).as("sum_total"))
+        .orderBy("st")
+    }),
+
     // i24: TRANSACTIONAL DUAL SINK — the "outbox problem" of streaming
     // ETL (i19 upserts ONE store; production batches usually must land
     // in TWO: the raw audit LOG and the serving AGGREGATE — the classic
@@ -1045,6 +1090,30 @@ object Streaming {
           .groupBy("event_type").agg(sum(col("cnt")).as("cnt"))
     }
     merged.write.mode("overwrite").parquet(s"$agg/v$batchId")
+  }
+
+  /** i26's per-batch IVM apply: fold the batch's change rows into
+    * per-status (Δn, Δcents) and merge with the prior view version —
+    * delta-sized work regardless of view size (j26's algebra), written
+    * as an idempotent overwrite of version `batchId` (i19's idiom). The
+    * view is bootstrapped by the key with the v0 snapshot at version
+    * −1 — the standard "initial snapshot, then CDC" load. */
+  private[graft] def cdfApplyBatch(s: SparkSession, store: String,
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      batchId: Long): Unit = {
+    val cents = (dec(col("total"), 18, 2) * 100).cast(LongType)
+    val delta = batch.groupBy(col("st"))
+      .agg(sum(when(col("op") === "I", 1L).otherwise(-1L)).as("n_rows"),
+        sum(when(col("op") === "I", cents).otherwise(-cents)).as("sum_cents"))
+    val merged = latestVersion(store, below = Some(batchId)) match {
+      case None => delta
+      case Some(v) =>
+        s.read.parquet(s"$store/v$v").unionByName(delta)
+          .groupBy("st").agg(sum(col("n_rows")).as("n_rows"),
+            sum(col("sum_cents")).as("sum_cents"))
+    }
+    merged.filter(col("n_rows") > 0L)
+      .write.mode("overwrite").parquet(s"$store/v$batchId")
   }
 
   private def latestVersion(store: String, below: Option[Long] = None): Option[Long] = {
@@ -1436,6 +1505,18 @@ object Streaming {
       """SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
            event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the maintained view must equal a direct aggregate of the table's
+    // FINAL state: v1 survivors (k >= 400) plus the v2 insert batch
+    "i26_stream_cdf_materialize" ->
+      """WITH fin AS (
+           SELECT o_orderstatus AS st, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200
+           UNION ALL
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200)
+         SELECT st, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
+         FROM fin GROUP BY st ORDER BY st""",
 
     // the streamed feed must be exactly a27's mutation history:
     // version 1 = the keyed DELETE, version 2 = the INSERT batch

@@ -596,6 +596,26 @@ class StreamingSpec extends AnyFunSuite {
       "resumed drain must emit ONLY the post-checkpoint version")
   }
 
+  test("i26 IVM apply: a replayed CDC batch re-lands its own version without double-applying") {
+    import spark.implicits._
+    val store = Tables.scratch(spark, "i26spec", "view")
+    def batch(rows: (String, Long, Long, String, Double)*) =
+      rows.toDF("op", "version", "k", "st", "total")
+    // bootstrap (v-1) + batch 0
+    Seq(("x", 2L, 300L)).toDF("st", "n_rows", "sum_cents")
+      .write.mode("overwrite").parquet(s"$store/v-1")
+    val b0 = batch(("D", 1L, 1L, "x", 1.0), ("I", 2L, 5L, "y", 2.0))
+    operators.Streaming.cdfApplyBatch(spark, store, b0, 0L)
+    def state(): Map[String, (Long, Long)] =
+      spark.read.parquet(s"$store/v0").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val healthy = state()
+    assert(healthy == Map("x" -> (1L, 200L), "y" -> (1L, 200L)), s"got $healthy")
+    // at-least-once replay: identical batch, identical store version
+    operators.Streaming.cdfApplyBatch(spark, store, b0, 0L)
+    assert(state() == healthy, "replayed batch double-applied")
+  }
+
   test("i17 TTL: a short-TTL ValueState expires between emissions") {
     // state TTL is a PROCESSING-TIME contract — the engine requires
     // TimeMode.ProcessingTime for any non-NONE TTLConfig. In that mode a
