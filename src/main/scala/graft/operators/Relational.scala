@@ -636,10 +636,12 @@ object Relational {
     // connector, whose commit atomically swaps the group's files.
     // Versioning composes: the swap retires the old files and
     // snapshots, so the BEFORE state stays readable via VERSION AS OF —
-    // both legs emitted and oracled. Group granularity here is the
-    // whole table; a finer format adds `_file` metadata + runtime group
-    // filtering on the same protocol (documented tradeoff, like the
-    // catalog's driver-local file IO). Money updated in DECIMAL,
+    // both legs emitted and oracled. Groups are FILE-LEVEL: the table
+    // exposes `_file` metadata, the engine's runtime group filter
+    // proves which files hold matching rows, and the replace commit
+    // swaps ONLY those — files whose rows cannot match stay
+    // byte-identical (SinkSpec pins the mtime gate; a25's pruning
+    // economics, now for UPDATE/MERGE). Money updated in DECIMAL,
     // emitted as double (§7.2).
     "a29_catalog_update_exec" -> ((s, d) => {
       val root = cachedFixture(s, d, "a29_upd") { p =>

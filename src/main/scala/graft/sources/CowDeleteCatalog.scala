@@ -354,8 +354,19 @@ class CowTable(tableName: String, dir: java.io.File,
     pinned: Option[Seq[java.io.File]] = None)
     extends Table with SupportsRead with SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import CowTable._
+
+  /** `_file` metadata (a29's file-level groups): the group identity the
+    * runtime group filter prunes on — the row-level scan serves it; the
+    * replace write's commit swaps only the files it names. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+    })
 
   /** UPDATE execution (a29): the GROUP-BASED (copy-on-write) row-level
     * operation — the engine rewrites the affected group with the SET
@@ -380,7 +391,15 @@ class CowTable(tableName: String, dir: java.io.File,
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CowScan(dir, pinned)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // serves pruned data columns plus `_file` when referenced (the
+      // group-filter subquery of a29's row-level ops reads it through
+      // THIS scan — the relation's scan, not the rewrite scan)
+      private var required: StructType = currentSchema(dir)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new CowScan(dir, pinned, required)
+    }
 
   /** INSERT INTO leg (a26): rows arrive in the table's CURRENT schema.
     * Tasks stage to temp files; task commit (serialized by the commit
@@ -453,47 +472,22 @@ class CowTable(tableName: String, dir: java.io.File,
 /** Batch scan: one input partition per data file (the lake parallelism
   * unit), line-parsed against the table's CURRENT schema — history files
   * written before an ADD COLUMN have fewer fields and read back with
-  * NULLs in the added positions (the metadata-only-evolution contract). */
-class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None)
+  * NULLs in the added positions (the metadata-only-evolution contract).
+  * Serves the pruned column set, including the `_file` group-identity
+  * metadata column (each row's source file name). */
+class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None,
+    requiredOpt: StructType = null)
     extends Scan with Batch {
-  private val schema = CowTable.currentSchema(dir)
-  override def readSchema(): StructType = schema
+  private val required =
+    Option(requiredOpt).getOrElse(CowTable.currentSchema(dir))
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     pinned.getOrElse(CowTable.manifest(dir).map(_._1))
-      .map(f => CowPartition(f.getAbsolutePath)).toArray
+      .map(f => CowRowPartition(f.getAbsolutePath, f.getName)
+        : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    CowReaderFactory(schema)
-}
-
-case class CowPartition(path: String) extends InputPartition
-
-case class CowReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(partition.asInstanceOf[CowPartition].path))
-    val width = schema.fields.length
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < lines.size() }
-      override def get(): InternalRow = {
-        // keep-trailing-empties split, then null-pad to the current width:
-        // short rows are history from before an ADD COLUMN
-        val parts = lines.get(i).split(",", -1)
-        val vals = Array.tabulate[Any](width) { j =>
-          if (j >= parts.length || (j >= 3 && parts(j).isEmpty)) null
-          else schema.fields(j).dataType match {
-            case LongType => parts(j).toLong
-            case DoubleType => parts(j).toDouble
-            case StringType => UTF8String.fromString(parts(j))
-            case dt => sys.error(s"unreachable: $dt")
-          }
-        }
-        InternalRow.fromSeq(vals.toSeq)
-      }
-      override def close(): Unit = {}
-    }
-  }
+    CowRowReaderFactory(required, CowTable.currentSchema(dir))
 }
 
 case class CowFileCommitted(name: String) extends WriterCommitMessage
@@ -588,9 +582,20 @@ case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int)
 class CowRowLevelOperation(dir: java.io.File,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  /** File names the runtime group filter proved affected; None = no
+    * filter delivered → the write must swap every file (safe fallback).
+    * Shared between this operation's scan and write — the standard
+    * group-based coordination (the scan discovers the groups, the
+    * write replaces exactly them). */
+  @volatile var affected: Option[Set[String]] = None
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  // the group identity column the engine's runtime group filter prunes on
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CowScan(dir)
+    new CowRowScanBuilder(dir, this)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -598,21 +603,115 @@ class CowRowLevelOperation(dir: java.io.File,
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: BatchWrite =
-            new CowReplaceWrite(dir, info.schema())
+            new CowReplaceWrite(dir, info.schema(), CowRowLevelOperation.this)
         }
     }
+}
+
+/** Rewrite-scan builder: prunes to the engine's requested columns (data
+  * columns plus `_file` when the group filter references it). */
+class CowRowScanBuilder(dir: java.io.File, op: CowRowLevelOperation)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = CowTable.currentSchema(dir)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CowRowScan(dir, op, required)
+}
+
+/** The row-level rewrite scan: serves data columns + `_file`, accepts
+  * the runtime group filter on `_file`, and records the proven group
+  * set on the operation so the replace write swaps ONLY those files. */
+class CowRowScan(dir: java.io.File, op: CowRowLevelOperation,
+    required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val names = predicates.flatMap { p =>
+      def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference => r.fieldNames.sameElements(Array("_file"))
+          case _ => false
+        }
+      p.name() match {
+        case "IN" if isFileRef(p.children.head) =>
+          p.children.tail.collect { case l: Literal[_] => l.value.toString }
+        case "=" if p.children.length == 2 && isFileRef(p.children.head) =>
+          p.children.tail.collect { case l: Literal[_] => l.value.toString }
+        case _ => Array.empty[String]
+      }
+    }
+    if (names.nonEmpty) op.affected = Some(names.toSet)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = CowTable.manifest(dir).map(_._1)
+    val kept = op.affected match {
+      case Some(set) => files.filter(f => set.contains(f.getName))
+      case None => files
+    }
+    kept.map(f => CowRowPartition(f.getAbsolutePath, f.getName)
+      : InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowRowReaderFactory(required, CowTable.currentSchema(dir))
+}
+
+case class CowRowPartition(path: String, fileName: String) extends InputPartition
+
+case class CowRowReaderFactory(required: StructType, full: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CowRowPartition]
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(p.path))
+    // per-required-field extractors: data columns by position in the
+    // full schema (short rows null-pad), `_file` = this file's name
+    val fileIdx = full.fieldNames.zipWithIndex.toMap
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < lines.size() }
+      override def get(): InternalRow = {
+        val parts = lines.get(i).split(",", -1)
+        val vals = required.fields.map { f =>
+          if (f.name == "_file") UTF8String.fromString(p.fileName)
+          else {
+            val j = fileIdx(f.name)
+            if (j >= parts.length || (j >= 3 && parts(j).isEmpty)) null
+            else full.fields(j).dataType match {
+              case LongType => parts(j).toLong
+              case DoubleType => parts(j).toDouble
+              case StringType => UTF8String.fromString(parts(j))
+              case dt => sys.error(s"unreachable: $dt")
+            }
+          }
+        }
+        InternalRow.fromSeq(vals.toSeq)
+      }
+      override def close(): Unit = {}
+    }
+  }
 }
 
 case class CowStagedReplacement(name: String, lo: Long, hi: Long, rows: Long)
     extends WriterCommitMessage
 
 /** The replacement write: tasks STAGE the group's post-image; the
-  * driver-side commit swaps it in — retire-or-delete every current data
-  * file, publish the staged files under fresh indices, snapshot if
-  * versioned. Staged files are invisible to the manifest (the name
-  * pattern excludes them), so a crash before commit leaves the table
-  * untouched. */
-class CowReplaceWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
+  * driver-side commit swaps it in — retire-or-delete the AFFECTED
+  * group's files (every file when no runtime group filter was
+  * delivered — the safe whole-table fallback), publish the staged
+  * files under fresh indices, snapshot if versioned. Staged files are
+  * invisible to the manifest (the name pattern excludes them), so a
+  * crash before commit leaves the table untouched. */
+class CowReplaceWrite(dir: java.io.File, schema: StructType,
+    op: CowRowLevelOperation) extends BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
@@ -622,11 +721,18 @@ class CowReplaceWrite(dir: java.io.File, schema: StructType) extends BatchWrite 
     val staged = messages.collect {
       case m: CowStagedReplacement if m.name.nonEmpty => m }
     val versioned = CowVersions.enabled(dir)
+    val affected = op.affected
     CowTable.manifest(dir).foreach { case (f, _, _) =>
-      if (versioned) CowVersions.retire(dir, f) else { f.delete(): Unit }
+      if (affected.forall(_.contains(f.getName))) {
+        if (versioned) CowVersions.retire(dir, f) else { f.delete(): Unit }
+      }
     }
+    // surviving (unaffected) files keep their indices; staged files
+    // publish above them
+    val base = CowTable.manifest(dir)
+      .map(_._1.getName.split("-")(1).toInt).foldLeft(-1)(math.max) + 1
     staged.zipWithIndex.foreach { case (m, i) =>
-      val target = new java.io.File(dir, s"part-$i-${m.lo}-${m.hi}.csv")
+      val target = new java.io.File(dir, s"part-${base + i}-${m.lo}-${m.hi}.csv")
       require(new java.io.File(dir, m.name).renameTo(target),
         s"CowReplaceWrite: rename ${m.name} -> ${target.getName} failed")
     }
@@ -651,6 +757,12 @@ case class CowReplaceWriterFactory(dirPath: String, schema: StructType)
       private var n = 0L
       private var lo = Long.MaxValue
       private var hi = Long.MinValue
+      // the declared write schema may carry `_file` (the preserved group
+      // metadata column) — serialize only the DATA fields
+      private val dataFields = schema.fields.zipWithIndex
+        .filter(_._1.name != "_file")
+      private val kPos = dataFields.indexWhere(_._1.name == "k")
+
       override def write(row: InternalRow): Unit = {
         // the group-based rewrite's physical rows carry the engine's
         // LEADING row-operation marker column (a per-row constant used
@@ -661,23 +773,25 @@ case class CowReplaceWriterFactory(dirPath: String, schema: StructType)
         require(off >= 0 && off <= 1,
           s"replace: unexpected row layout (${row.numFields} fields for " +
             s"schema ${schema.fieldNames.mkString(",")})")
-        val line = schema.fields.indices.map { j =>
-          val f = schema.fields(j)
-          if (row.isNullAt(j + off)) {
-            require(j >= 3, s"replace: NULL in non-nullable base column ${f.name}")
+        var dj = -1
+        val line = dataFields.map { case (f, idx) =>
+          dj += 1
+          val j = idx + off
+          if (row.isNullAt(j)) {
+            require(dj >= 3, s"replace: NULL in non-nullable base column ${f.name}")
             ""
           } else f.dataType match {
-            case LongType => row.getLong(j + off).toString
-            case DoubleType => row.getDouble(j + off).toString
+            case LongType => row.getLong(j).toString
+            case DoubleType => row.getDouble(j).toString
             case StringType =>
-              val s = row.getUTF8String(j + off).toString
+              val s = row.getUTF8String(j).toString
               require(!s.contains(",") && s.nonEmpty,
                 s"replace: string for ${f.name} must be non-empty, comma-free")
               s
             case dt => sys.error(s"unreachable: $dt")
           }
         }.mkString(",")
-        val k = row.getLong(off)
+        val k = row.getLong(dataFields(math.max(kPos, 0))._2 + off)
         if (k < lo) lo = k
         if (k > hi) hi = k
         out.write(line); out.newLine()

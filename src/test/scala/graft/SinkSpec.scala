@@ -291,6 +291,42 @@ class SinkSpec extends AnyFunSuite {
       s"vacuum kept/dropped the wrong archive copies: $archived")
   }
 
+  test("row-level UPDATE prunes to affected files via the runtime group filter") {
+    // a29's file-level groups: the engine's group-filter subquery reads
+    // `_file` for matching rows, runtime-filters the rewrite scan to
+    // those files, and the replace commit swaps ONLY them — files whose
+    // rows cannot match stay byte-identical (the a25 pruning economics,
+    // now for UPDATE/MERGE)
+    val root = freshDir("cow_rlp")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new File(tbl, "part-0-1-3.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,a,2.5", "3,a,3.5"))
+    java.nio.file.Files.write(new File(tbl, "part-1-10-12.csv").toPath,
+      java.util.Arrays.asList("10,b,1.0", "11,b,2.0", "12,b,3.0"))
+    java.nio.file.Files.write(new File(tbl, "part-2-20-22.csv").toPath,
+      java.util.Arrays.asList("20,c,1.0", "21,c,2.0", "22,c,3.0"))
+    val cat = s"cow_rlp_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val f1 = new File(tbl, "part-1-10-12.csv")
+    val f2 = new File(tbl, "part-2-20-22.csv")
+    val (s1, m1) = (f1.length, f1.lastModified)
+    val (s2, m2) = (f2.length, f2.lastModified)
+    spark.sql(s"UPDATE $cat.t SET total = total + 10.0 WHERE k <= 3")
+    val got = spark.table(s"$cat.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 11.5), (2L, 12.5), (3L, 13.5), (10L, 1.0),
+      (11L, 2.0), (12L, 3.0), (20L, 1.0), (21L, 2.0), (22L, 3.0)),
+      s"update applied wrong rows: ${got.toSeq}")
+    assert((f1.length, f1.lastModified) == (s1, m1) &&
+      (f2.length, f2.lastModified) == (s2, m2),
+      "UPDATE rewrote files outside the affected group — runtime group " +
+        "filtering did not prune")
+    assert(!new File(tbl, "part-0-1-3.csv").exists(),
+      "the affected file must have been replaced")
+  }
+
   test("CowVersions fuzz: a random mutation history replays exactly through time travel and the manifest diff") {
     // adversarial pin for the a27/a28 machinery: 14 seeded-random
     // mutations (keyed deletes through the SQL surface, multi-row
