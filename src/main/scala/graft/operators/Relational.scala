@@ -751,6 +751,95 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a31: the same executed DML — through the MERGE-ON-READ half of
+    // the row-level API (`SupportsDelta`). Where a29/a30's CoW
+    // operation rewrites affected files, here the engine hands the
+    // connector ONLY the changed rows (DeltaWriter.delete/update/
+    // insert keyed by the declared rowId `k`) and every statement
+    // appends one delta file while the base files stay BYTE-IDENTICAL
+    // (require-gated on mtime+length below — the write-optimized
+    // economics: an UPDATE costs O(changed rows), never a group
+    // rewrite). Reads pay instead: each scan folds the delta log into
+    // broadcast-sized tombstone/patch/insert state (MorSpec pins the
+    // fold's edges and compaction). The statement sequence composes
+    // across the log — the DELETE's tombstones are visible to the
+    // UPDATE's scan, both to the MERGE's — and the 'ops' legs oracle
+    // the SHAPE of what was written (op counts + key sums per delta
+    // file), not just the final state: a connector that secretly
+    // rewrote files to the right answer would still fail the gates.
+    "a31_catalog_mor_dml" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a31_mor") { p =>
+        val dir = new java.io.File(p, "orders_mor"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_mor_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.MorDeltaCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_mor")
+      // idempotence guard = the delta log itself (one file per
+      // committed statement); re-runs on a cached fixture skip
+      if (graft.sources.MorDeltas.deltaFiles(dir).isEmpty) {
+        val stamps = graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+        s.sql(s"DELETE FROM $cat.orders_mor WHERE k % 10 = 7")
+        s.sql(s"""UPDATE $cat.orders_mor
+          SET total = CAST(CAST(total AS DECIMAL(18,2))
+                           + CAST(1.25 AS DECIMAL(3,2)) AS DOUBLE)
+          WHERE nullif(k % 7, 0) >= 3""") // 3VL: NULL-pred rows untouched
+        val ord = t(s, d, "orders")
+        ord.filter(col("o_orderkey") >= 600 && col("o_orderkey") < 1200)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_totalprice").as("total"))
+          .unionAll(ord.filter(col("o_orderkey") < 400)
+            .select((col("o_orderkey") + 300000L).as("k"),
+              col("o_orderstatus").as("st"), col("o_totalprice").as("total")))
+          .createOrReplaceTempView("a31_src")
+        s.sql(s"""MERGE INTO $cat.orders_mor t USING a31_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET
+            total = CAST(CAST(t.total AS DECIMAL(18,2))
+                         + CAST(2.50 AS DECIMAL(3,2)) AS DOUBLE)
+          WHEN NOT MATCHED THEN INSERT (k, st, total) VALUES (s.k, s.st, s.total)
+          WHEN NOT MATCHED BY SOURCE AND t.k < 200 THEN DELETE""")
+        require(graft.sources.MorDeltas.deltaFiles(dir).size == 3,
+          "a31: each committed statement must publish exactly one delta file")
+        require(graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+          == stamps,
+          "a31: MoR DML must leave every base file byte-identical")
+      }
+      // 'ops' legs: the delta log's shape, read back as data — op
+      // counts and key sums per statement file, oracled below
+      import s.implicits._
+      val ops = graft.sources.MorDeltas.deltaFiles(dir).flatMap { case (n, f) =>
+        java.nio.file.Files.readAllLines(f.toPath)
+          .toArray(Array.empty[String]).toSeq
+          .map { ln => val p = ln.split(",", -1); (n, p(0), p(1).toLong) }
+      }.toDF("stmt", "op", "k")
+        .groupBy(col("stmt"), col("op"))
+        .agg(count(lit(1)).as("n_rows"), dbl(sum(col("k"))).as("chk"))
+        .select(concat(lit("ops"), col("stmt")).as("leg"), col("op").as("st"),
+          col("n_rows"), col("chk"))
+      s.table(s"$cat.orders_mor")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("total"), 18, 2))).as("chk"))
+        .select(lit("after").as("leg"), col("st"), col("n_rows"), col("chk"))
+        .unionAll(ops)
+        .orderBy("leg", "st")
+    }),
+
     // a28: CHANGE DATA FEED between snapshots — the read-side payoff of
     // a27's versioning (Delta's CDF / Iceberg's incremental read): the
     // row-level changes from v0 to v2 of the same mutation history,
@@ -2036,6 +2125,61 @@ object Relational {
            UNION ALL
            SELECT 'after', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM merged GROUP BY st)
+         SELECT * FROM legs ORDER BY leg, st""",
+
+    // the delta-log fold reconstructed statement by statement: ops1 =
+    // the delete's tombstones, ops2 = the update's patches (3VL: k%7=0
+    // rows untouched), ops3 = the merge's U/I/D split, 'after' = the
+    // folded final state
+    "a31_catalog_mor_dml" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         s1 AS (SELECT * FROM seed WHERE k % 10 <> 7),
+         s2 AS (
+           SELECT k, st,
+                  CASE WHEN nullif(k % 7, 0) >= 3
+                       THEN p + CAST(1.25 AS DECIMAL(3,2)) ELSE p END AS p
+           FROM s1),
+         src AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 1200
+           UNION ALL
+           SELECT o_orderkey + 300000, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 400),
+         m_upd AS (
+           SELECT s2.k, s2.st, s2.p + CAST(2.50 AS DECIMAL(3,2)) AS p
+           FROM s2 WHERE s2.k IN (SELECT k FROM src)),
+         m_ins AS (
+           SELECT k, st, p FROM src WHERE k NOT IN (SELECT k FROM s2)),
+         m_del AS (
+           SELECT k FROM s2
+           WHERE k NOT IN (SELECT k FROM src) AND k < 200),
+         final AS (
+           SELECT * FROM m_upd
+           UNION ALL
+           SELECT * FROM s2 WHERE k NOT IN (SELECT k FROM src)
+                              AND k NOT IN (SELECT k FROM m_del)
+           UNION ALL
+           SELECT * FROM m_ins),
+         legs AS (
+           SELECT 'after' AS leg, st, count(*) AS n_rows,
+                  CAST(sum(p) AS DOUBLE) AS chk FROM final GROUP BY st
+           UNION ALL
+           SELECT 'ops1', 'D', count(*), CAST(sum(k) AS DOUBLE)
+           FROM seed WHERE k % 10 = 7
+           UNION ALL
+           SELECT 'ops2', 'U', count(*), CAST(sum(k) AS DOUBLE)
+           FROM s1 WHERE nullif(k % 7, 0) >= 3
+           UNION ALL
+           SELECT 'ops3', 'U', count(*), CAST(sum(k) AS DOUBLE) FROM m_upd
+           UNION ALL
+           SELECT 'ops3', 'I', count(*), CAST(sum(k) AS DOUBLE) FROM m_ins
+           UNION ALL
+           SELECT 'ops3', 'D', count(*), CAST(sum(k) AS DOUBLE) FROM m_del)
          SELECT * FROM legs ORDER BY leg, st""",
 
     // the engine's own CASE rewrite: NULL-pred rows (k%7=0) untouched
