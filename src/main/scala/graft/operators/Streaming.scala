@@ -939,6 +939,115 @@ object Streaming {
         .orderBy("event_type")
     }),
 
+    // i27: STREAMING CDC APPLY into the MERGE-ON-READ table — the
+    // composition a31's connector exists FOR: a changelog stream
+    // (upserts + delete markers + inserts, the Debezium/CDC row shape)
+    // lands on the lakehouse table via one MERGE per micro-batch
+    // (foreachBatch — the engine's documented streaming-DML route),
+    // and because the table is MoR/SupportsDelta, EVERY batch costs
+    // O(changed rows): one appended delta file, ZERO base-file bytes
+    // rewritten (require-gated on mtime+length — with a CoW table the
+    // same pipeline would rewrite affected groups every few seconds,
+    // which is why streaming ingest wants MoR). Upserts are ABSOLUTE
+    // (SET st=s.st, total=s.total), so a replayed batch re-merges to
+    // the same state — at-least-once replay + idempotent apply = the
+    // exactly-once route, here for row-level DML instead of i19/i24's
+    // versioned stores. The changelog's three slices are KEY-DISJOINT
+    // (updates [0,600), deletes [600,900), inserts +400000), so
+    // micro-batch boundaries (maxFilesPerTrigger=1 → one slice per
+    // batch → exactly 3 delta files, gated) cannot affect the final
+    // state — which makes the whole pipeline batch-oracle-derivable.
+    "i27_stream_mor_upsert" -> ((s, d) => {
+      val root = cachedFixture(s, d, "i27_mor") { p =>
+        val dir = new java.io.File(p, "orders_cdc"); dir.mkdirs()
+        val rows = graft.Tables.t(s, d, "orders")
+          .filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+        // the changelog: one parquet FILE per slice so maxFilesPerTrigger=1
+        // yields one micro-batch per slice
+        val ord = graft.Tables.t(s, d, "orders")
+        val slices = Seq(
+          ("chg-0-upd", ord.filter(col("o_orderkey") < 600)
+            .select(lit("U").as("op"), col("o_orderkey").as("k"),
+              col("o_orderstatus").as("st"),
+              expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) " +
+                "+ CAST(5.00 AS DECIMAL(3,2)) AS DOUBLE)").as("total"))),
+          ("chg-1-del", ord.filter(col("o_orderkey") >= 600 &&
+              col("o_orderkey") < 900)
+            .select(lit("D").as("op"), col("o_orderkey").as("k"),
+              col("o_orderstatus").as("st"), col("o_totalprice").as("total"))),
+          ("chg-2-ins", ord.filter(col("o_orderkey") < 300)
+            .select(lit("I").as("op"),
+              (col("o_orderkey") + 400000L).as("k"),
+              col("o_orderstatus").as("st"), col("o_totalprice").as("total"))))
+        val chg = new java.io.File(p, "changelog"); chg.mkdirs()
+        slices.foreach { case (name, df) =>
+          val tmp = s"$p/.chg_build_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            new java.io.File(chg, s"$name.parquet").toPath)
+          graft.Tables.deleteRec(new java.io.File(tmp))
+        }
+      }
+      val cat = s"graft_cdc_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.MorDeltaCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_cdc")
+      // idempotence guard = the delta log (cached-fixture re-runs skip)
+      if (graft.sources.MorDeltas.deltaFiles(dir).isEmpty) {
+        val stamps = graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+        val tag = runSeq.incrementAndGet()
+        val schema = s.read.parquet(s"$root/changelog").schema
+        val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", stateParts)
+        try {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(s"$root/changelog")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+              val view = s"i27_chg_$tag"
+              batch.createOrReplaceTempView(view)
+              batch.sparkSession.sql(
+                s"""MERGE INTO $cat.orders_cdc t USING $view s ON t.k = s.k
+                  WHEN MATCHED AND s.op = 'D' THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET st = s.st, total = s.total
+                  WHEN NOT MATCHED AND s.op <> 'D' THEN
+                    INSERT (k, st, total) VALUES (s.k, s.st, s.total)""")
+              ()
+            }
+            .option("checkpointLocation", scratch(s, s"i27_$tag", "ckpt"))
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        require(graft.sources.MorDeltas.deltaFiles(dir).size == 3,
+          "i27: one delta file per micro-batch (3 key-disjoint slices)")
+        require(graft.sources.CowTable.manifest(dir)
+          .map { case (f, _, _) => (f.getName, f.length, f.lastModified) }
+          == stamps,
+          "i27: streaming CDC apply must leave every base file byte-identical")
+      }
+      s.table(s"$cat.orders_cdc")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("total"), 18, 2))).as("chk"))
+        .orderBy("st")
+    }),
+
     // i20: CHAINED STATEFUL AGGREGATIONS — two windowed aggregations in
     // ONE streaming query (Spark ≥3.5's multiple-stateful-operators
     // support): a fine 10-minute tumbling count per event_type feeds an
@@ -1535,6 +1644,25 @@ object Streaming {
          SELECT CAST(2 AS BIGINT), 'I', count(*), min(k), max(k),
                 CAST(sum(p) AS DOUBLE) FROM ins
          ORDER BY version, op""",
+
+    // the changelog's three key-disjoint slices folded in any order:
+    // [0,600) re-priced absolutely, [600,900) deleted, +400000 inserted
+    "i27_stream_mor_upsert" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         fin AS (
+           SELECT k, st,
+                  CASE WHEN k < 600 THEN p + CAST(5.00 AS DECIMAL(3,2))
+                       ELSE p END AS p
+           FROM seed WHERE k < 600 OR k >= 900
+           UNION ALL
+           SELECT o_orderkey + 400000, o_orderstatus,
+                  CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey < 300)
+         SELECT st, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS chk
+         FROM fin GROUP BY st ORDER BY st""",
 
     // both stores must agree with the SOURCE, so the dual-sink pair's
     // consistency flag is oracle-derivable
