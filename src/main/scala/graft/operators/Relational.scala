@@ -840,6 +840,68 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a32: ATOMIC CTAS through the V2 STAGING contract — the missing
+    // DDL leg of the catalog story (a25-a31 mutate seeded tables; this
+    // CREATES one from a query): `CREATE TABLE … AS SELECT` stages the
+    // table invisibly, runs the full data write into the staged
+    // directory, and only a successful write commits (ONE atomic
+    // rename into the namespace). The atomicity is gated, not assumed:
+    // a POISON CTAS (raise_error on a planted key mid-scan) must fail
+    // AND leave zero trace — no table, no stray staging dirs — and a
+    // duplicate CTAS must raise TableAlreadyExists without touching
+    // the committed table (both require-gated in-key, every run). The
+    // storage generalizes past the fixed k/st/total demo schema via a
+    // `_base.tsv` sidecar (leading BIGINT column = the stats/row-id
+    // column the delete/update machinery prunes on), and the oracled
+    // read-back proves the full round-trip including NULL encoding
+    // (nullif'd priority survives as NULL, counted). At 100 TB: CTAS
+    // is how every derived table materializes; atomic staging is why a
+    // failed 3-hour job never leaves a half-table for readers.
+    "a32_catalog_ctas_atomic" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a32_ctas") { _ => () }
+      val cat = s"graft_ctas_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      t(s, d, "orders").createOrReplaceTempView("a32_src")
+      val tbl = new java.io.File(root, "orders_ctas")
+      if (!tbl.isDirectory) {
+        // 1. the poison run: must fail and leave NOTHING behind
+        val poisoned = scala.util.Try(s.sql(
+          s"""CREATE TABLE $cat.orders_ctas AS
+             SELECT o_orderkey AS k,
+                    CASE WHEN o_orderkey % 500 = 3
+                         THEN raise_error('a32 poison')
+                         ELSE o_orderstatus END AS status,
+                    o_totalprice AS price
+             FROM a32_src WHERE o_orderkey < 3000"""))
+        require(poisoned.isFailure, "a32: the poison CTAS must fail")
+        require(!tbl.exists(),
+          "a32: a failed CTAS must not publish a table")
+        require(Option(new java.io.File(root).listFiles())
+          .getOrElse(Array.empty).forall(!_.getName.startsWith(".stage-")),
+          "a32: a failed CTAS must leave no staging directory behind")
+        // 2. the real CTAS
+        s.sql(s"""CREATE TABLE $cat.orders_ctas AS
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 o_totalprice AS price,
+                 nullif(o_orderpriority, '1-URGENT') AS prio
+          FROM a32_src WHERE o_orderkey < 3000""")
+      }
+      // 3. re-creation must refuse loudly and leave the table intact
+      val dup = scala.util.Try(s.sql(
+        s"CREATE TABLE $cat.orders_ctas AS SELECT 1L AS k"))
+      require(dup.isFailure &&
+        dup.failed.get.isInstanceOf[
+          org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException],
+        s"a32: duplicate CTAS must raise TableAlreadyExists (got $dup)")
+      s.table(s"$cat.orders_ctas")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), count(col("prio")).as("n_prio"),
+          dbl(sum(dec(col("price"), 18, 2))).as("sum_price"))
+        .orderBy("status")
+    }),
+
     // a28: CHANGE DATA FEED between snapshots — the read-side payoff of
     // a27's versioning (Delta's CDF / Iceberg's incremental read): the
     // row-level changes from v0 to v2 of the same mutation history,
@@ -2126,6 +2188,16 @@ object Relational {
            SELECT 'after', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM merged GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // the CTAS round-trip truth: the committed table must reproduce the
+    // SELECT exactly, including the NULL-encoded priority column
+    "a32_catalog_ctas_atomic" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+           count(nullif(o_orderpriority, '1-URGENT')) AS n_prio,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders WHERE o_orderkey < 3000
+         GROUP BY 1 ORDER BY 1""",
 
     // the delta-log fold reconstructed statement by statement: ops1 =
     // the delete's tombstones, ops2 = the update's patches (3VL: k%7=0

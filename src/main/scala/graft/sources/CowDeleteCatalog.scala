@@ -38,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-file filter as tasks — the protocol (stats pruning + CoW swap +
   * exact-predicate refusal) is identical.
   */
-class CowDeleteCatalog extends TableCatalog {
+class CowDeleteCatalog extends TableCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -79,7 +79,61 @@ class CowDeleteCatalog extends TableCatalog {
   }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("tables are seeded externally")
+    throw new UnsupportedOperationException(
+      "tables are seeded externally or created atomically via CTAS (stageCreate)")
+
+  /** ATOMIC CTAS (a32): `CREATE TABLE … AS SELECT` through the staging
+    * contract — the engine stages the table, runs the whole data write
+    * into it, and only a successful write COMMITS the staged changes;
+    * any failure aborts and the namespace never saw a half-written
+    * table (the a32 key gates this with a mid-write poison row). The
+    * staged directory is a temp sibling invisible to `listTables`/
+    * `loadTable`; commit is one atomic rename — the same
+    * publish-by-rename protocol every write path of this connector
+    * uses, now for table CREATION. Schema is persisted in a
+    * `_base.tsv` sidecar (generalizing the fixed k/st/total demo
+    * schema); the leading column must be BIGINT — it becomes the
+    * file-stats/row-id column everything else here prunes on. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name))
+    require(partitions.isEmpty,
+      "CTAS with PARTITIONED BY is unsupported (files are the partition unit)")
+    require(schema.fields.nonEmpty && schema.fields.head.dataType == LongType,
+      s"CTAS: the leading column must be BIGINT (the stats/row-id column); " +
+        s"got ${schema.simpleString}")
+    schema.fields.foreach { f =>
+      require(CowTable.typeTag(f.dataType).isDefined,
+        s"CTAS: unsupported column type ${f.name}: ${f.dataType.simpleString} " +
+          "(long/double/string only)")
+      require(!f.name.startsWith("_") && !f.name.contains(",") &&
+        !f.name.contains("\t"), s"CTAS: invalid column name '${f.name}'")
+    }
+    val stage = new java.io.File(root,
+      s".stage-${ident.name}-${java.util.UUID.randomUUID.toString.take(8)}")
+    require(stage.mkdirs(), s"stageCreate: cannot create ${stage.getPath}")
+    CowTable.persistBase(stage, schema)
+    new CowStagedTable(s"$catalogName.${ident.name}", dirOf(ident), stage, schema)
+  }
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    stageCreate(ident,
+      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is unsupported (CREATE + the DML surface covers it)")
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable =
+    throw new UnsupportedOperationException(
+      "CREATE OR REPLACE TABLE is unsupported")
 
   /** Schema evolution, write-side (a26): ONLY trailing ADD COLUMN is
     * supported — the one evolution every lakehouse format ships first,
@@ -117,6 +171,45 @@ class CowDeleteCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename unsupported")
+}
+
+/** The staged side of a32's atomic CTAS: a write-only table whose data
+  * write lands in the invisible staging directory; `commitStagedChanges`
+  * publishes it with ONE atomic rename into the catalog namespace,
+  * `abortStagedChanges` deletes the staging tree. Between stage and
+  * commit the table does not exist for any reader — crash-consistency
+  * by construction, the same staged-then-rename protocol the insert/
+  * replace/delta writes use per file, here for the whole table. */
+class CowStagedTable(tableName: String, finalDir: java.io.File,
+    stageDir: java.io.File, tableSchema: StructType)
+    extends StagedTable with SupportsWrite {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch: BatchWrite =
+            new CowBatchWrite(stageDir, tableSchema)
+        }
+    }
+  override def commitStagedChanges(): Unit = {
+    require(!finalDir.exists(),
+      s"commitStagedChanges: ${finalDir.getName} already exists")
+    java.nio.file.Files.move(stageDir.toPath, finalDir.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+  override def abortStagedChanges(): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(): Unit
+    }
+    rec(stageDir)
+  }
 }
 
 /** Snapshot versioning for a [[CowTable]] directory (a27) — the other
@@ -287,8 +380,39 @@ object CowTable {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def baseFile(dir: java.io.File) = new java.io.File(dir, "_base.tsv")
+
+  /** The table's SEEDED schema: the fixed k/st/total triple for the
+    * externally-seeded tables, or the `_base.tsv` sidecar a staged CTAS
+    * (a32) persisted — the storage format generalized past the fixed
+    * demo schema while keeping one reader/writer/manifest. */
+  def baseSchema(dir: java.io.File): StructType =
+    if (!baseFile(dir).isFile) schema
+    else StructType(
+      java.nio.file.Files.readAllLines(baseFile(dir).toPath)
+        .toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { ln =>
+          val Array(name, tag) = ln.split("\t", 2)
+          StructField(name, tagType(tag), nullable = true)
+        })
+
+  def persistBase(dir: java.io.File, s: StructType): Unit = {
+    val lines = s.fields.map(f => s"${f.name}\t${typeTag(f.dataType).get}").toSeq
+    val tmp = new java.io.File(dir, "._base.tsv.tmp")
+    java.nio.file.Files.write(tmp.toPath, java.util.Arrays.asList(lines: _*))
+    java.nio.file.Files.move(tmp.toPath, baseFile(dir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Columns [0, prefix) are integrity-required NON-NULL in the file
+    * encoding; at and beyond it the empty field encodes NULL. Legacy
+    * fixed-schema tables pin 3 (k/st/total all required); CTAS tables
+    * require only the leading stats/row-id column. */
+  def nonNullPrefix(dir: java.io.File): Int =
+    if (baseFile(dir).isFile) 1 else 3
+
   def currentSchema(dir: java.io.File): StructType =
-    StructType(schema.fields ++ addedColumns(dir))
+    StructType(baseSchema(dir).fields ++ addedColumns(dir))
 
   private val FileName = """part-(\d+)-(-?\d+)-(-?\d+)\.csv""".r
 
@@ -487,7 +611,8 @@ class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None,
       .map(f => CowRowPartition(f.getAbsolutePath, f.getName)
         : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    CowRowReaderFactory(required, CowTable.currentSchema(dir))
+    CowRowReaderFactory(required, CowTable.currentSchema(dir),
+      CowTable.nonNullPrefix(dir))
 }
 
 case class CowFileCommitted(name: String) extends WriterCommitMessage
@@ -502,7 +627,8 @@ class CowBatchWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    CowWriterFactory(dir.getAbsolutePath, schema, idxBase)
+    CowWriterFactory(dir.getAbsolutePath, schema, idxBase,
+      CowTable.nonNullPrefix(dir))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val wroteAny = messages.exists {
       case CowFileCommitted(n) => n.nonEmpty
@@ -518,7 +644,8 @@ class CowBatchWrite(dir: java.io.File, schema: StructType) extends BatchWrite {
     }
 }
 
-case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int)
+case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int,
+    prefix: Int = 3)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
@@ -534,7 +661,7 @@ case class CowWriterFactory(dirPath: String, schema: StructType, idxBase: Int)
         val line = schema.fields.indices.map { j =>
           val f = schema.fields(j)
           if (row.isNullAt(j)) {
-            require(j >= 3, s"INSERT: NULL in non-nullable base column ${f.name}")
+            require(j >= prefix, s"INSERT: NULL in non-nullable base column ${f.name}")
             ""
           } else f.dataType match {
             case LongType => row.getLong(j).toString
@@ -661,12 +788,14 @@ class CowRowScan(dir: java.io.File, op: CowRowLevelOperation,
       : InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    CowRowReaderFactory(required, CowTable.currentSchema(dir))
+    CowRowReaderFactory(required, CowTable.currentSchema(dir),
+      CowTable.nonNullPrefix(dir))
 }
 
 case class CowRowPartition(path: String, fileName: String) extends InputPartition
 
-case class CowRowReaderFactory(required: StructType, full: StructType)
+case class CowRowReaderFactory(required: StructType, full: StructType,
+    prefix: Int = 3)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CowRowPartition]
@@ -684,7 +813,7 @@ case class CowRowReaderFactory(required: StructType, full: StructType)
           if (f.name == "_file") UTF8String.fromString(p.fileName)
           else {
             val j = fileIdx(f.name)
-            if (j >= parts.length || (j >= 3 && parts(j).isEmpty)) null
+            if (j >= parts.length || (j >= prefix && parts(j).isEmpty)) null
             else full.fields(j).dataType match {
               case LongType => parts(j).toLong
               case DoubleType => parts(j).toDouble
@@ -715,7 +844,8 @@ class CowReplaceWrite(dir: java.io.File, schema: StructType,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    CowReplaceWriterFactory(dir.getAbsolutePath, schema)
+    CowReplaceWriterFactory(dir.getAbsolutePath, schema,
+      CowTable.nonNullPrefix(dir))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect {
@@ -746,7 +876,8 @@ class CowReplaceWrite(dir: java.io.File, schema: StructType,
     }
 }
 
-case class CowReplaceWriterFactory(dirPath: String, schema: StructType)
+case class CowReplaceWriterFactory(dirPath: String, schema: StructType,
+    prefix: Int = 3)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
@@ -778,7 +909,7 @@ case class CowReplaceWriterFactory(dirPath: String, schema: StructType)
           dj += 1
           val j = idx + off
           if (row.isNullAt(j)) {
-            require(dj >= 3, s"replace: NULL in non-nullable base column ${f.name}")
+            require(dj >= prefix, s"replace: NULL in non-nullable base column ${f.name}")
             ""
           } else f.dataType match {
             case LongType => row.getLong(j).toString

@@ -327,6 +327,34 @@ class SinkSpec extends AnyFunSuite {
       "the affected file must have been replaced")
   }
 
+  test("a CTAS-created table composes with the DML machinery: nulls round-trip, UPDATE and DELETE work on the generalized schema") {
+    // the a32 staging path persists _base.tsv (non-null prefix 1, any
+    // leading-BIGINT schema); this pins that such a table is a
+    // first-class citizen of the rest of the connector — row-level
+    // UPDATE, executable DELETE, and NULL-encoded string/long columns
+    val root = freshDir("cow_ctas")
+    val cat = s"cow_ctas_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"""CREATE TABLE $cat.t AS
+      SELECT * FROM VALUES (1L, 'x', CAST(NULL AS BIGINT)),
+                           (2L, NULL, 7L),
+                           (3L, 'y', 9L) AS v(id, tag, score)""")
+    val back = spark.table(s"$cat.t").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back.toSeq == Seq((1L, Some("x"), None), (2L, None, Some(7L)),
+      (3L, Some("y"), Some(9L))), s"CTAS null round-trip broke: ${back.toSeq}")
+    spark.sql(s"UPDATE $cat.t SET score = 42 WHERE tag IS NULL")
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 3")
+    val after = spark.table(s"$cat.t").orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(after.toSeq == Seq((1L, None), (2L, Some(42L))),
+      s"DML on the CTAS table broke: ${after.toSeq}")
+  }
+
   test("CowVersions fuzz: a random mutation history replays exactly through time travel and the manifest diff") {
     // adversarial pin for the a27/a28 machinery: 14 seeded-random
     // mutations (keyed deletes through the SQL surface, multi-row
