@@ -321,6 +321,38 @@ object TrainOps {
     * combinable aggs, a broadcast vocab join — the other r11 VERDICT
     * trim lever (a trained filter and its funnel report score the SAME
     * engineered features; a real pipeline computes them once). */
+  /** l26's Okapi BM25 scorer over the pinned query terms, shared with
+    * l51's hybrid fusion: per-doc (n_hit, score_u) with every (doc,
+    * term) contribution quantized to integer micro-units so ordering
+    * is an exact integer comparison on both engines. Constants and
+    * plan shape documented at the l26 key. */
+  private def bm25ScoreU(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("dup", "vector", "query")
+    val ftoks = LlmOps.tokens(s, d).select("doc_id", "term")
+      .localCheckpoint(eager = false) // feeds dl, stats, df, tf
+    val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(ftoks.agg(count(lit(1)).as("tot"))) // one row: N, Σdl
+    val dl = ftoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val qt = ftoks.filter(col("term").isin(qterms: _*))
+    val idf = qt.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)).as("idf"))
+    val contrib = col("idf") * (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast(DoubleType) /
+          (col("tot").cast(DoubleType) / col("n_docs")))))
+    qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("q_s", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum(col("q_s")).as("score_u"))
+  }
+
   private def qualityFeatures(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "qfeat")(qualityFeaturesRaw(s, d))
 
@@ -1557,32 +1589,58 @@ object TrainOps {
     // pinned query's terms only (the isin filter runs before the tf
     // agg), so hub terms outside the query never fan out — linear in
     // corpus size, the bucketed-index shape at 100 TB.
-    "l26_bm25_topk" -> ((s, d) => {
-      val qterms = Seq("dup", "vector", "query")
-      val ftoks = LlmOps.tokens(s, d).select("doc_id", "term")
-        .localCheckpoint(eager = false) // feeds dl, stats, df, tf
-      val stats = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
-        .crossJoin(ftoks.agg(count(lit(1)).as("tot"))) // one row: N, Σdl
-      val dl = ftoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val qt = ftoks.filter(col("term").isin(qterms: _*))
-      val idf = qt.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"),
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)).as("idf"))
-      val contrib = col("idf") * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-          (col("dl").cast(DoubleType) /
-            (col("tot").cast(DoubleType) / col("n_docs")))))
-      qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .join(dl, "doc_id")
-        .join(broadcast(idf), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("q_s", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hit"), sum(col("q_s")).as("score_u"))
+    "l26_bm25_topk" -> ((s, d) =>
+      bm25ScoreU(s, d)
         .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(10)),
+
+    // l51: HYBRID RETRIEVAL via reciprocal-rank fusion — the modern
+    // retrieval stack's standard combiner [Cormack & Clarke, SIGIR'09]:
+    // the lexical ranking (l26's BM25 over the pinned query terms) and
+    // the dense ranking (j4's cosine kNN against the pinned query
+    // vector, restricted to doc-aligned embeddings by j10's
+    // doc_id = vec_id convention) each contribute 1/(60 + rank), and
+    // the fused top-10 surfaces docs NEITHER list ranks first — the
+    // reason every production RAG/eval-mining pipeline fuses instead
+    // of picking one modality. Determinism engineering: ranks are
+    // row_number over (exact-integer BM25 micro-score | 4-dp-quantized
+    // cosine, both tie-broken by doc_id), and the RRF contribution is
+    // INTEGER division 1000000 DIV (60 + r) — no floating point
+    // anywhere in the fusion, so the final cut hashes identically on
+    // both engines. Plan shape: each leg is the already-linear
+    // machinery (query-term posting lists only; one broadcast query
+    // vector over a linear scan — l3's IVF replaces it at scale) cut
+    // to top-20 by TakeOrderedAndProject; ranking + fusion then touch
+    // exactly 20+20 rows (the bounded single-partition window is on a
+    // 20-row frame by construction), and the full-outer fuse join is
+    // trivially broadcast-sized. At 100 TB the legs dominate and stay
+    // linear; fusion cost is O(k).
+    "l51_hybrid_rrf" -> ((s, d) => {
+      val wLex = Window.orderBy(col("score_u").desc, col("doc_id"))
+      val lex = bm25ScoreU(s, d)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(20)
+        .withColumn("r_lex", row_number().over(wLex).cast(LongType))
+        .select("doc_id", "r_lex")
+      val e = LlmOps.embs(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("norm").as("qn"))
+      val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
+      val dense = e.filter(col("vec_id") > 0)
+        .join(t(s, d, "documents").select(col("doc_id")),
+          col("vec_id") === col("doc_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          rnd4(floatDot(col("embedding"), col("qe")) /
+            (col("norm") * col("qn"))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(20)
+        .withColumn("r_dense", row_number().over(wDen).cast(LongType))
+        .select("doc_id", "r_dense")
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_dense"),
+          (coalesce(expr("1000000L DIV (r_lex + 60L)"), lit(0L)) +
+            coalesce(expr("1000000L DIV (r_dense + 60L)"), lit(0L)))
+            .as("rrf_u"))
+        .orderBy(col("rrf_u").desc, col("doc_id"))
         .limit(10)
     }),
 
@@ -3456,6 +3514,62 @@ object TrainOps {
                 CAST(sum(q_s) AS BIGINT) AS score_u
          FROM scored GROUP BY 1
          ORDER BY score_u DESC, doc_id LIMIT 10""",
+
+    // both legs' ranks reconstructed (integer BM25 micro-score / 4-dp
+    // cosine, doc_id tie-break), then the same integer-division RRF —
+    // no floating point in the fusion on either engine
+    "l51_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS tot
+           FROM ftoks),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ftoks GROUP BY 1),
+         q(term) AS (VALUES ('dup'), ('vector'), ('query')),
+         idf AS (
+           SELECT term, ln((n_docs - df + 5e-1) / (df + 5e-1) + 1e0) AS idf
+           FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM ftoks JOIN q USING (term) GROUP BY 1), stats),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM ftoks JOIN q USING (term) GROUP BY 1, 2),
+         bm AS (
+           SELECT doc_id, sum(CAST(floor(idf * (tf * 22e-1)
+                    / (tf + 12e-1 * (25e-2 + 75e-2
+                       * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs))))
+                    * 1e6 + 5e-1) AS BIGINT)) AS score_u
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+           GROUP BY 1),
+         lex AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+                    AS BIGINT) AS r_lex
+           FROM bm ORDER BY score_u DESC, doc_id LIMIT 20),
+         qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0),
+         dsim AS (
+           SELECT vec_id AS doc_id,
+             round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qe)
+               / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(qe, qe))), 4) AS sim
+           FROM embeddings JOIN documents ON vec_id = doc_id
+           CROSS JOIN qv WHERE vec_id > 0),
+         dense AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                    AS BIGINT) AS r_dense
+           FROM dsim ORDER BY sim DESC, doc_id LIMIT 20),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
+                  COALESCE(1000000 // (r_lex + 60), 0)
+                    + COALESCE(1000000 // (r_dense + 60), 0) AS rrf_u
+           FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+         SELECT doc_id, r_lex, r_dense, CAST(rrf_u AS BIGINT) AS rrf_u
+         FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10""",
 
     // feature CTEs lifted verbatim from the hash-verified l5/l14/l21
     // oracles; the linear form and the micro-unit quantization of z match
