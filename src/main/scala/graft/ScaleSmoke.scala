@@ -200,7 +200,8 @@ object ScaleSmoke {
       "a27_catalog_time_travel", "a28_catalog_change_feed",
       "i25_stream_catalog_cdf", "a29_catalog_update_exec", "a30_catalog_merge_exec",
       "i26_stream_cdf_materialize", "a31_catalog_mor_dml",
-      "i27_stream_mor_upsert", "a32_catalog_ctas_atomic")
+      "i27_stream_mor_upsert", "a32_catalog_ctas_atomic",
+      "k10_catalog_v2_function")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1

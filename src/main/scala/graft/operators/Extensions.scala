@@ -194,10 +194,48 @@ object Extensions {
                  r.o_orderstatus, r.o_totalprice
                FROM k9_customer c, LATERAL graft_big_orders(c.c_custkey, 250000.0d) r
                ORDER BY c.c_custkey, o_orderkey""")
+    }),
+
+    // k10: the V2 FUNCTION CATALOG — the engine-native route for
+    // catalog-scoped functions (docs at GraftFunctionCatalog): plain
+    // SQL resolves `catalog.namespace.fn(...)` through the connector,
+    // BINDS against actual argument types at analysis (the VARCHAR
+    // mis-bind below must refuse before any task runs — gated), and
+    // executes the scalar via the primitive MAGIC METHOD inside
+    // codegen (no per-row boxing — ExtensionsSpec pins the Invoke
+    // dispatch in the executed plan) and the aggregate via the V2
+    // state/update/MERGE contract — gcd is associative + integer-
+    // exact, so partial aggregation map-side combines like a built-in
+    // and the result is partition-order-proof by construction.
+    "k10_catalog_v2_function" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft_fn",
+        classOf[graft.functions.GraftFunctionCatalog].getName)
+      t(s, d, "orders").createOrReplaceTempView("k10_orders")
+      val bad = scala.util.Try(s.sql(
+        "SELECT graft_fn.math.gcd(o_orderstatus, o_custkey) FROM k10_orders")
+        .queryExecution.analyzed)
+      require(bad.isFailure,
+        "k10: binding gcd to a VARCHAR argument must refuse at analysis")
+      s.sql("""SELECT o_orderstatus AS st, count(*) AS n_rows,
+               CAST(sum(graft_fn.math.gcd(o_orderkey, o_custkey)) AS BIGINT)
+                 AS sum_gcd,
+               graft_fn.math.gcd_agg(o_orderkey * 6L) AS agg_gcd
+             FROM k10_orders WHERE o_orderkey < 4000
+             GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // same gcd per row; the aggregate leg folds the group's values with
+    // the scalar gcd — associative, so list order is irrelevant
+    "k10_catalog_v2_function" ->
+      """SELECT o_orderstatus AS st, count(*) AS n_rows,
+           CAST(sum(gcd(o_orderkey, o_custkey)) AS BIGINT) AS sum_gcd,
+           CAST(list_reduce(list(o_orderkey * 6), (a, b) -> gcd(a, b))
+             AS BIGINT) AS agg_gcd
+         FROM orders WHERE o_orderkey < 4000
+         GROUP BY 1 ORDER BY 1""",
+
     "k1_udf_scalar" ->
       """SELECT CASE WHEN l_discount < 0.03 THEN 'low'
                      WHEN l_discount < 0.07 THEN 'mid'

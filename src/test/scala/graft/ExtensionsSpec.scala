@@ -90,4 +90,39 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(jw(b, a) == want, s"symmetry broken for ($a, $b)")
     }
   }
+
+  test("k10: the V2 scalar function dispatches through its magic method inside codegen") {
+    // the POINT of the magic method over produceResult: the engine
+    // plans an Invoke of the primitive-typed method (no per-row
+    // InternalRow boxing) and it stays inside whole-stage codegen —
+    // pin it from the executed plan so a silent fallback to the
+    // interpreted ApplyFunctionExpression path is caught
+    spark.conf.set("spark.sql.catalog.graft_fn",
+      classOf[graft.functions.GraftFunctionCatalog].getName)
+    import spark.implicits._
+    val df = Seq((54L, 24L), (7L, 0L), (0L, 0L), (-8L, 12L)).toDF("a", "b")
+    df.createOrReplaceTempView("k10_probe")
+    // corner semantics (a literal frame constant-folds — values only)
+    val q = spark.sql("SELECT a, b, graft_fn.math.gcd(a, b) AS g FROM k10_probe")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq((54L, 24L, 6L), (7L, 0L, 7L), (0L, 0L, 0L), (-8L, 12L, 4L)),
+      "gcd corner semantics (identity, zero, negatives) broke")
+    // plan pin on a non-foldable source: range() keeps the projection live
+    val live = spark.sql(
+      "SELECT id, graft_fn.math.gcd(id * 6L + 54L, 24L) AS g FROM range(4)")
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("invoke"),
+      s"gcd did not plan as a magic-method Invoke:\n$plan")
+    // the compact rendering marks codegen'd nodes with a "*(n)" prefix
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")),
+      s"gcd's projection fell out of whole-stage codegen:\n$plan")
+    assert(live.orderBy("id").collect().map(_.getLong(1)).toSeq
+      == Seq(6L, 12L, 6L, 24L))
+    // the V2 aggregate merges partials across a real shuffle
+    val agg = spark.sql(
+      "SELECT graft_fn.math.gcd_agg(a * 30L) AS g FROM k10_probe")
+      .head().getLong(0)
+    assert(agg == 30L, s"gcd_agg over {1620, 210, 0, -240} must be 30, got $agg")
+  }
 }
