@@ -246,6 +246,51 @@ object Windows {
         .orderBy("user_id")
     }),
 
+    // e14: TEMPORAL CONVERSION FUNNEL — the product-analytics staple
+    // (every events warehouse runs it daily): which users performed
+    // view → click → purchase IN THAT ORDER, with each stage's event
+    // STRICTLY AFTER the previous stage's first completion. Distinct
+    // from l24's document filter funnel (set-membership per doc — no
+    // ordering) and e9's sessionization (gap-based grouping): this is
+    // ordered-subsequence matching, expressed RELATIONALLY as chained
+    // conditional mins — stage n = min event time of type n among
+    // events after the user's stage-(n−1) time — instead of per-user
+    // array folds (the l49 lesson: Spark's in-row HOF lambdas are
+    // interpreted; these three aggregations are codegen'd hash aggs).
+    // min() makes every stage time deterministic under duplicate
+    // timestamps, and each stage must land within a 1-DAY conversion
+    // window of the previous stage's completion — the windowed-funnel
+    // semantics every analytics product ships ("converted within 24h"),
+    // and what makes the cut non-vacuous on this data (unwindowed,
+    // every user completes all stages; windowed at sf0.01 the funnel
+    // reads 150 → 60 → 25, probed across all tiers: 15→6→3 at
+    // sf0.001, 1500→536→217 at sf0.1). Scale: three passes over
+    // events, each a hash agg + join ON THE SAME user_id key —
+    // Catalyst reuses one exchange layout, stage frames shrink
+    // monotonically (funnel ⇒ each join's right side is smaller), and
+    // the oracle needs no timestamps in the output (counts only), so
+    // the µs-vs-ns encoding never touches the hash.
+    "e14_funnel_stages" -> ((s, d) => {
+      val ev = events(s, d)
+      val day = expr("INTERVAL 1 DAY")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      def leg(i: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_users"))
+      leg(1, "view", v)
+        .unionAll(leg(2, "view_click", c))
+        .unionAll(leg(3, "view_click_purchase", p))
+        .orderBy("stage_id")
+    }),
+
     "e12_win_interpolate" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val trail = w.rowsBetween(Window.unboundedPreceding, -1)
@@ -270,6 +315,26 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same chained conditional mins + 1-day conversion windows;
+    // counts only, so the ts encoding never reaches the hash
+    "e14_funnel_stages" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND ts > t1
+             AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+           WHERE event_type = 'purchase' AND ts > t2
+             AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS stage_id, 'view' AS stage,
+                (SELECT count(*) FROM v) AS n_users
+         UNION ALL SELECT 2, 'view_click', (SELECT count(*) FROM c)
+         UNION ALL SELECT 3, 'view_click_purchase', (SELECT count(*) FROM p)
+         ORDER BY 1""",
+
     "e10_resample_gapfill" ->
       """WITH ev AS (
            SELECT event_type,
