@@ -353,6 +353,38 @@ object TrainOps {
       .agg(count(lit(1)).as("n_hit"), sum(col("q_s")).as("score_u"))
   }
 
+  /** l51's fused top-10 (doc_id, r_lex, r_dense, rrf_u) — shared with
+    * l52's metric computation. Determinism and plan shape documented
+    * at the l51 key. */
+  private def hybridFused(s: SparkSession, d: String): DataFrame = {
+    val wLex = Window.orderBy(col("score_u").desc, col("doc_id"))
+    val lex = bm25ScoreU(s, d)
+      .orderBy(col("score_u").desc, col("doc_id")).limit(20)
+      .withColumn("r_lex", row_number().over(wLex).cast(LongType))
+      .select("doc_id", "r_lex")
+    val e = LlmOps.embs(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("norm").as("qn"))
+    val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
+    val dense = e.filter(col("vec_id") > 0)
+      .join(t(s, d, "documents").select(col("doc_id")),
+        col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        rnd4(floatDot(col("embedding"), col("qe")) /
+          (col("norm") * col("qn"))).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(20)
+      .withColumn("r_dense", row_number().over(wDen).cast(LongType))
+      .select("doc_id", "r_dense")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        (coalesce(expr("1000000L DIV (r_lex + 60L)"), lit(0L)) +
+          coalesce(expr("1000000L DIV (r_dense + 60L)"), lit(0L)))
+          .as("rrf_u"))
+      .orderBy(col("rrf_u").desc, col("doc_id"))
+      .limit(10)
+  }
+
   private def qualityFeatures(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "qfeat")(qualityFeaturesRaw(s, d))
 
@@ -1615,33 +1647,46 @@ object TrainOps {
     // 20-row frame by construction), and the full-outer fuse join is
     // trivially broadcast-sized. At 100 TB the legs dominate and stay
     // linear; fusion cost is O(k).
-    "l51_hybrid_rrf" -> ((s, d) => {
-      val wLex = Window.orderBy(col("score_u").desc, col("doc_id"))
-      val lex = bm25ScoreU(s, d)
-        .orderBy(col("score_u").desc, col("doc_id")).limit(20)
-        .withColumn("r_lex", row_number().over(wLex).cast(LongType))
-        .select("doc_id", "r_lex")
-      val e = LlmOps.embs(s, d)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("norm").as("qn"))
-      val wDen = Window.orderBy(col("sim").desc, col("doc_id"))
-      val dense = e.filter(col("vec_id") > 0)
-        .join(t(s, d, "documents").select(col("doc_id")),
-          col("vec_id") === col("doc_id"))
-        .crossJoin(broadcast(q))
-        .select(col("doc_id"),
-          rnd4(floatDot(col("embedding"), col("qe")) /
-            (col("norm") * col("qn"))).as("sim"))
-        .orderBy(col("sim").desc, col("doc_id")).limit(20)
-        .withColumn("r_dense", row_number().over(wDen).cast(LongType))
-        .select("doc_id", "r_dense")
-      lex.join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("r_lex"), col("r_dense"),
-          (coalesce(expr("1000000L DIV (r_lex + 60L)"), lit(0L)) +
-            coalesce(expr("1000000L DIV (r_dense + 60L)"), lit(0L)))
-            .as("rrf_u"))
-        .orderBy(col("rrf_u").desc, col("doc_id"))
-        .limit(10)
+    "l51_hybrid_rrf" -> ((s, d) => hybridFused(s, d)),
+
+    // l52: RETRIEVAL QUALITY METRICS — the evaluation half every
+    // retrieval stack needs next to l51's ranker (mining eval sets,
+    // regression-gating index/ranker changes): recall@10, MRR, and
+    // nDCG@10 of the fused ranking against a relevance set (docs
+    // containing the rare pinned term 'dup' — l26's highest-idf query
+    // term, so relevance is derived from the corpus itself, not
+    // labels). Integer-exactness throughout (the l21/l26 discipline):
+    // each DCG term floor-quantizes 1e6/log2(r+1) BEFORE summing (the
+    // per-term doubles sit far from .5 boundaries for r ≤ 10; an FP
+    // sum of the raw terms would be partition-order-sensitive), MRR is
+    // integer division by the first relevant rank, and IDCG folds the
+    // ideal prefix min(10, |relevant|) from an in-plan range — so the
+    // single metrics row hashes identically on both engines. Plan:
+    // l51's legs + a broadcast semi-join of 10 ranked rows against the
+    // relevance set + three 1-row frames combined by broadcast cross —
+    // metric cost is O(k) on top of the ranker, the 100 TB shape
+    // (evaluation never rescans the corpus).
+    "l52_retrieval_metrics" -> ((s, d) => {
+      val rel = LlmOps.tokens(s, d).filter(col("term") === "dup")
+        .select("doc_id").distinct()
+      val wF = Window.orderBy(col("rrf_u").desc, col("doc_id"))
+      val ranked = hybridFused(s, d)
+        .withColumn("r", row_number().over(wF).cast(LongType))
+      val dcgTerm =
+        floor(lit(1e6) / log2(col("r") + lit(1)) + lit(0.5)).cast(LongType)
+      val hitAgg = ranked.join(rel, "doc_id")
+        .agg(count(lit(1)).as("hits_at_10"),
+          min(col("r")).as("first_rel_rank"),
+          sum(dcgTerm).as("dcg_u"))
+      val nrel = rel.agg(count(lit(1)).as("n_rel"))
+      val idcg = s.range(1, 11).select(col("id").as("r"))
+        .crossJoin(broadcast(nrel))
+        .filter(col("r") <= least(lit(10L), col("n_rel")))
+        .agg(sum(dcgTerm).as("idcg_u"))
+      nrel.crossJoin(broadcast(hitAgg)).crossJoin(broadcast(idcg))
+        .select(col("n_rel"), col("hits_at_10"), col("first_rel_rank"),
+          expr("1000000L DIV first_rel_rank").as("mrr_u"),
+          col("dcg_u"), col("idcg_u"))
     }),
 
     // l27: learned quality filter — the classifier stage of the funnel
@@ -3570,6 +3615,81 @@ object TrainOps {
            FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
          SELECT doc_id, r_lex, r_dense, CAST(rrf_u AS BIGINT) AS rrf_u
          FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10""",
+
+    // l51's ranking CTEs verbatim, then the same integer-quantized
+    // metric folds (per-term floor BEFORE the sum, integer MRR)
+    "l52_retrieval_metrics" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         ftoks AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         stats AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS tot
+           FROM ftoks),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ftoks GROUP BY 1),
+         q(term) AS (VALUES ('dup'), ('vector'), ('query')),
+         idf AS (
+           SELECT term, ln((n_docs - df + 5e-1) / (df + 5e-1) + 1e0) AS idf
+           FROM (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM ftoks JOIN q USING (term) GROUP BY 1), stats),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM ftoks JOIN q USING (term) GROUP BY 1, 2),
+         bm AS (
+           SELECT doc_id, sum(CAST(floor(idf * (tf * 22e-1)
+                    / (tf + 12e-1 * (25e-2 + 75e-2
+                       * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs))))
+                    * 1e6 + 5e-1) AS BIGINT)) AS score_u
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats
+           GROUP BY 1),
+         lex AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY score_u DESC, doc_id)
+                    AS BIGINT) AS r_lex
+           FROM bm ORDER BY score_u DESC, doc_id LIMIT 20),
+         qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id = 0),
+         dsim AS (
+           SELECT vec_id AS doc_id,
+             round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qe)
+               / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_dot_product(qe, qe))), 4) AS sim
+           FROM embeddings JOIN documents ON vec_id = doc_id
+           CROSS JOIN qv WHERE vec_id > 0),
+         dense AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                    AS BIGINT) AS r_dense
+           FROM dsim ORDER BY sim DESC, doc_id LIMIT 20),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                  COALESCE(1000000 // (r_lex + 60), 0)
+                    + COALESCE(1000000 // (r_dense + 60), 0) AS rrf_u
+           FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+         ranked AS (
+           SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY rrf_u DESC, doc_id)
+                    AS BIGINT) AS r
+           FROM fused ORDER BY rrf_u DESC, doc_id LIMIT 10),
+         rel AS (SELECT DISTINCT doc_id FROM ftoks WHERE term = 'dup'),
+         nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+         hm AS (
+           SELECT CAST(count(*) AS BIGINT) AS hits_at_10,
+                  min(r) AS first_rel_rank,
+                  CAST(sum(CAST(floor(1e6 / log2(r + 1) + 5e-1) AS BIGINT))
+                    AS BIGINT) AS dcg_u
+           FROM ranked JOIN rel USING (doc_id)),
+         im AS (
+           SELECT CAST(sum(CAST(floor(1e6 / log2(r + 1) + 5e-1) AS BIGINT))
+                    AS BIGINT) AS idcg_u
+           FROM (SELECT unnest(range(1, 11)) AS r), nrel
+           WHERE r <= least(10, n_rel))
+         SELECT n_rel, hits_at_10, first_rel_rank,
+                CAST(1000000 // first_rel_rank AS BIGINT) AS mrr_u,
+                dcg_u, idcg_u
+         FROM nrel, hm, im""",
 
     // feature CTEs lifted verbatim from the hash-verified l5/l14/l21
     // oracles; the linear form and the micro-unit quantization of z match

@@ -412,6 +412,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "l44_triplet_mining", // guarded exact-mining baseline (the j3/l2 class)
       "l26_bm25_topk", // 1-row broadcast (N, Σdl) stats frame, twice
       "l51_hybrid_rrf", // l26's stats frame + j4's 1-row query vector
+      "l52_retrieval_metrics", // l51's legs + 1-row metric frames crossed
       "j18_merge_into_sql", // 1-row broadcast cardinality-guard frame
       "l36_pmi_cooccur", // 1-row broadcast N frame (df window + final pmi)
       "l38_budget_select", // 1-row broadcast budget frame × ≤101-row buckets
