@@ -152,7 +152,7 @@ object ScaleSmoke {
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
       "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters",
       "j25_pit_scd2_join", "e13_win_time_weighted_avg",
-      "j27_late_arriving_dim")
+      "j27_late_arriving_dim", "e14_funnel_stages")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
