@@ -840,6 +840,66 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a33: TIME TRAVEL on the MERGE-ON-READ table — a27's read-side
+    // story on a31's storage, with the structurally OPPOSITE cost
+    // model: a MoR snapshot is a LOG-PREFIX (base files + the first n
+    // delta files), so versioning needs NO archive and NO file copies —
+    // history is free until compaction folds (and thereby VACUUMS) it.
+    // `VERSION AS OF n` replays exactly n statements; n beyond the log
+    // RAISES (gated), a snapshot is read-only by capability, and a
+    // compacted table refuses travel below the compaction floor rather
+    // than silently serving the folded state as history (MorSpec pins
+    // that corner plus post-compaction sequence continuity). Legs v0
+    // (pre-DML) / v1 (post-DELETE) / v2 (post-UPDATE) / current are
+    // all emitted and oracled — current must equal v2 and v0 must
+    // still show the deleted rows.
+    "a33_catalog_mor_travel" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a33_mtt") { p =>
+        val dir = new java.io.File(p, "orders_mt"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_mtt_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.MorDeltaCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_mt")
+      if (graft.sources.MorDeltas.deltaFiles(dir).isEmpty) {
+        s.sql(s"DELETE FROM $cat.orders_mt WHERE k % 10 = 7") // -> v1
+        s.sql(s"""UPDATE $cat.orders_mt
+          SET total = CAST(CAST(total AS DECIMAL(18,2))
+                           + CAST(1.25 AS DECIMAL(3,2)) AS DOUBLE)
+          WHERE nullif(k % 7, 0) >= 3""") // -> v2
+        require(graft.sources.MorDeltas.deltaFiles(dir).size == 2,
+          "a33: two statements must commit two snapshots")
+      }
+      // a nonexistent snapshot must RAISE, not return something
+      require(scala.util.Try(
+        s.sql(s"SELECT * FROM $cat.orders_mt VERSION AS OF 9").collect())
+        .isFailure, "a33: VERSION AS OF 9 must raise (log has 0..2)")
+      def leg(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("st"))
+          .agg(count(lit(1)).as("n_rows"),
+            dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+          .select(lit(name).as("leg"), col("st"), col("n_rows"),
+            col("sum_total"))
+      leg("v0", s.sql(s"SELECT * FROM $cat.orders_mt VERSION AS OF 0"))
+        .unionAll(leg("v1", s.sql(s"SELECT * FROM $cat.orders_mt VERSION AS OF 1")))
+        .unionAll(leg("v2", s.sql(s"SELECT * FROM $cat.orders_mt VERSION AS OF 2")))
+        .unionAll(leg("v3_current", s.table(s"$cat.orders_mt")))
+        .orderBy("leg", "st")
+    }),
+
     // a32: ATOMIC CTAS through the V2 STAGING contract — the missing
     // DDL leg of the catalog story (a25-a31 mutate seeded tables; this
     // CREATES one from a query): `CREATE TABLE … AS SELECT` stages the
@@ -2187,6 +2247,31 @@ object Relational {
            UNION ALL
            SELECT 'after', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM merged GROUP BY st)
+         SELECT * FROM legs ORDER BY leg, st""",
+
+    // log-prefix replay reconstructed: v1 = delete applied, v2 = update
+    // over v1, current = v2; v0 still shows the deleted rows
+    "a33_catalog_mor_travel" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         s1 AS (SELECT * FROM seed WHERE k % 10 <> 7),
+         s2 AS (
+           SELECT k, st,
+                  CASE WHEN nullif(k % 7, 0) >= 3
+                       THEN p + CAST(1.25 AS DECIMAL(3,2)) ELSE p END AS p
+           FROM s1),
+         legs AS (
+           SELECT 'v0' AS leg, st, count(*) AS n_rows,
+                  CAST(sum(p) AS DOUBLE) AS sum_total FROM seed GROUP BY st
+           UNION ALL
+           SELECT 'v1', st, count(*), CAST(sum(p) AS DOUBLE) FROM s1 GROUP BY st
+           UNION ALL
+           SELECT 'v2', st, count(*), CAST(sum(p) AS DOUBLE) FROM s2 GROUP BY st
+           UNION ALL
+           SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
+           FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
 
     // the CTAS round-trip truth: the committed table must reproduce the

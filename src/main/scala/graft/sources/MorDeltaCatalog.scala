@@ -78,6 +78,34 @@ class MorDeltaCatalog extends TableCatalog {
         Seq(catalogName, ident.name))
     new MorTable(s"$catalogName.${ident.name}", dir)
   }
+
+  /** `VERSION AS OF n` (a33): MoR time travel is LOG-PREFIX REPLAY —
+    * snapshot n = base files + the first n committed delta files, so a
+    * historical read costs exactly what the current read costs (no
+    * archive, no file copies: base files are immutable and delta files
+    * are append-only). This is the structural advantage over the CoW
+    * side's a27 versioning, which must retire file copies; the flip
+    * side is that vacuuming old history requires compaction. Snapshots
+    * are read-only (DML refused at analysis). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!dir.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    val v = version.toLong
+    val have = MorDeltas.deltaFiles(dir).map(_._1)
+    val floor = MorDeltas.compactedSeq(dir)
+    // valid snapshots: the compaction floor itself (= the folded base)
+    // and every committed statement above it; below the floor the
+    // pre-images were vacuumed by compaction — refuse, never serve the
+    // folded state as history
+    require(v == floor || (v > floor && have.contains(v)),
+      s"VERSION AS OF $v: no such snapshot (have $floor${
+        have.map("," + _).mkString}${
+        if (floor > 0) s"; history below $floor vacuumed by compaction"
+        else ""})")
+    new MorTable(s"$catalogName.${ident.name}@v$v", dir, Some(v))
+  }
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException("tables are seeded externally")
@@ -107,6 +135,23 @@ object MorDeltas {
 
   def deltaDir(dir: java.io.File) = new java.io.File(dir, "_deltas")
 
+  private def compactMarker(dir: java.io.File) =
+    new java.io.File(deltaDir(dir), "_compacted")
+
+  /** The last statement sequence a compaction folded into base (0 =
+    * never compacted). Snapshots below it are VACUUMED — their
+    * pre-images no longer exist anywhere, so time travel to them must
+    * refuse rather than silently serve the folded state. */
+  def compactedSeq(dir: java.io.File): Long =
+    if (!compactMarker(dir).isFile) 0L
+    else java.nio.file.Files.readString(compactMarker(dir).toPath).trim.toLong
+
+  def recordCompaction(dir: java.io.File, seq: Long): Unit = {
+    deltaDir(dir).mkdirs()
+    java.nio.file.Files.writeString(compactMarker(dir).toPath, seq.toString)
+    ()
+  }
+
   private val DeltaName = """delta-(\d+)\.csv""".r
 
   /** Committed delta files, ascending by statement sequence. */
@@ -130,11 +175,13 @@ object MorDeltas {
       tombstones.isEmpty && patches.isEmpty && inserts.isEmpty
   }
 
-  def state(dir: java.io.File): State = {
+  /** Fold the log (or, for a pinned `VERSION AS OF` snapshot, its
+    * prefix ≤ upTo) into the scan's merged-view state. */
+  def state(dir: java.io.File, upTo: Option[Long] = None): State = {
     val tomb = collection.mutable.Set.empty[Long]
     val patch = collection.mutable.Map.empty[Long, Array[String]]
     val ins = collection.mutable.LinkedHashMap.empty[Long, Array[String]]
-    deltaFiles(dir).foreach { case (_, f) =>
+    deltaFiles(dir).filter(df => upTo.forall(df._1 <= _)).foreach { case (_, f) =>
       java.nio.file.Files.readAllLines(f.toPath).forEach { ln =>
         val parts = ln.split(",", -1)
         val k = parts(1).toLong
@@ -206,26 +253,32 @@ object MorCompaction {
         new java.io.File(dir, s"part-$base-${ks.min}-${ks.max}.csv").toPath,
         java.util.Arrays.asList(st.inserts.map(_.mkString(",")): _*))
     }
+    val folded = MorDeltas.deltaFiles(dir).map(_._1)
+      .foldLeft(MorDeltas.compactedSeq(dir))(math.max)
     MorDeltas.deltaFiles(dir).foreach(_._2.delete())
+    MorDeltas.recordCompaction(dir, folded)
   }
 }
 
-class MorTable(tableName: String, dir: java.io.File)
+class MorTable(tableName: String, dir: java.io.File,
+    pinned: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = tableName
   override def schema(): StructType = MorDeltas.schema
+  // a pinned snapshot (VERSION AS OF) is read-only by construction
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = MorDeltas.schema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new MorScan(dir, required)
+      override def build(): Scan = new MorScan(dir, required, pinned)
     }
 
   /** The DELTA-BASED row-level operation: `rowId` declares the row
@@ -234,8 +287,10 @@ class MorTable(tableName: String, dir: java.io.File)
     * rows. The operation's scan serves the current MERGED view (prior
     * deltas applied), so consecutive statements compose. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot mutate a VERSION AS OF snapshot")
     () => new MorDeltaOperation(dir, info.command)
+  }
 
   /** Plain appends (INSERT INTO, and the engine's insert-only-MERGE
     * optimization, which lowers to AppendData instead of a row-level
@@ -243,13 +298,15 @@ class MorTable(tableName: String, dir: java.io.File)
     * immutable until compaction, the log-file idiom of write-optimized
     * MoR tables. Reuses the delta write's stage/commit machinery: the
     * writer's plain `write` IS `insert`. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, "cannot append to a VERSION AS OF snapshot")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           new MorDeltaBatchWrite(dir, info.schema())
       }
     }
+  }
 }
 
 class MorDeltaOperation(dir: java.io.File,
@@ -279,8 +336,9 @@ class MorDeltaOperation(dir: java.io.File,
   * one partition serving the insert tail. Delta state is resolved ONCE
   * at scan build (driver side, manifest-scale) and shipped inside the
   * partitions/factory like any broadcast build side. */
-class MorScan(dir: java.io.File, required: StructType) extends Scan with Batch {
-  private val state = MorDeltas.state(dir)
+class MorScan(dir: java.io.File, required: StructType,
+    pinned: Option[Long] = None) extends Scan with Batch {
+  private val state = MorDeltas.state(dir, pinned)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
@@ -379,7 +437,8 @@ class MorDeltaBatchWrite(dir: java.io.File, rowSchema: StructType)
       all.addAll(java.nio.file.Files.readAllLines(new java.io.File(dd, n).toPath))
     }
     if (!all.isEmpty) {
-      val seq = MorDeltas.deltaFiles(dir).map(_._1).foldLeft(0L)(math.max) + 1
+      val seq = MorDeltas.deltaFiles(dir).map(_._1)
+        .foldLeft(MorDeltas.compactedSeq(dir))(math.max) + 1
       val tmp = new java.io.File(dd, s".publish-$seq")
       java.nio.file.Files.write(tmp.toPath, all)
       java.nio.file.Files.move(tmp.toPath,

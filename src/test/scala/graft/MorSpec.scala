@@ -81,6 +81,43 @@ class MorSpec extends AnyFunSuite {
     assert(readAll(cat).map(_._1) == Seq(2L, 3L, 10L, 11L, 12L, 20L, 21L, 22L))
   }
 
+  test("time travel replays the log prefix; compaction vacuums history below its floor and keeps sequences monotone") {
+    val (cat, tbl) = seed("travel")
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 2")                  // v1
+    spark.sql(s"UPDATE $cat.t SET total = 50.0 WHERE k = 10")     // v2
+    def keysAt(v: String) =
+      spark.sql(s"SELECT k FROM $cat.t VERSION AS OF $v ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+    assert(keysAt("0").contains(2L) && !keysAt("1").contains(2L),
+      "v0 must predate the delete, v1 must reflect it")
+    assert(spark.sql(s"SELECT total FROM $cat.t VERSION AS OF 1 WHERE k = 10")
+      .head().getDouble(0) == 1.0, "v1 must predate the update")
+    assert(spark.sql(s"SELECT total FROM $cat.t VERSION AS OF 2 WHERE k = 10")
+      .head().getDouble(0) == 50.0)
+    // a snapshot is read-only: DML against it must refuse
+    assert(scala.util.Try(spark.sql(
+      s"DELETE FROM $cat.t VERSION AS OF 1 WHERE k = 3")).isFailure,
+      "DML on a VERSION AS OF snapshot must refuse")
+
+    graft.sources.MorCompaction.compact(tbl)
+    // compaction folded seqs 1-2: travel below the floor must refuse
+    // (the pre-images are gone — serving the folded state as v0/v1
+    // would be silent corruption), the floor itself stays readable
+    for (dead <- Seq("0", "1"))
+      assert(scala.util.Try(spark.sql(
+        s"SELECT * FROM $cat.t VERSION AS OF $dead").collect()).isFailure,
+        s"v$dead was vacuumed by compaction and must refuse")
+    assert(keysAt("2") == Seq(1L, 3L, 10L, 11L, 12L, 20L, 21L, 22L))
+    // post-compaction statements continue the sequence (a reused seq
+    // would let new history shadow vacuumed snapshots)
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 3")                  // v3
+    assert(new java.io.File(tbl, "_deltas").list().toSet
+      .contains("delta-3.csv"),
+      s"post-compaction commit must publish seq 3: ${
+        new java.io.File(tbl, "_deltas").list().toSeq}")
+    assert(!keysAt("3").contains(3L) && keysAt("2").contains(3L))
+  }
+
   test("compaction folds the log into base, rewrites only touched files, and DML keeps working") {
     val (cat, tbl) = seed("compact")
     spark.sql(s"DELETE FROM $cat.t WHERE k = 2")
