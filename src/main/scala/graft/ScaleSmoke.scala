@@ -201,7 +201,8 @@ object ScaleSmoke {
       "i25_stream_catalog_cdf", "a29_catalog_update_exec", "a30_catalog_merge_exec",
       "i26_stream_cdf_materialize", "a31_catalog_mor_dml",
       "i27_stream_mor_upsert", "a32_catalog_ctas_atomic",
-      "k10_catalog_v2_function")
+      "k10_catalog_v2_function", "a33_catalog_mor_travel",
+      "i28_stream_mor_cdf")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1

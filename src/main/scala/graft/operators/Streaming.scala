@@ -1048,6 +1048,66 @@ object Streaming {
         .orderBy("st")
     }),
 
+    // i28: STREAMING CHANGE DATA FEED from the MoR table — the i25
+    // counterpart on a31's storage, and the read-side payoff of the
+    // delta-log design: where the CoW feed must DIFF manifests and
+    // re-read changed files to reconstruct row-level changes, here the
+    // change set of version v IS the committed delta file — the log
+    // doubles as the feed, zero reconstruction (sources/MorChangeFeed;
+    // Hudi incremental read / Paimon changelog shape). Offsets are
+    // statement sequences; `D` ops carry the row identity only (the
+    // log stores no delete pre-images — equality-delete semantics,
+    // surfaced as NULL st/total and oracled as such), `U` ops the
+    // post-image. A consumer whose checkpoint lags a compaction floor
+    // fails LOUDLY at plan time (a33's refuse-don't-fake rule, pinned
+    // at the source). The mutation history (DELETE → 3VL UPDATE over
+    // orders) makes both change sets closed-form oracle-derivable. At
+    // 100 TB the feed costs exactly the churn bytes the DML already
+    // wrote — no table scan, no manifest diff, no file re-read.
+    "i28_stream_mor_cdf" -> ((s, d) => {
+      val root = cachedFixture(s, d, "i28_mcdf") { p =>
+        val dir = new java.io.File(p, "orders_mc"); dir.mkdirs()
+        val rows = graft.Tables.t(s, d, "orders")
+          .filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_mc_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.MorDeltaCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dir = new java.io.File(root, "orders_mc")
+      if (graft.sources.MorDeltas.deltaFiles(dir).isEmpty) {
+        s.sql(s"DELETE FROM $cat.orders_mc WHERE k % 10 = 7") // -> v1
+        s.sql(s"""UPDATE $cat.orders_mc
+          SET total = CAST(CAST(total AS DECIMAL(18,2))
+                           + CAST(1.25 AS DECIMAL(3,2)) AS DOUBLE)
+          WHERE nullif(k % 7, 0) >= 3""") // -> v2
+      }
+      val name = s"graft_stream_${runSeq.incrementAndGet()}"
+      val q = s.readStream.format("graft.sources.MorChangeFeed")
+        .option("table", dir.getAbsolutePath).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", scratch(s, name, "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .groupBy("version", "op")
+        .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+        .orderBy("version", "op")
+    }),
+
     // i20: CHAINED STATEFUL AGGREGATIONS — two windowed aggregations in
     // ONE streaming query (Spark ≥3.5's multiple-stateful-operators
     // support): a fine 10-minute tumbling count per event_type feeds an
@@ -1643,6 +1703,26 @@ object Streaming {
          UNION ALL
          SELECT CAST(2 AS BIGINT), 'I', count(*), min(k), max(k),
                 CAST(sum(p) AS DOUBLE) FROM ins
+         ORDER BY version, op""",
+
+    // v1 = the delete's identities (no pre-images: NULL sum), v2 = the
+    // update's post-images over the survivors
+    "i28_stream_mor_cdf" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         del AS (SELECT k FROM seed WHERE k % 10 = 7),
+         upd AS (
+           SELECT k, p + CAST(1.25 AS DECIMAL(3,2)) AS p
+           FROM seed WHERE k % 10 <> 7 AND nullif(k % 7, 0) >= 3)
+         SELECT CAST(1 AS BIGINT) AS version, 'D' AS op,
+                count(*) AS n_rows, min(k) AS min_k, max(k) AS max_k,
+                CAST(NULL AS DOUBLE) AS sum_total
+         FROM del
+         UNION ALL
+         SELECT 2, 'U', count(*), min(k), max(k), CAST(sum(p) AS DOUBLE)
+         FROM upd
          ORDER BY version, op""",
 
     // the changelog's three key-disjoint slices folded in any order:

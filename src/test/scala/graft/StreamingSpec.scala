@@ -596,6 +596,48 @@ class StreamingSpec extends AnyFunSuite {
       "resumed drain must emit ONLY the post-checkpoint version")
   }
 
+  test("i28 MoR CDF resume: a restarted feed emits only post-checkpoint versions; a checkpoint below the compaction floor refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mcdf").toString
+    val tbl = new java.io.File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new java.io.File(tbl, "part-0-1-2.csv").toPath,
+      java.util.Arrays.asList("1,a,1.5", "2,b,2.5"))
+    val cat = s"mcdf_spec_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.MorDeltaCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 1")                 // v1
+    spark.sql(s"UPDATE $cat.t SET total = 9.0 WHERE k = 2")     // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mcdf_ck").toString
+    def drain(): Seq[(String, Long, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      val q = spark.readStream.format("graft.sources.MorChangeFeed")
+        .option("table", tbl.getAbsolutePath).load()
+        .writeStream.foreachBatch(
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+            got.synchronized {
+              got ++= df.collect().map(r =>
+                (r.getString(0), r.getLong(1), r.getLong(2)))
+            }: Unit
+          })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      got.toSeq.sorted
+    }
+    assert(drain() == Seq(("D", 1L, 1L), ("U", 2L, 2L)),
+      "first drain must emit exactly the delta-log ops, in version order")
+    spark.sql(s"INSERT INTO $cat.t VALUES (7, 'z', 3.0)")       // v3
+    assert(drain() == Seq(("I", 3L, 7L)),
+      "resumed drain must emit ONLY the post-checkpoint version")
+    // compact past the checkpoint: v4 commits, then everything folds —
+    // the consumer's next drain must fail loudly, not skip silently
+    spark.sql(s"DELETE FROM $cat.t WHERE k = 7")                // v4
+    graft.sources.MorCompaction.compact(tbl)
+    assert(graft.sources.MorDeltas.compactedSeq(tbl) == 4L)
+    assert(scala.util.Try(drain()).isFailure,
+      "a checkpoint below the compaction floor must refuse, not skip")
+  }
+
   test("i26 IVM apply: a replayed CDC batch re-lands its own version without double-applying") {
     import spark.implicits._
     val store = Tables.scratch(spark, "i26spec", "view")
