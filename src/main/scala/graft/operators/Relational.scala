@@ -900,6 +900,71 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a34: ATOMIC REPLACE TABLE AS SELECT — the third leg of the
+    // staging-DDL story (a32 creates, this REPLACES): the new content
+    // stages invisibly while READERS KEEP SEEING THE ORIGINAL, and
+    // only a successful data write swaps it in (retire-then-publish,
+    // the per-file CoW swap at whole-table granularity — a production
+    // catalog makes the two renames one metadata-pointer CAS, same
+    // contract). The atomicity gates run EVERY time: a POISON RTAS
+    // must fail and leave the original table's aggregate EXACTLY
+    // intact plus zero staging/retirement debris, and REPLACE of a
+    // missing table must raise (the REPLACE≠CREATE distinction).
+    // This is how every derived table refreshes at 100 TB: rebuild
+    // next to the live copy, swap atomically, never serve a
+    // half-refreshed state.
+    "a34_catalog_rtas_atomic" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a34_rtas") { _ => () }
+      val cat = s"graft_rtas_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      t(s, d, "orders").createOrReplaceTempView("a34_src")
+      val tbl = new java.io.File(root, "orders_rt")
+      if (!tbl.isDirectory)
+        s.sql(s"""CREATE TABLE $cat.orders_rt AS
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 o_totalprice AS price
+          FROM a34_src WHERE o_orderkey < 1500""")
+      // gate 1: REPLACE of a missing table must raise (REPLACE ≠ CREATE)
+      require(scala.util.Try(s.sql(
+        s"REPLACE TABLE $cat.nope AS SELECT 1L AS k")).isFailure,
+        "a34: REPLACE TABLE of a missing table must raise")
+      // gate 2: a poison RTAS must fail AND leave the original exactly
+      // intact (1-row scalar gate, the a22 in-query-gate idiom)
+      val pre = s.table(s"$cat.orders_rt")
+        .agg(count(lit(1)), dbl(sum(dec(col("price"), 18, 2)))).head()
+      val poisoned = scala.util.Try(s.sql(
+        s"""REPLACE TABLE $cat.orders_rt AS
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 500 = 3
+                       THEN raise_error('a34 poison')
+                       ELSE o_orderstatus END AS status,
+                  o_totalprice AS price
+           FROM a34_src WHERE o_orderkey < 3000"""))
+      require(poisoned.isFailure, "a34: the poison RTAS must fail")
+      require(s.table(s"$cat.orders_rt")
+        .agg(count(lit(1)), dbl(sum(dec(col("price"), 18, 2)))).head() == pre,
+        "a34: a failed RTAS must leave the original table intact")
+      require(Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).forall(f =>
+          !f.getName.startsWith(".stage-") &&
+            !f.getName.startsWith(".replaced-")),
+        "a34: a failed RTAS must leave no staging or retirement debris")
+      // the real replace (guard: the seed tops out below k=1500)
+      if (s.table(s"$cat.orders_rt").agg(max(col("k"))).head().getLong(0) < 1500L)
+        s.sql(s"""REPLACE TABLE $cat.orders_rt AS
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 o_totalprice AS price
+          FROM a34_src
+          WHERE o_orderkey >= 1500 AND o_orderkey < 3000""")
+      s.table(s"$cat.orders_rt")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
+          dbl(sum(dec(col("price"), 18, 2))).as("sum_price"))
+        .orderBy("status")
+    }),
+
     // a32: ATOMIC CTAS through the V2 STAGING contract — the missing
     // DDL leg of the catalog story (a25-a31 mutate seeded tables; this
     // CREATES one from a query): `CREATE TABLE … AS SELECT` stages the
@@ -2273,6 +2338,16 @@ object Relational {
            SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // after the swap the table IS the replacement SELECT — min_k ≥ 1500
+    // proves the seed content is fully gone, not merged
+    "a34_catalog_rtas_atomic" ->
+      """SELECT o_orderstatus AS status, count(*) AS n_rows,
+           min(o_orderkey) AS min_k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000
+         GROUP BY 1 ORDER BY 1""",
 
     // the CTAS round-trip truth: the committed table must reproduce the
     // SELECT exactly, including the NULL-encoded priority column

@@ -94,12 +94,9 @@ class CowDeleteCatalog extends TableCatalog with StagingTableCatalog {
     * `_base.tsv` sidecar (generalizing the fixed k/st/total demo
     * schema); the leading column must be BIGINT — it becomes the
     * file-stats/row-id column everything else here prunes on. */
-  override def stageCreate(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String])
-      : StagedTable = {
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        Seq(catalogName, ident.name))
+  /** Shared validation + staging-directory setup for CTAS and RTAS. */
+  private def stageValidated(ident: Identifier, schema: StructType,
+      partitions: Array[Transform]): java.io.File = {
     require(partitions.isEmpty,
       "CTAS with PARTITIONED BY is unsupported (files are the partition unit)")
     require(schema.fields.nonEmpty && schema.fields.head.dataType == LongType,
@@ -116,6 +113,16 @@ class CowDeleteCatalog extends TableCatalog with StagingTableCatalog {
       s".stage-${ident.name}-${java.util.UUID.randomUUID.toString.take(8)}")
     require(stage.mkdirs(), s"stageCreate: cannot create ${stage.getPath}")
     CowTable.persistBase(stage, schema)
+    stage
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName, ident.name))
+    val stage = stageValidated(ident, schema, partitions)
     new CowStagedTable(s"$catalogName.${ident.name}", dirOf(ident), stage, schema)
   }
   override def stageCreate(ident: Identifier, columns: Array[Column],
@@ -124,16 +131,35 @@ class CowDeleteCatalog extends TableCatalog with StagingTableCatalog {
     stageCreate(ident,
       StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable))),
       partitions, properties)
+  /** ATOMIC RTAS (a34): `REPLACE TABLE … AS SELECT` stages the new
+    * content exactly like stageCreate; ONLY a successful data write
+    * swaps it in. Between stage and commit — and after any failure —
+    * readers keep seeing the ORIGINAL table (gated in-key by a poison
+    * RTAS whose failure must leave the original byte-identical). The
+    * commit is retire-then-publish: the old directory moves to an
+    * invisible `.replaced-*` name, the staged tree renames into place,
+    * the old tree is deleted — the same protocol as the per-file CoW
+    * swap, at whole-table granularity. (A production catalog swaps a
+    * METADATA POINTER instead, making the two renames one CAS — the
+    * staging contract is identical; the window here is the
+    * driver-local analogue, documented not hidden.) */
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String])
-      : StagedTable =
-    throw new UnsupportedOperationException(
-      "REPLACE TABLE is unsupported (CREATE + the DML surface covers it)")
+      : StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName, ident.name))
+    val schema =
+      StructType(columns.map(c => StructField(c.name, c.dataType, c.nullable)))
+    val stage = stageValidated(ident, schema, partitions)
+    new CowStagedTable(s"$catalogName.${ident.name}", dirOf(ident), stage,
+      schema, replacing = true)
+  }
   override def stageCreateOrReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform], properties: util.Map[String, String])
       : StagedTable =
-    throw new UnsupportedOperationException(
-      "CREATE OR REPLACE TABLE is unsupported")
+    if (tableExists(ident)) stageReplace(ident, columns, partitions, properties)
+    else stageCreate(ident, columns, partitions, properties)
 
   /** Schema evolution, write-side (a26): ONLY trailing ADD COLUMN is
     * supported — the one evolution every lakehouse format ships first,
@@ -181,35 +207,53 @@ class CowDeleteCatalog extends TableCatalog with StagingTableCatalog {
   * by construction, the same staged-then-rename protocol the insert/
   * replace/delta writes use per file, here for the whole table. */
 class CowStagedTable(tableName: String, finalDir: java.io.File,
-    stageDir: java.io.File, tableSchema: StructType)
+    stageDir: java.io.File, tableSchema: StructType,
+    replacing: Boolean = false)
     extends StagedTable with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // TRUNCATE because the engine plans RTAS as overwrite-by-truncate
+  // into the staged table — truncating the (empty) staging tree is a
+  // no-op; the real retire happens at commitStagedChanges
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
           override def toBatch: BatchWrite =
             new CowBatchWrite(stageDir, tableSchema)
         }
     }
-  override def commitStagedChanges(): Unit = {
-    require(!finalDir.exists(),
-      s"commitStagedChanges: ${finalDir.getName} already exists")
-    java.nio.file.Files.move(stageDir.toPath, finalDir.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-  override def abortStagedChanges(): Unit = {
-    def rec(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-      f.delete(): Unit
+  override def commitStagedChanges(): Unit =
+    if (replacing) {
+      // retire-then-publish (a34): the old tree moves to an invisible
+      // name, the staged tree renames in, the old tree is deleted
+      require(finalDir.exists(),
+        s"commitStagedChanges: ${finalDir.getName} vanished during RTAS")
+      val retired = new java.io.File(finalDir.getParentFile,
+        s".replaced-${finalDir.getName}-${java.util.UUID.randomUUID.toString.take(8)}")
+      java.nio.file.Files.move(finalDir.toPath, retired.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(stageDir.toPath, finalDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      abortRec(retired)
+    } else {
+      require(!finalDir.exists(),
+        s"commitStagedChanges: ${finalDir.getName} already exists")
+      java.nio.file.Files.move(stageDir.toPath, finalDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    rec(stageDir)
+  private def abortRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(abortRec)
+    f.delete(): Unit
   }
+  override def abortStagedChanges(): Unit = abortRec(stageDir)
 }
 
 /** Snapshot versioning for a [[CowTable]] directory (a27) — the other
