@@ -900,6 +900,70 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // a35: AGGREGATE PUSHDOWN into the V2 scan — the connector answers
+    // an ungrouped MIN/MAX over the stats column from its MANIFEST
+    // (file-name k-ranges): the scan emits ONE pre-aggregated row and
+    // reads ZERO data rows — at 100 TB this is why `SELECT max(ts)
+    // FROM lake` costs a manifest read, not a table scan (the same
+    // trick parquet footers give file sources, demonstrated at the
+    // connector layer where lakehouse formats actually implement it).
+    // The contract is exact-or-refuse: COUNT (no row counts in the
+    // names), SUM, other columns, or GROUP BY make pushAggregation
+    // return false and the engine falls back to the row scan + its own
+    // aggregation — BOTH paths are require-gated from the plan tree
+    // (pushed leg's scan must be the one-row CowAggScan; fallback
+    // leg's must NOT be) and both are oracled.
+    "a35_scan_agg_pushdown" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a35_agg") { p =>
+        val dir = new java.io.File(p, "orders_ap"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_ap_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      def scansOf(df: org.apache.spark.sql.DataFrame) = {
+        val phys = df.queryExecution.executedPlan
+        val p = phys match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case other => other
+        }
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }
+      }
+      val pushed = s.sql(
+        s"SELECT min(k) AS min_k, max(k) AS max_k FROM $cat.orders_ap")
+      require(scansOf(pushed).nonEmpty && scansOf(pushed).forall(
+        _.isInstanceOf[graft.sources.CowAggScan]),
+        "a35: the min/max query must scan through the pushed-aggregate " +
+          s"path, got ${scansOf(pushed).map(_.getClass.getName)}")
+      val fallback = s.sql(
+        s"""SELECT min(k) AS min_k, max(k) AS max_k,
+             CAST(sum(k) AS BIGINT) AS sum_k FROM $cat.orders_ap""")
+      require(scansOf(fallback).nonEmpty && scansOf(fallback).forall(
+        !_.isInstanceOf[graft.sources.CowAggScan]),
+        "a35: a SUM-bearing aggregation must NOT push (exact-or-refuse)")
+      pushed.select(lit("pushed").as("leg"), col("min_k"), col("max_k"),
+          lit(null).cast(LongType).as("sum_k"))
+        .unionAll(fallback.select(lit("fallback").as("leg"), col("min_k"),
+          col("max_k"), col("sum_k")))
+        .orderBy("leg")
+    }),
+
     // a34: ATOMIC REPLACE TABLE AS SELECT — the third leg of the
     // staging-DDL story (a32 creates, this REPLACES): the new content
     // stages invisibly while READERS KEEP SEEING THE ORIGINAL, and
@@ -921,11 +985,14 @@ object Relational {
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       t(s, d, "orders").createOrReplaceTempView("a34_src")
       val tbl = new java.io.File(root, "orders_rt")
+      // slices pinned INSIDE every tier's contiguous key range (the
+      // a27 lesson: sf0.001 orderkeys stop at 1499 — a slice past the
+      // end verifies vacuously AND leaves an empty table behind)
       if (!tbl.isDirectory)
         s.sql(s"""CREATE TABLE $cat.orders_rt AS
           SELECT o_orderkey AS k, o_orderstatus AS status,
                  o_totalprice AS price
-          FROM a34_src WHERE o_orderkey < 1500""")
+          FROM a34_src WHERE o_orderkey < 1000""")
       // gate 1: REPLACE of a missing table must raise (REPLACE ≠ CREATE)
       require(scala.util.Try(s.sql(
         s"REPLACE TABLE $cat.nope AS SELECT 1L AS k")).isFailure,
@@ -941,7 +1008,7 @@ object Relational {
                        THEN raise_error('a34 poison')
                        ELSE o_orderstatus END AS status,
                   o_totalprice AS price
-           FROM a34_src WHERE o_orderkey < 3000"""))
+           FROM a34_src WHERE o_orderkey < 2000"""))
       require(poisoned.isFailure, "a34: the poison RTAS must fail")
       require(s.table(s"$cat.orders_rt")
         .agg(count(lit(1)), dbl(sum(dec(col("price"), 18, 2)))).head() == pre,
@@ -951,13 +1018,15 @@ object Relational {
           !f.getName.startsWith(".stage-") &&
             !f.getName.startsWith(".replaced-")),
         "a34: a failed RTAS must leave no staging or retirement debris")
-      // the real replace (guard: the seed tops out below k=1500)
-      if (s.table(s"$cat.orders_rt").agg(max(col("k"))).head().getLong(0) < 1500L)
+      // the real replace (guard: the seed tops out below k=1000;
+      // null-safe so a historical empty state self-heals)
+      val mx = s.table(s"$cat.orders_rt").agg(max(col("k"))).head()
+      if (mx.isNullAt(0) || mx.getLong(0) < 1000L)
         s.sql(s"""REPLACE TABLE $cat.orders_rt AS
           SELECT o_orderkey AS k, o_orderstatus AS status,
                  o_totalprice AS price
           FROM a34_src
-          WHERE o_orderkey >= 1500 AND o_orderkey < 3000""")
+          WHERE o_orderkey >= 1000 AND o_orderkey < 2000""")
       s.table(s"$cat.orders_rt")
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_rows"), min(col("k")).as("min_k"),
@@ -2339,14 +2408,25 @@ object Relational {
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
 
-    // after the swap the table IS the replacement SELECT — min_k ≥ 1500
+    // both legs over the same k<1200 slice: the manifest-served min/max
+    // must equal the row-scan truth exactly
+    "a35_scan_agg_pushdown" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 1200)
+         SELECT 'fallback' AS leg, min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(k) AS BIGINT) AS sum_k FROM seed
+         UNION ALL
+         SELECT 'pushed', min(k), max(k), CAST(NULL AS BIGINT) FROM seed
+         ORDER BY leg""",
+
+    // after the swap the table IS the replacement SELECT — min_k ≥ 1000
     // proves the seed content is fully gone, not merged
     "a34_catalog_rtas_atomic" ->
       """SELECT o_orderstatus AS status, count(*) AS n_rows,
            min(o_orderkey) AS min_k,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS sum_price
-         FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000
+         FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
          GROUP BY 1 ORDER BY 1""",
 
     // the CTAS round-trip truth: the committed table must reproduce the

@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, WriterCommitMessage}
@@ -459,6 +460,14 @@ object CowTable {
     StructType(baseSchema(dir).fields ++ addedColumns(dir))
 
   private val FileName = """part-(\d+)-(-?\d+)-(-?\d+)\.csv""".r
+  // archived copies carry the retirement prefix (rv<m>-) but keep the
+  // original stats-bearing name — the agg-pushdown scan (a35) reads
+  // stats from pinned snapshot files too
+  private val StatName = """(?:rv\d+-)?part-\d+-(-?\d+)-(-?\d+)\.csv""".r
+  def statsOf(name: String): Option[(Long, Long)] = name match {
+    case StatName(lo, hi) => Some((lo.toLong, hi.toLong))
+    case _ => None
+  }
 
   /** (file, lo, hi) for each data file — the manifest, parsed from names. */
   def manifest(dir: java.io.File): Seq[(java.io.File, Long, Long)] =
@@ -559,14 +568,51 @@ class CowTable(tableName: String, dir: java.io.File,
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
       // serves pruned data columns plus `_file` when referenced (the
       // group-filter subquery of a29's row-level ops reads it through
       // THIS scan — the relation's scan, not the rewrite scan)
       private var required: StructType = currentSchema(dir)
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      override def build(): Scan = new CowScan(dir, pinned, required)
+
+      /** Aggregate pushdown (a35): an ungrouped MIN/MAX over the stats
+        * column is answered from the MANIFEST — zero data rows read.
+        * Anything else (COUNT — the file names carry no row counts —
+        * SUM, other columns, GROUP BY) is REFUSED and the engine falls
+        * back to the row scan + its own aggregation; partial results
+        * are never faked. */
+      private var pushedAgg: Option[Seq[Boolean]] = None // true = Min
+      private def statsCol = baseSchema(dir).fields.head.name
+      private def isStatsRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference => r.fieldNames.sameElements(Array(statsCol))
+          case _ => false
+        }
+      private def minMaxOnly(agg: aggregate.Aggregation): Option[Seq[Boolean]] =
+        if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+          None
+        else {
+          val fs = agg.aggregateExpressions.toSeq.map {
+            case m: aggregate.Min if isStatsRef(m.column) => Some(true)
+            case m: aggregate.Max if isStatsRef(m.column) => Some(false)
+            case _ => None
+          }
+          if (fs.forall(_.isDefined)) Some(fs.flatten) else None
+        }
+      override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+        minMaxOnly(agg).isDefined
+      override def pushAggregation(agg: aggregate.Aggregation): Boolean = {
+        minMaxOnly(agg) match {
+          case some @ Some(_) => pushedAgg = some; true
+          case None => false
+        }
+      }
+      override def build(): Scan = pushedAgg match {
+        case Some(funcs) => new CowAggScan(dir, pinned, funcs)
+        case None => new CowScan(dir, pinned, required)
+      }
     }
 
   /** INSERT INTO leg (a26): rows arrive in the table's CURRENT schema.
@@ -657,6 +703,48 @@ class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None,
   override def createReaderFactory(): PartitionReaderFactory =
     CowRowReaderFactory(required, CowTable.currentSchema(dir),
       CowTable.nonNullPrefix(dir))
+}
+
+/** The pushed-aggregate scan (a35): an ungrouped MIN/MAX over the
+  * stats column, answered from the manifest's file-name stats — ZERO
+  * data rows are read; the scan emits ONE pre-aggregated row. Works on
+  * pinned `VERSION AS OF` snapshots too (archived names keep their
+  * stats). Empty table → one all-NULL row, SQL's empty-aggregate
+  * semantics. At 100 TB this is why `SELECT max(ts) FROM lake` costs a
+  * manifest read, not a table scan — the same trick parquet footers
+  * give the file sources, here at the connector layer. */
+class CowAggScan(dir: java.io.File, pinned: Option[Seq[java.io.File]],
+    isMin: Seq[Boolean]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    isMin.zipWithIndex.map { case (m, i) =>
+      StructField(s"${if (m) "min" else "max"}_$i", LongType, nullable = true) })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stats = pinned.getOrElse(CowTable.manifest(dir).map(_._1))
+      .flatMap(f => CowTable.statsOf(f.getName))
+    val values = isMin.map { m =>
+      if (stats.isEmpty) None
+      else Some(if (m) stats.map(_._1).min else stats.map(_._2).max)
+    }
+    Array(CowAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    CowAggReaderFactory()
+}
+
+case class CowAggPartition(values: Seq[Option[Long]]) extends InputPartition
+
+case class CowAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[CowAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(vs.map(_.map(Long.box).orNull))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class CowFileCommitted(name: String) extends WriterCommitMessage
