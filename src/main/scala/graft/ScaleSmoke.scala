@@ -202,7 +202,8 @@ object ScaleSmoke {
       "i26_stream_cdf_materialize", "a31_catalog_mor_dml",
       "i27_stream_mor_upsert", "a32_catalog_ctas_atomic",
       "k10_catalog_v2_function", "a33_catalog_mor_travel",
-      "i28_stream_mor_cdf", "a34_catalog_rtas_atomic")
+      "i28_stream_mor_cdf", "a34_catalog_rtas_atomic",
+      "a35_scan_agg_pushdown")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1

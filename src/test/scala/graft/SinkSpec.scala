@@ -355,6 +355,43 @@ class SinkSpec extends AnyFunSuite {
       s"DML on the CTAS table broke: ${after.toSeq}")
   }
 
+  test("aggregate pushdown answers min/max from archived stats on a VERSION AS OF snapshot") {
+    // a35 over a27: a historical min/max must come from the ARCHIVED
+    // copies' file-name stats (the rv<m>- prefix parse) — a time-travel
+    // dashboard query costs a manifest read at any table size
+    val root = freshDir("cow_aggpin")
+    val tbl = new File(root, "t"); tbl.mkdirs()
+    java.nio.file.Files.write(new File(tbl, "part-0-5-9.csv").toPath,
+      java.util.Arrays.asList("5,a,1.0", "9,a,2.0"))
+    java.nio.file.Files.write(new File(tbl, "part-1-20-30.csv").toPath,
+      java.util.Arrays.asList("20,b,1.0", "30,b,2.0"))
+    val cat = s"cow_aggpin_${root.hashCode.toHexString}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.CowDeleteCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    graft.sources.CowVersions.enable(tbl) // v0
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 20") // v1: file retired to archive
+    def gate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Row = {
+      val scans = (df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }
+      assert(scans.nonEmpty &&
+        scans.forall(_.isInstanceOf[graft.sources.CowAggScan]),
+        s"expected the pushed-aggregate scan, got ${scans.map(_.getClass)}")
+      df.head()
+    }
+    val cur = gate(spark.sql(s"SELECT min(k), max(k) FROM $cat.t"))
+    assert((cur.getLong(0), cur.getLong(1)) == ((5L, 9L)), s"current: $cur")
+    val v0 = gate(spark.sql(s"SELECT min(k), max(k) FROM $cat.t VERSION AS OF 0"))
+    assert((v0.getLong(0), v0.getLong(1)) == ((5L, 30L)),
+      s"v0 must see the archived file's stats: $v0")
+  }
+
   test("CowVersions fuzz: a random mutation history replays exactly through time travel and the manifest diff") {
     // adversarial pin for the a27/a28 machinery: 14 seeded-random
     // mutations (keyed deletes through the SQL surface, multi-row
