@@ -900,6 +900,69 @@ object Relational {
         .orderBy("leg", "st")
     }),
 
+    // c23: STORAGE-PARTITIONED JOIN — the connector-level shuffle
+    // eliminator (Iceberg bucket joins / hive bucketing, through the
+    // V2 read API): both sides of the join REPORT their physical
+    // layout (KeyGroupedPartitioning on identity(grp), one partition
+    // per group, each exposing its key via HasPartitionKey —
+    // sources/BucketedSource), so with v2 bucketing enabled the engine
+    // plans the grp-join AND the grp-aggregation with ZERO shuffle
+    // exchanges — require-gated from the executed plan (no
+    // ShuffleExchange anywhere, and the join must be a real
+    // SortMergeJoin, broadcast disabled so the gate can't be satisfied
+    // trivially). The source's rows are a closed form, so the whole
+    // pipeline is oracle-derivable from generate_series. At 100 TB
+    // this is the fact-fact join that moves ZERO rows over the
+    // network because the lake layout already clusters both sides.
+    "c23_join_storage_partitioned" -> ((s, d) => {
+      val prevBucket = s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+      val prevBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        def src(rows: Int) = s.read.format("graft.sources.BucketedSource")
+          .option("groups", "8").option("rowsPerGroup", rows.toString).load()
+        val a = src(2000)
+        val b = src(500).filter(col("k") < 25)
+          .select(col("grp"), col("v").as("bv"))
+        val joined = a.join(b, "grp")
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("v")).as("sum_av"),
+            sum(col("bv")).as("sum_bv"))
+          .orderBy("grp")
+        val phys = joined.queryExecution.executedPlan
+        val root = phys match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            ad.inputPlan
+          case p => p
+        }
+        require(root.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.isEmpty,
+          s"c23: the storage-partitioned plan must contain ZERO shuffle " +
+            s"exchanges:\n$root")
+        require(root.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }.nonEmpty,
+          s"c23: expected a real SortMergeJoin (broadcast disabled):\n$root")
+        // the scan also REPORTS its per-partition (grp, k) order
+        // (SupportsReportOrdering — the sorted-bucket layout), so the
+        // merge join's sort requirement is satisfied straight off the
+        // scan: zero SortExec nodes BELOW the join (the key's own
+        // final orderBy is the one legitimate sort in the plan)
+        require(root.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }.forall(_.collect {
+          case so: org.apache.spark.sql.execution.SortExec => so
+        }.isEmpty),
+          s"c23: the reported ordering must feed the merge join sort-free:\n$root")
+        joined
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucket)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      }
+    }),
+
     // a35: AGGREGATE PUSHDOWN into the V2 scan — the connector answers
     // an ungrouped MIN/MAX over the stats column from its MANIFEST
     // (file-name k-ranges): the scan emits ONE pre-aggregated row and
@@ -2407,6 +2470,23 @@ object Relational {
            SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // the source's closed form from generate_series — the engine-side
+    // zero-shuffle plan must produce exactly this arithmetic
+    "c23_join_storage_partitioned" ->
+      """WITH a AS (
+           SELECT g.grp, k.k, (g.grp * 1000003 + k.k * 7919) % 100000 AS v
+           FROM (SELECT unnest(range(0, 8)) AS grp) g,
+                (SELECT unnest(range(0, 2000)) AS k) k),
+         b AS (
+           SELECT g.grp, (g.grp * 1000003 + k.k * 7919) % 100000 AS bv
+           FROM (SELECT unnest(range(0, 8)) AS grp) g,
+                (SELECT unnest(range(0, 25)) AS k) k)
+         SELECT a.grp, count(*) AS n_pairs,
+                CAST(sum(a.v) AS BIGINT) AS sum_av,
+                CAST(sum(b.bv) AS BIGINT) AS sum_bv
+         FROM a JOIN b ON a.grp = b.grp
+         GROUP BY 1 ORDER BY 1""",
 
     // both legs over the same k<1200 slice: the manifest-served min/max
     // must equal the row-scan truth exactly
