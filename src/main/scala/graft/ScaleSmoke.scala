@@ -116,7 +116,8 @@ object ScaleSmoke {
       "l43_bpe_vocab", "l45_bigram_logprob", "l46_dup_span_fraction",
       "l47_cap_per_source", "l48_bpe_encode", "l49_char_entropy",
       "l50_dedup_survivor_select",
-      "c23_join_storage_partitioned") // synthetic source, sf-independent
+      "c23_join_storage_partitioned", // synthetic source, sf-independent
+      "f5_scan_topn_pushdown") // synthetic source, sf-independent
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {
       val embs = spark.read.parquet(s"$src/embeddings.parquet")
       val m = embs.agg(max("vec_id")).head().getLong(0) + 1

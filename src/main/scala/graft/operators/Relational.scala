@@ -1913,6 +1913,56 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(10)),
 
+    // f5: TOP-N PUSHDOWN into the V2 scan — f3 takes the global top-k
+    // with a TakeOrderedAndProject over a FULL scan; here the
+    // CONNECTOR absorbs the ORDER BY id LIMIT n (SupportsPushDownTopN,
+    // complete pushdown): the planned range itself truncates to n rows
+    // and the engine drops its TopN operator entirely — at 100 TB the
+    // difference between "read everything, keep n" and "read n". The
+    // contract is exact-or-refuse, both directions gated from the
+    // executed plan: the ASC legs' scan descriptions must carry the
+    // TRUNCATED range with no TakeOrderedAndProject anywhere, and the
+    // DESC leg (this source cannot emit reversed rows, so it refuses)
+    // must retain the engine's TopN over the FULL range yet still
+    // produce the right rows. Filters compose: the pushed id-bounds
+    // tighten first, then the TopN truncates the residual range.
+    "f5_scan_topn_pushdown" -> ((s, d) => {
+      val base = s.read.format("graft.sources.RangeSource")
+        .option("start", "0").option("end", "100000").option("slices", "8")
+        .load()
+      def gates(df: org.apache.spark.sql.DataFrame, wantDesc: String,
+          wantTopN: Boolean): org.apache.spark.sql.DataFrame = {
+        val root = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case p => p
+        }
+        val scans = root.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.description()
+        }
+        require(scans.nonEmpty && scans.forall(_.startsWith(wantDesc)),
+          s"f5: expected scan range $wantDesc, got $scans")
+        val topns = root.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        }
+        require(topns.nonEmpty == wantTopN,
+          s"f5: TakeOrderedAndProject presence must be $wantTopN:\n$root")
+        df
+      }
+      val first = gates(base.orderBy(col("id")).limit(7),
+        "graft_range(0,7", wantTopN = false)
+      val tail = gates(base.filter(col("id") >= 99000L)
+          .orderBy(col("id")).limit(5),
+        "graft_range(99000,99005", wantTopN = false)
+      val desc = gates(base.orderBy(col("id").desc).limit(3),
+        "graft_range(0,100000", wantTopN = true)
+      first.select(lit("a_first").as("leg"), col("id"), col("sq"))
+        .unionAll(tail.select(lit("b_tail").as("leg"), col("id"), col("sq")))
+        .unionAll(desc.select(lit("c_desc").as("leg"), col("id"), col("sq")))
+        .orderBy("leg", "id")
+    }),
+
     // f4: KEYSET PAGINATION — the SCALABLE pagination pattern, stated
     // against f2's LIMIT/OFFSET: OFFSET N must produce-and-discard N
     // rows (page 1000 of a 100-TB result scans everything before it),
@@ -2470,6 +2520,17 @@ object Relational {
            SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // the three cuts of the id range, sq = id² — pushed or not, the
+    // rows must be identical
+    "f5_scan_topn_pushdown" ->
+      """SELECT 'a_first' AS leg, i AS id, i * i AS sq
+         FROM (SELECT unnest(range(0, 7)) AS i)
+         UNION ALL
+         SELECT 'b_tail', i, i * i FROM (SELECT unnest(range(99000, 99005)) AS i)
+         UNION ALL
+         SELECT 'c_desc', i, i * i FROM (SELECT unnest(range(99997, 100000)) AS i)
+         ORDER BY leg, id""",
 
     // the source's closed form from generate_series — the engine-side
     // zero-shuffle plan must produce exactly this arithmetic

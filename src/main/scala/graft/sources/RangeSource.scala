@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.{expressions => connectorExpressions}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -59,7 +60,8 @@ class RangeTable(start: Long, end: Long, slices: Int, rowsPerBatch: Long = 0L)
 class RangeScanBuilder(start: Long, end: Long, slices: Int,
     rowsPerBatch: Long = 0L)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownTopN
+    with SupportsPushDownLimit {
   private var required: StructType = RangeSource.schema
   private var lo = start
   private var hi = end
@@ -94,6 +96,33 @@ class RangeScanBuilder(start: Long, end: Long, slices: Int,
     residual
   }
   override def pushedFilters: Array[Filter] = accepted
+
+  /** TopN/LIMIT pushdown (f5): because this source KNOWS its row layout
+    * exactly (the range is the data), `ORDER BY id ASC LIMIT n` and
+    * plain `LIMIT n` truncate the PLANNED RANGE itself — the engine
+    * drops its own TakeOrderedAndProject entirely (complete pushdown)
+    * and the scan reads exactly n rows. The readers emit ids ascending
+    * within each contiguous split and splits are planned in ascending
+    * order, so the required output order is the scan's natural order.
+    * DESC (or any non-id ordering) is REFUSED — this source would have
+    * to emit reversed rows to honor complete pushdown semantics — and
+    * the engine keeps its TopN (gated as the f5 negative leg). */
+  override def pushTopN(orders: Array[connectorExpressions.SortOrder],
+      limit: Int): Boolean = {
+    val idAsc = orders.length == 1 &&
+      (orders.head.expression match {
+        case r: connectorExpressions.NamedReference =>
+          r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }) &&
+      orders.head.direction == connectorExpressions.SortDirection.ASCENDING
+    if (idAsc) { hi = math.min(hi, lo + limit); true } else false
+  }
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit); true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
   override def build(): Scan = new RangeScan(lo, hi, slices, required, rowsPerBatch)
 }
 
