@@ -963,6 +963,70 @@ object Relational {
       }
     }),
 
+    // c24: RUNTIME FILE PRUNING through the V2 scan — the read-path
+    // twin of a29's runtime group filter, and the connector-level
+    // analogue of l34's lake DPP: the engine proves the join's key set
+    // at runtime (the broadcast dim's selective predicate feeds a
+    // dynamic-pruning IN subquery planted on the scan —
+    // SupportsRuntimeV2Filtering), and the connector prunes its
+    // MANIFEST by each file's [lo, hi] stats BEFORE any file opens.
+    // Gated twice from the plan: the scan node must CARRY the planted
+    // runtime filter, and after execution the scan must have pruned to
+    // exactly ONE of four files (the dim's keys all sit in file 0's
+    // range). At 100 TB this is the fact-side file-skipping an
+    // Iceberg-class table does for every selective dim join — churn
+    // the dim, read only the matching fact files.
+    "c24_join_runtime_file_prune" -> ((s, d) => {
+      val root = cachedFixture(s, d, "c24_rfp") { p =>
+        val dir = new java.io.File(p, "orders_rf"); dir.mkdirs()
+        val rows = t(s, d, "orders").filter(col("o_orderkey") < 1200)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy("o_orderkey").collect() // fixture-build only (a16 idiom)
+        val per = math.max(1, math.ceil(rows.length / 4.0).toInt)
+        rows.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+          val lines = chunk.map(r =>
+            s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}")
+          java.nio.file.Files.write(
+            new java.io.File(dir,
+              s"part-$i-${chunk.head.getLong(0)}-${chunk.last.getLong(0)}.csv").toPath,
+            java.util.Arrays.asList(lines: _*))
+        }
+      }
+      val cat = s"graft_rfp_${Integer.toHexString(root.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.CowDeleteCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // the dim: a SELECTIVE predicate over the parquet source (the
+      // dynamic-pruning rule requires one) whose keys all sit inside
+      // file 0's [.., 299] stats range
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderstatus").isin("O", "F") && col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("k"))
+      val joined = s.table(s"$cat.orders_rf").join(broadcast(dim), "k")
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("total"), 18, 2))).as("sum_total"))
+        .orderBy("st")
+      val scans = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.sources.CowScan] => b
+      }
+      require(scans.nonEmpty && scans.forall(_.runtimeFilters.nonEmpty),
+        "c24: the engine must plant a runtime filter on the V2 scan " +
+          s"(got ${scans.map(_.runtimeFilters)})")
+      // fire the runtime filter with a real execution, then gate the
+      // connector-side prune count from the SAME scan instance
+      joined.queryExecution.toRdd.count()
+      val pruned = scans.map(_.scan.asInstanceOf[graft.sources.CowScan].prunedTo)
+      require(pruned.forall(_.contains(1)),
+        s"c24: runtime stats pruning must keep exactly 1 of 4 files, got $pruned")
+      joined
+    }),
+
     // a35: AGGREGATE PUSHDOWN into the V2 scan — the connector answers
     // an ungrouped MIN/MAX over the stats column from its MANIFEST
     // (file-name k-ranges): the scan emits ONE pre-aggregated row and
@@ -2520,6 +2584,20 @@ object Relational {
            SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // the same self-join through the flat table: pruning is an
+    // optimization, never a result dependency
+    "c24_join_runtime_file_prune" ->
+      """WITH seed AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderkey < 1200),
+         dim AS (
+           SELECT o_orderkey AS k FROM orders
+           WHERE o_orderstatus IN ('O', 'F') AND o_orderkey < 300)
+         SELECT st, count(*) AS n_rows, CAST(sum(p) AS DOUBLE) AS sum_total
+         FROM seed JOIN dim USING (k)
+         GROUP BY 1 ORDER BY 1""",
 
     // the three cuts of the id range, sq = id² — pushed or not, the
     // rows must be identical

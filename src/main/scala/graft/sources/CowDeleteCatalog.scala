@@ -691,13 +691,58 @@ class CowTable(tableName: String, dir: java.io.File,
   * metadata column (each row's source file name). */
 class CowScan(dir: java.io.File, pinned: Option[Seq[java.io.File]] = None,
     requiredOpt: StructType = null)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
   private val required =
     Option(requiredOpt).getOrElse(CowTable.currentSchema(dir))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+
+  /** Runtime FILE pruning (c24) — the read-path twin of a29's runtime
+    * group filter: a join's runtime IN/= values on the stats column
+    * prune the manifest by each file's [lo, hi] BEFORE any file opens
+    * (the Iceberg-style runtime file filtering the engine drives
+    * through its dynamic-pruning machinery). Predicates the stats
+    * cannot prove are ignored — pruning is an optimization, never a
+    * correctness dependency. `prunedTo` is observable so the c24 key
+    * can gate the file count from the executed plan. */
+  private def statsCol = CowTable.baseSchema(dir).fields.head.name
+  @volatile var prunedTo: Option[Int] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(statsCol))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def isStats(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array(statsCol))
+        case _ => false
+      }
+    val values = predicates.flatMap { p =>
+      p.name() match {
+        case "IN" if isStats(p.children.head) =>
+          p.children.tail.collect { case l: Literal[_] => l.value match {
+            case i: java.lang.Integer => i.longValue
+            case j: java.lang.Long => j.longValue
+          }}
+        case "=" if p.children.length == 2 && isStats(p.children.head) =>
+          p.children.tail.collect { case l: Literal[_] => l.value match {
+            case i: java.lang.Integer => i.longValue
+            case j: java.lang.Long => j.longValue
+          }}
+        case _ => Array.empty[Long]
+      }
+    }
+    if (values.nonEmpty) {
+      val kept = files().filter(f => CowTable.statsOf(f.getName).exists {
+        case (lo, hi) => values.exists(v => lo <= v && v <= hi) })
+      runtimeKept = Some(kept)
+      prunedTo = Some(kept.size)
+    }
+  }
+  @volatile private var runtimeKept: Option[Seq[java.io.File]] = None
+  private def files(): Seq[java.io.File] =
     pinned.getOrElse(CowTable.manifest(dir).map(_._1))
+
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeKept.getOrElse(files())
       .map(f => CowRowPartition(f.getAbsolutePath, f.getName)
         : InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
