@@ -205,7 +205,8 @@ object ScaleSmoke {
       "i27_stream_mor_upsert", "a32_catalog_ctas_atomic",
       "k10_catalog_v2_function", "a33_catalog_mor_travel",
       "i28_stream_mor_cdf", "a34_catalog_rtas_atomic",
-      "a35_scan_agg_pushdown", "c24_join_runtime_file_prune")
+      "a35_scan_agg_pushdown", "c24_join_runtime_file_prune",
+      "a36_sink_required_distribution")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1

@@ -963,6 +963,50 @@ object Relational {
       }
     }),
 
+    // a36: WRITE-REQUESTED DISTRIBUTION AND ORDERING — the write-side
+    // counterpart of c23's reported read layout: the sink's Write
+    // declares (RequiresDistributionAndOrdering) that incoming rows
+    // must arrive CLUSTERED by the leading column and SORTED by
+    // (cluster, order), and the ENGINE inserts the shuffle + sort
+    // before any task writes a byte — the layout contract lives in the
+    // connector, the plan work in the engine (how an Iceberg-class
+    // sink gets one-file-per-key, internally-sorted files without
+    // trusting the query author to repartition). The proof is read
+    // back FROM THE WRITTEN BYTES and oracled: every cluster value
+    // must occupy exactly ONE shard (n_files literal 1) and every
+    // in-shard cluster block must be sorted by the order column
+    // (sorted literal true) — which shard a value hashes to is
+    // deliberately NOT the contract. Downstream, this layout is what
+    // makes c23-style reads possible: write-side clustering is where
+    // read-side shuffle elimination is born.
+    "a36_sink_required_distribution" -> ((s, d) => {
+      val root = cachedFixture(s, d, "a36_clu") { _ => () }
+      val out = new java.io.File(root, "out")
+      if (!new java.io.File(out, "_graft_committed").isFile) {
+        t(s, d, "orders").filter(col("o_orderkey") < 3000)
+          .select((col("o_orderkey") % 8).as("ckey"),
+            col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+          .write.format("graft.sources.ClusteredCsvSink")
+          .option("path", out.getAbsolutePath).mode("append").save()
+      }
+      val back = s.read.option("sep", "\t")
+        .option("pathGlobFilter", "shard-*.tsv")
+        .schema("ckey LONG, okey LONG, price DOUBLE")
+        .csv(out.getAbsolutePath)
+        .withColumn("file", input_file_name())
+        .withColumn("mid", monotonically_increasing_id())
+      // per in-shard cluster block: physical row order must follow okey
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("file", "ckey").orderBy("mid")
+      back.withColumn("prev", lag(col("okey"), 1).over(w))
+        .groupBy(col("ckey"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("file")).as("n_files"),
+          min(coalesce(col("prev") <= col("okey"), lit(true))).as("sorted"),
+          dbl(sum(dec(col("price"), 18, 2))).as("sum_price"))
+        .orderBy("ckey")
+    }),
+
     // c24: RUNTIME FILE PRUNING through the V2 scan — the read-path
     // twin of a29's runtime group filter, and the connector-level
     // analogue of l34's lake DPP: the engine proves the join's key set
@@ -2584,6 +2628,16 @@ object Relational {
            SELECT 'v3_current', st, count(*), CAST(sum(p) AS DOUBLE)
            FROM s2 GROUP BY st)
          SELECT * FROM legs ORDER BY leg, st""",
+
+    // the engine-enforced layout facts as literals (one shard per
+    // cluster, sorted blocks) + the content rollup
+    "a36_sink_required_distribution" ->
+      """SELECT o_orderkey % 8 AS ckey, count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files, true AS sorted,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders WHERE o_orderkey < 3000
+         GROUP BY 1 ORDER BY 1""",
 
     // the same self-join through the flat table: pruning is an
     // optimization, never a result dependency
