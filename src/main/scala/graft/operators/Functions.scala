@@ -124,6 +124,37 @@ object Functions {
         .orderBy("event_id")
     }),
 
+    // h22: COLLATION-AWARE COMPARISON SEMANTICS — Spark 4's collated
+    // string type (the engine-native successor to lower()-everywhere
+    // normalization): `collate(s, 'UTF8_LCASE')` changes what EQUALITY
+    // AND GROUPING MEAN for the column — distinct, group-by, and
+    // predicates all follow the collation with the original bytes
+    // preserved (lower() destroys them; a collation does not). The
+    // corpus is lowercase, so case variants are PLANTED
+    // deterministically (upper() on even doc_ids — reproducible on
+    // both engines), and the key emits the semantic deltas: binary
+    // distinct counts the case variants apart, UTF8_LCASE merges them
+    // back to the true vocabulary; an equality predicate under the
+    // collation matches both casings. Oracle: DuckDB reproduces the
+    // collated semantics through lower() — same answers, which is
+    // precisely the point (collation = engine-level normalization
+    // without rewriting every expression). At 100 TB collation beats
+    // lower() twice: comparisons keep codegen'd memcmp-class kernels
+    // specialized per collation, and the stored bytes stay original
+    // for display/round-trip.
+    "h22_collation_semantics" -> ((s, d) => {
+      val cased = when(col("doc_id") % 2 === 0, upper(col("term")))
+        .otherwise(col("term"))
+      val ci = collate(cased, "UTF8_LCASE")
+      LlmOps.tokens(s, d)
+        .select(col("doc_id"), cased.as("cased"), ci.as("ci"))
+        .agg(
+          countDistinct(col("cased")).as("n_distinct_binary"),
+          countDistinct(col("ci")).as("n_distinct_ci"),
+          count(when(col("cased") === "the", 1)).as("n_the_binary"),
+          count(when(col("ci") === "the", 1)).as("n_the_ci"))
+    }),
+
     "h7_array_explode" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -475,6 +506,23 @@ object Functions {
     // the Variant extractions must agree value-for-value with plain JSON
     // path extraction — h6's oracle arithmetic with the extra null-typed
     // missing-path column
+    // the collated semantics reproduced via lower() — same answers is
+    // the point (collation = normalization without rewriting)
+    "h22_collation_semantics" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+           FROM documents),
+         cased AS (
+           SELECT CASE WHEN doc_id % 2 = 0 THEN upper(term) ELSE term END AS c
+           FROM toks WHERE term <> '')
+         SELECT count(DISTINCT c) AS n_distinct_binary,
+                count(DISTINCT lower(c)) AS n_distinct_ci,
+                CAST(count(CASE WHEN c = 'the' THEN 1 END) AS BIGINT)
+                  AS n_the_binary,
+                CAST(count(CASE WHEN lower(c) = 'the' THEN 1 END) AS BIGINT)
+                  AS n_the_ci
+         FROM cased""",
+
     "h10_variant_funcs" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
