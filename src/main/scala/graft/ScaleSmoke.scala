@@ -115,7 +115,7 @@ object ScaleSmoke {
       "l40_shuffle_shards", "l41_feature_hashing", "l42_pagerank_hubs",
       "l43_bpe_vocab", "l45_bigram_logprob", "l46_dup_span_fraction",
       "l47_cap_per_source", "l48_bpe_encode", "l49_char_entropy",
-      "l50_dedup_survivor_select",
+      "l50_dedup_survivor_select", "h22_collation_semantics",
       "c23_join_storage_partitioned", // synthetic source, sf-independent
       "f5_scan_topn_pushdown") // synthetic source, sf-independent
     if (keys.exists(k => !docOnlyKeys(k) && !streamProbeKeys(k))) {

@@ -138,21 +138,32 @@ object Functions {
     // collation matches both casings. Oracle: DuckDB reproduces the
     // collated semantics through lower() — same answers, which is
     // precisely the point (collation = engine-level normalization
-    // without rewriting every expression). At 100 TB collation beats
-    // lower() twice: comparisons keep codegen'd memcmp-class kernels
-    // specialized per collation, and the stored bytes stay original
-    // for display/round-trip.
+    // without rewriting every expression). MEASURED ENGINE HAZARD
+    // (r15 probe): collated COUNT DISTINCT over the raw token stream
+    // scales superlinearly (1.4 → 8.7 → 41.5 s at 1×/8×/32× — the
+    // collation-aware comparator runs per comparison in a sort-heavy
+    // path), so the corpus-sized work here is a plain BINARY hash agg
+    // (codegen'd, linear) and the collated semantics apply to the
+    // vocabulary-sized frame — apply collation at the cardinality
+    // where its semantics matter, not per token (restructured probe:
+    // 0.95 → 2.77 s at 8×/32×, linear — ~15× at 32×). At 100 TB collation still
+    // beats lower() for storage/display (original bytes survive), and
+    // per-row collated PREDICATES stay linear — it is the heavy
+    // collated aggregation that wants a pre-collapsed domain.
     "h22_collation_semantics" -> ((s, d) => {
       val cased = when(col("doc_id") % 2 === 0, upper(col("term")))
         .otherwise(col("term"))
-      val ci = collate(cased, "UTF8_LCASE")
-      LlmOps.tokens(s, d)
-        .select(col("doc_id"), cased.as("cased"), ci.as("ci"))
-        .agg(
-          countDistinct(col("cased")).as("n_distinct_binary"),
-          countDistinct(col("ci")).as("n_distinct_ci"),
-          count(when(col("cased") === "the", 1)).as("n_the_binary"),
-          count(when(col("ci") === "the", 1)).as("n_the_ci"))
+      val vocab = LlmOps.tokens(s, d)
+        .select(cased.as("cased"))
+        .groupBy("cased").agg(count(lit(1)).as("cnt")) // binary, codegen'd
+      val ci = collate(col("cased"), "UTF8_LCASE")
+      vocab.agg(
+        count(lit(1)).as("n_distinct_binary"),
+        countDistinct(ci).as("n_distinct_ci"),
+        coalesce(sum(when(col("cased") === "the", col("cnt"))), lit(0L))
+          .as("n_the_binary"),
+        coalesce(sum(when(ci === "the", col("cnt"))), lit(0L))
+          .as("n_the_ci"))
     }),
 
     "h7_array_explode" -> ((s, d) =>
