@@ -956,6 +956,17 @@ object Relational {
           case so: org.apache.spark.sql.execution.SortExec => so
         }.isEmpty),
           s"c23: the reported ordering must feed the merge join sort-free:\n$root")
+        // A negative control was ATTEMPTED and abandoned — itself a
+        // measured finding worth recording: Spark 4.1 plans shuffle-
+        // free even for (a) MISMATCHED group counts on the same key
+        // (8 vs 16 — KeyGroupedPartitionings align by partition VALUE,
+        // not count) and (b) a join on the NON-partition column k
+        // (verified CORRECT: 32 000 pairs, the full 8×8 cross-group
+        // match set — the engine's compatibility machinery is broader
+        // than the naive "join keys must equal partition keys" model).
+        // A require built on that naive model would be a brittle
+        // version-dependent pin, so the key gates only the POSITIVE
+        // claims above, which are the feature's contract.
         joined
       } finally {
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", prevBucket)

@@ -118,6 +118,71 @@ class MorSpec extends AnyFunSuite {
     assert(!keysAt("3").contains(3L) && keysAt("2").contains(3L))
   }
 
+  test("MoR fuzz: a random DML history replays exactly against a sequential reference model, through every snapshot and a mid-history compaction") {
+    // the a27-fuzz idiom applied to the delta log: 12 seeded-random
+    // mutations through the REAL SQL surface (keyed DELETE, keyed
+    // UPDATE, MERGE-insert of a fresh key), mirrored step by step in a
+    // plain Map; after each statement the merged view must equal the
+    // model, and at the end EVERY surviving snapshot must equal the
+    // model's history — including across a compaction planted mid-way
+    // (which must vacuum exactly the pre-floor snapshots and nothing
+    // else)
+    val (cat, tbl) = seed("fuzz")
+    val rnd = new scala.util.Random(4242)
+    val model = scala.collection.mutable.LinkedHashMap(
+      1L -> ("a", 1.5), 2L -> ("a", 2.5), 3L -> ("a", 3.5),
+      10L -> ("b", 1.0), 11L -> ("b", 2.0), 12L -> ("b", 3.0),
+      20L -> ("c", 1.0), 21L -> ("c", 2.0), 22L -> ("c", 3.0))
+    val history = scala.collection.mutable.ArrayBuffer(
+      model.toMap) // index v -> state after v statements
+    var nextNew = 100L
+    def current(): Map[Long, (String, Double)] =
+      spark.table(s"$cat.t").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    (1 to 12).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 if model.nonEmpty => // keyed delete
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          spark.sql(s"DELETE FROM $cat.t WHERE k = $k")
+          model.remove(k): Unit
+        case 1 if model.nonEmpty => // keyed absolute update
+          val k = model.keys.toSeq(rnd.nextInt(model.size))
+          val nv = step * 10.0 + 0.5
+          spark.sql(s"UPDATE $cat.t SET total = $nv WHERE k = $k")
+          model(k) = (model(k)._1, nv)
+        case _ => // insert a fresh key via MERGE
+          val k = nextNew; nextNew += 1
+          spark.sql(s"""MERGE INTO $cat.t t
+            USING (SELECT ${k}L AS k, 'n' AS st,
+                   CAST($step AS DOUBLE) AS total) s ON t.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, st, total)
+            VALUES (s.k, s.st, s.total)""")
+          model(k) = ("n", step.toDouble)
+      }
+      history += model.toMap
+      assert(current() == model.toMap,
+        s"step $step: merged view diverged from the model")
+      if (step == 6) {
+        graft.sources.MorCompaction.compact(tbl)
+        assert(current() == model.toMap, "compaction changed the view")
+      }
+    }
+    // every surviving snapshot replays its point-in-time model state;
+    // vacuumed ones refuse
+    val floor = graft.sources.MorDeltas.compactedSeq(tbl)
+    assert(floor == 6L, s"compaction floor must be 6, got $floor")
+    (0 to 12).foreach { v =>
+      val got = scala.util.Try(
+        spark.sql(s"SELECT * FROM $cat.t VERSION AS OF $v").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap)
+      if (v < floor)
+        assert(got.isFailure, s"vacuumed snapshot v$v must refuse")
+      else
+        assert(got.toOption.contains(history(v)),
+          s"snapshot v$v diverged: $got vs ${history(v)}")
+    }
+  }
+
   test("compaction folds the log into base, rewrites only touched files, and DML keeps working") {
     val (cat, tbl) = seed("compact")
     spark.sql(s"DELETE FROM $cat.t WHERE k = 2")
