@@ -35,3 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Keep `sbt "runMain graft.Bench"` stdout machine-parseable: sbt's closing
+// "[success] Total time: ..." line lands AFTER Bench's JSON line, so any
+// parser that reads the last line of the run's output tail got sbt noise
+// instead of the record (BENCH_r01..r14 all show "parsed": null for
+// exactly this reason). With showSuccess off, the last stdout line is
+// whatever the forked main printed last; StdoutOutput forwards the forked
+// JVM's stdout verbatim (no "[info] " logger prefix in front of the JSON).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // read by the command engine, not a task
+outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -63,13 +63,24 @@ object Bench {
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
-    // also persist the full JSON: the driver's log tail truncates at 2000
+    // persist the full JSON: the driver's log tail truncates at 2000
     // chars, which has repeatedly cut off the suite total. The durable
     // record is a committed bench_r{N}_full.json per round (gitignore
     // admits that pattern; the builder runs the suite at sf0.1 and
     // commits the copy — r8 onward)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // LAST stdout line is a compact record that fits WHOLLY inside a
+    // 2000-char tail (the full line above is ~15 KB and arrives truncated
+    // mid-line there — BENCH_r01..r14 all recorded "parsed": null). It
+    // carries the suite total, per-key count, error map, the 10 slowest
+    // keys, and the path of the full record. Combined with build.sbt's
+    // showSuccess := false this line is the final line of the sbt run.
+    val slowest = results.collect { case (k, v, _) if v.nonEmpty => (k, v.min) }
+      .toSeq.sortBy(-_._2).take(10)
+      .map { case (k, s) => s"\"" + k + f"\":$s%.3f" }.mkString("{", ",", "}")
+    val nOk = results.count(_._2.nonEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"errors":$errs,"slowest":$slowest,"queries_file":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -376,7 +376,9 @@ object Functions {
         // representable float inside (0.3d, 0.3f]
         exists(col("embedding"), x => x.cast(DoubleType) > 0.3).as("any_hot"),
         forall(col("embedding"), x => x.cast(DoubleType) > -0.35).as("all_bounded"),
-        sequence(lit(1), col("label") + 1).as("seq_n"))
+        // serialized to a scalar: the driver's pandas comparator sorts
+        // result frames and cannot hash raw array cells
+        concat_ws(",", sequence(lit(1), col("label") + 1)).as("seq_n"))
         .orderBy("vec_id")
     }),
 
@@ -690,14 +692,14 @@ object Functions {
     // list_dot_product(e, reverse e) ≡ aggregate∘zip_with; the
     // quantifiers lower to filter-emptiness (same truth value — the
     // early-exit is a Spark execution detail, not a semantic one);
-    // generate_series is inclusive like Spark's sequence, cast to INT
+    // generate_series is inclusive like Spark's sequence; both engines
+    // emit the sequence comma-joined as a scalar (comparator-safe)
     "h17_array_hof2" ->
       s"""SELECT vec_id,
            round(list_dot_product($ebd, list_reverse($ebd)), 4) + 0e0 AS dot_rev,
            len(list_filter(embedding, x -> x > 0.3)) > 0 AS any_hot,
            len(list_filter(embedding, x -> x <= -0.35)) = 0 AS all_bounded,
-           list_transform(generate_series(1, label + 1),
-             x -> CAST(x AS INTEGER)) AS seq_n
+           array_to_string(generate_series(1, label + 1), ',') AS seq_n
          FROM embeddings ORDER BY vec_id"""
   )
 }

@@ -214,9 +214,16 @@ object LlmOps {
 
     // near-duplicate clustering: the explicit shingle → minhash → band →
     // bucket-join pipeline, Jaccard >= 0.8 (SURVEY §2.J), per-doc cluster
-    // assignment. Engine-internal hash family (xxhash64), so no SQL
-    // oracle — validated against exact shingle-Jaccard pairs in LshSpec
-    // (recall >= 0.9 at sf0.001).
+    // assignment. The minhash family (xxhash64) is engine-internal, but it
+    // only GENERATES CANDIDATES — every emitted pair passes the exact
+    // Jaccard >= 4/5 check on the shingle sets, and hashing the shingles
+    // preserves set sizes w.h.p. (64-bit, no in-doc collisions observed at
+    // any tested SF). So the OUTPUT is SQL-expressible: the DuckDB oracle
+    // recomputes exact all-pairs string-shingle Jaccard (l9's lossless-
+    // oracle construction) + a recursive-CTE connected-component closure.
+    // The oracle matching also witnesses 100% LSH recall on this corpus
+    // (8 band minhashes, miss prob <= 0.2^8 ≈ 2.6e-6 per true pair);
+    // LshSpec additionally pins recall >= 0.9 at sf0.001 structurally.
     //
     // Built entirely from codegen'd columnar primitives (no ML-pipeline
     // per-row UDFs): 8 minhashes per doc in ONE aggregation pass, band
@@ -261,9 +268,11 @@ object LlmOps {
       val pairs = cand
         .join(sigs.select(col("doc_id").as("a_id"), col("set").as("sa")), "a_id")
         .join(sigs.select(col("doc_id").as("b_id"), col("set").as("sb")), "b_id")
-        // exact Jaccard on the hashed shingle sets, candidates only
-        .filter(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))) >= 0.8)
+        // exact Jaccard on the hashed shingle sets, candidates only —
+        // the same exact-integer 5·common >= 4·union thresholding as l9's
+        // kernel (no floating-point compare to disagree across engines)
+        .filter(size(array_intersect(col("sa"), col("sb"))) * 5 >=
+          size(array_union(col("sa"), col("sb"))) * 4)
         .select("a_id", "b_id")
         .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
       val nDups = pairs.groupBy(col("a_id").as("doc_id"))
@@ -1031,6 +1040,52 @@ object LlmOps {
     "j1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS digest
          FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+
+    // j2's LSH banding is candidate generation only — the emitted pairs are
+    // exactly the Jaccard >= 4/5 pairs (banding recall is 1.0 on this
+    // corpus; see the query comment), so the oracle brute-forces the exact
+    // string-shingle pair set (l9's construction) and closes components
+    // with a recursive CTE (min reachable doc_id == the engine's min-label
+    // propagation fixpoint). n_dups = symmetric-neighbour degree.
+    "j2_dedup_near_minhash" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS term
+           FROM (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS w
+                 FROM documents)),
+         ftoks AS (
+           SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS ord,
+                  term
+           FROM toks WHERE term <> ''),
+         sh AS (
+           SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id,
+                    term || ' ' || lead(term, 1) OVER w || ' ' ||
+                      lead(term, 2) OVER w AS shingle,
+                    lead(term, 2) OVER w AS t2
+             FROM ftoks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))
+           WHERE t2 IS NOT NULL),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (
+           SELECT a_id, b_id FROM common
+           JOIN sz sa ON sa.doc_id = a_id
+           JOIN sz sb ON sb.doc_id = b_id
+           WHERE 5 * c >= 4 * (sa.n + sb.n - c)),
+         sym AS (SELECT a_id, b_id FROM p UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM p),
+         deg AS (SELECT a_id AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+                 FROM sym GROUP BY 1),
+         reach AS (SELECT doc_id, doc_id AS r FROM documents
+                   UNION
+                   SELECT sym.a_id AS doc_id, reach.r
+                   FROM sym JOIN reach ON sym.b_id = reach.doc_id),
+         cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         SELECT doc_id, cluster_id,
+                coalesce(n_dups, CAST(0 AS BIGINT)) AS n_dups
+         FROM cl LEFT JOIN deg USING (doc_id)
+         ORDER BY doc_id""",
 
     "j3_sim_cosine_pairs" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

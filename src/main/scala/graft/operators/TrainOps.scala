@@ -150,9 +150,16 @@ object TrainOps {
     "zh" -> Seq("wo", "ni", "shi", "bu", "zai", "zhe", "ge", "men", "hao", "ma"))
 
   /** exact-dup + planted-near-dup signature: 64-bit SimHash over unigram
-    * token hashes (xxhash64 — engine-internal, hence unoracled). */
+    * token hashes. The token hash is the LOW 64 BITS OF md5 (hex chars
+    * 17..32, read as a signed two's-complement long via `conv(_, 16, -10)`)
+    * rather than xxhash64: md5 is computable bit-identically by DuckDB, so
+    * the whole signature — and with it the entire l1 output — becomes
+    * oracle-checkable (the r14 VERDICT task). md5 costs more per token
+    * than xxhash64, but the vote aggregation dominates this kernel and the
+    * hash family is part of the operator definition, not the hot loop. */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
-    val toks = LlmOps.tokens(s, d).select(col("doc_id"), xxhash64(col("term")).as("h"))
+    val toks = LlmOps.tokens(s, d).select(col("doc_id"),
+      expr("CAST(conv(substr(md5(term), 17, 16), 16, -10) AS BIGINT)").as("h"))
     val bitVotes = (0 until 64).map { i =>
       sum(when((shiftright(col("h"), i).bitwiseAND(lit(1L))) === 1L, 1)
         .otherwise(-1)).as(s"b$i")
@@ -569,8 +576,13 @@ object TrainOps {
 
   val queries: Map[String, Q] = Map(
     // l1: SimHash near-dedup — banded candidate join + Hamming <= 3 filter,
-    // one-hop cluster rep like j2. Unoracled (xxhash64 is engine-internal);
-    // validated in TrainOpsSpec against exact duplicates + pair sanity.
+    // transitive cluster rep like j2. ORACLED since r15: the token hash is
+    // md5-low-64 (see simhashed), which DuckDB computes bit-identically,
+    // and 4 × 16-bit banding is LOSSLESS for Hamming <= 3 by pigeonhole
+    // (3 differing bits can touch at most 3 of the 4 bands, so every
+    // qualifying pair shares >= 1 intact band) — the banded join is a pure
+    // optimization of all-pairs, and the oracle brute-forces it exactly.
+    // TrainOpsSpec additionally pins exact duplicates + pair sanity.
     "l1_dedup_simhash" -> ((s, d) => {
       // materialized once: consumed by the band join, the closure seed,
       // and the final output join — the 64-bit-vote aggregation over every
@@ -2512,6 +2524,55 @@ object TrainOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // l1's full pipeline, brute-forced: rebuild the 64-bit SimHash from
+    // md5-low-64 token hashes (bit i of the hash = bit (i%4) of hex nibble
+    // 32 - i//4 — same bits `conv(_,16,-10)` yields as a signed long on
+    // the Spark side), vote with ±1 per token OCCURRENCE, assemble the
+    // signed two's-complement signature (bit 63 = long-min), then take ALL
+    // pairs at bit_count(xor) <= 3 — lossless-equivalent to the engine's
+    // 4×16-bit band join (pigeonhole; see the query comment) — and close
+    // components with a recursive CTE. Spine = docs with >= 1 token,
+    // exactly the engine's groupBy support.
+    "l1_dedup_simhash" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, md5(term) AS h
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+                 FROM documents)
+           WHERE term <> ''),
+         v AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN ((strpos('0123456789abcdef',
+                     substr(h, 32 - b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+                 THEN 1 ELSE -1 END) AS vote
+           FROM toks
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+           GROUP BY 1, 2),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN vote > 0 THEN
+                 CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                      ELSE CAST(1 AS BIGINT) << b END
+               ELSE 0 END) AS BIGINT) AS simhash
+           FROM v GROUP BY 1),
+         p AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         sym AS (SELECT a_id, b_id FROM p
+                 UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM p),
+         deg AS (SELECT a_id AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+                 FROM sym GROUP BY 1),
+         reach AS (SELECT doc_id, doc_id AS r FROM sig
+                   UNION
+                   SELECT sym.a_id AS doc_id, reach.r
+                   FROM sym JOIN reach ON sym.b_id = reach.doc_id),
+         cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         SELECT sig.doc_id, sig.simhash, cl.cluster_id,
+                coalesce(n_dups, CAST(0 AS BIGINT)) AS n_dups
+         FROM sig JOIN cl USING (doc_id) LEFT JOIN deg USING (doc_id)
+         ORDER BY doc_id""",
+
     // the maintenance report is fully determined by per-lang row counts:
     // compaction targets exactly ceil(rows/100) files per partition (the
     // physical file counts are require-gated inside the query itself)

@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Validation for the unoracled SimHash near-dedup (l1): xxhash64 is
-  * engine-internal, so correctness is pinned behaviourally — identical
-  * texts get identical signatures (Hamming 0), exact-duplicate pairs land
-  * in one cluster, and the banded join must not degenerate to all-pairs. */
+/** Behavioural pins for the SimHash near-dedup (l1). Since r15 l1 is
+  * ALSO hash-oracled (md5-low-64 token hashes — DuckDB-computable; the
+  * 4×16-bit banding is lossless for Hamming <= 3), so these tests guard
+  * the properties a value-hash can't articulate: identical texts get
+  * identical signatures (Hamming 0), exact-duplicate pairs land in one
+  * cluster, and the near-dup relation stays far from all-pairs. */
 class TrainOpsSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -29,8 +31,16 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(sig(x) == sig(y), s"identical texts $x/$y differ in simhash")
       assert(cluster(x) == cluster(y), s"identical texts $x/$y not clustered")
     }
+    // Degeneracy bound: the near-dup relation must stay far from the
+    // all-merged fixpoint. The threshold is hash-family-calibrated: this
+    // corpus draws ~50-token docs from a ~31-word vocabulary, so SimHash
+    // margins are small and the Hamming<=3 component volume swings with
+    // the family (xxhash64 merged ~9% of sf0.1 docs; the r15 md5-low-64
+    // family — adopted so DuckDB can recompute the signature exactly —
+    // merges ~22%, every pair of which the oracle verifies bit-exactly).
+    // 40% is the "did NOT collapse to one blob" line, not a quality bar.
     val merged = rows.count(r => r.getLong(0) != r.getLong(2))
-    assert(merged < rows.length / 10,
+    assert(merged < rows.length * 4 / 10,
       s"$merged of ${rows.length} docs marked near-dup — degenerate banding")
   }
 
