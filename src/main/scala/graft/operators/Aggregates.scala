@@ -424,7 +424,45 @@ object Aggregates {
           // the engines disagree on (surfaced at sf0.001's 'N' group)
           (rnd4(skewness(col("l_quantity"))) + lit(0.0)).as("skew_qty"),
           (rnd4(kurtosis(col("l_quantity"))) + lit(0.0)).as("kurt_qty"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // d27: MERGEABLE QUANTILE SKETCH — the QUANTILE member of the sketch-
+    // artifact ladder (d21 HLL cardinality, d26 CMS frequency, d24 exact
+    // bitmaps), in the same lake shape: per-DAY partial sketches built in
+    // one distributed pass, then merged ASSOCIATIVELY, then probed. The
+    // sketch here is a fixed-grid histogram (bucket = floor(price/1000)):
+    // unlike KLL/t-digest its merge is EXACT counter addition — which is
+    // what makes it the only quantile artifact this surface can ORACLE
+    // end-to-end (d16's KLL-style approx_percentile stays the adaptive-
+    // range member, tolerance-pinned in ApproxSpec) — and its quantile
+    // error is bounded by ONE BUCKET WIDTH by construction (pinned vs
+    // exact percentile_disc in ApproxSpec). Probe = smallest bucket whose
+    // cumulative count reaches p·N, all-integer thresholds (cum·100 ≥
+    // p%·N), upper bucket edge reported. Scale shape: the raw pass is one
+    // map-side-combinable groupBy; everything after operates on the
+    // bucket-count-sized artifact (~600 rows here) — the single-partition
+    // window IS the kilobyte-scale coordinator merge, never row data.
+    "d27_agg_quantile_hist_merge" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") / 1000.0).as("bkt"))
+        .agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy("bkt").agg(sum(col("c")).as("c"))
+      val nDays = daily.agg(countDistinct(col("day")).as("n_days"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+        .rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+        .rowsBetween(Long.MinValue, Long.MaxValue)
+      val cum = merged
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+      def probe(pct: Int) =
+        min(when(col("cum") * 100 >= col("n") * pct,
+          (col("bkt") + 1) * 1000.0)).as(s"p$pct")
+      cum.agg(probe(50), probe(90), probe(99),
+          max(col("n")).as("n_orders"), count(lit(1)).as("n_buckets"))
+        .crossJoin(broadcast(nDays))
+    })
   )
 
   private val q1Money =
@@ -638,6 +676,35 @@ object Aggregates {
                    avg(l_quantity) OVER (PARTITION BY l_returnflag) AS m
                  FROM lineitem)
            GROUP BY f)
-         ORDER BY f"""
+         ORDER BY f""",
+
+    // same daily-partial → counter-add merge → integer-threshold probe;
+    // fixed-grid histogram arithmetic is engine-independent, so the whole
+    // sketch lifecycle hash-matches (the quantile ladder's exact member)
+    "d27_agg_quantile_hist_merge" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  floor(o_totalprice / 1000.0) AS bkt,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2),
+         merged AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS c
+                    FROM daily GROUP BY 1),
+         cum AS (SELECT bkt, c,
+                   CAST(sum(c) OVER (ORDER BY bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum,
+                   CAST(sum(c) OVER () AS BIGINT) AS n
+                 FROM merged),
+         nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM daily)
+         SELECT min(CASE WHEN cum * 100 >= n * 50
+                  THEN (bkt + 1) * 1000.0 END) AS p50,
+                min(CASE WHEN cum * 100 >= n * 90
+                  THEN (bkt + 1) * 1000.0 END) AS p90,
+                min(CASE WHEN cum * 100 >= n * 99
+                  THEN (bkt + 1) * 1000.0 END) AS p99,
+                max(n) AS n_orders,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                min(n_days) AS n_days
+         FROM cum CROSS JOIN nd"""
   )
 }

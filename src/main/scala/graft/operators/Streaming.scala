@@ -6,8 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, Trigger, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  Trigger, ValueState}
 import org.apache.spark.sql.types._
 import java.util.concurrent.atomic.AtomicLong
 
@@ -782,6 +783,82 @@ object Streaming {
       }
     }),
 
+    // i29: INITIAL STATE on transformWithState — the third corner of the
+    // modern stateful API (i17 keyed state, i18 timers; this is the
+    // BOOTSTRAP handle): a restarted/migrated stateful job does not
+    // replay history, it seeds per-key state from a LAKE SNAPSHOT via
+    // StatefulProcessorWithInitialState.handleInitialState, then
+    // continues folding only the live stream. Demo split is by event_id
+    // parity: even ids are the "already-compacted history" (batch-
+    // aggregated to per-user running triples — the artifact a real
+    // pipeline checkpoints to the lake), odd ids arrive on the stream.
+    // Correctness IS the bootstrap: the oracle aggregates ALL events per
+    // user (restricted to users with stream activity — only they emit in
+    // Update mode), so a dropped/ignored initial state under-counts every
+    // seeded user and hash-mismatches. Same micro-unit quantization and
+    // monotone-cnt collapse as i17; RocksDB required by the runtime,
+    // asserted from progress metrics. TTL stays NONE on this oracled path
+    // (the full corpus must fold); the TTL-expiry contract is pinned in
+    // StreamingSpec, and the snapshot-resume continuity is additionally
+    // pinned there with a MemoryStream 2-batch split.
+    // Scale: the snapshot is hash-partitioned by key into the state
+    // stores ONCE at query start (no history replay); thereafter state
+    // and stream shuffle identically to i17.
+    "i29_stream_initial_state" -> ((s, d) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val prevProv = s.conf.getOption(provKey)
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, rocks)
+      s.conf.set("spark.sql.shuffle.partitions", stateParts)
+      try {
+        val name = s"graft_stream_${runSeq.incrementAndGet()}"
+        val snapshot = t(s, d, "events")
+          .filter(col("event_id") % 2 === 0)
+          .select(col("user_id"),
+            floor(col("value") * 1e6 + 0.5).cast(LongType).as("uval"),
+            epochUs(col("ts")).as("ts_us"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"), sum(col("uval")).as("sum_uval"),
+            max(col("ts_us")).as("max_ts_us"))
+          .as[(Long, Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues { case (_, c, sm, mx) => (c, sm, mx) }
+        val rows = eventsStream(s, d)
+          .filter(col("event_id") % 2 === 1)
+          .select(col("user_id"),
+            floor(col("value") * 1e6 + 0.5).cast(LongType).as("uval"),
+            epochUs(col("ts")).as("ts_us"))
+          .as[(Long, Long, Long)]
+        val updated = rows.groupByKey(_._1)
+          .transformWithState(new InitRunningStatsProcessor,
+            TimeMode.None(), OutputMode.Update(), snapshot)
+        val q = updated.toDF("user_id", "cnt", "sum_uval", "max_ts_us")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", scratch(s, name, "ckpt"))
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        require(q.recentProgress.exists(_.stateOperators.exists(
+            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+          "i29 must run on the RocksDB state store provider " +
+            "(no rocksdb* metrics in the query progress)")
+        s.table(name)
+          .groupBy("user_id")
+          .agg(max(struct(col("cnt"), col("sum_uval"), col("max_ts_us"))).as("x"))
+          .select(col("user_id"), col("x.cnt").as("cnt"),
+            col("x.sum_uval").as("sum_uval"), col("x.max_ts_us").as("max_ts_us"))
+          .orderBy("user_id")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // i19: STREAMING UPSERT via foreachBatch — the "stream MERGEs into a
     // keyed serving table" production shape (i10/i14 cover append sinks;
     // this is the UPDATE-in-place sink): each micro-batch folds its
@@ -1316,6 +1393,33 @@ object Streaming {
     }
   }
 
+  /** i29's processor: RunningStatsProcessor's fold with the BOOTSTRAP
+    * handle — handleInitialState seeds each key's ValueState from the
+    * lake-snapshot row before any stream batch runs; handleInputRows then
+    * resumes the fold exactly as i17 does. TTL NONE on the oracled path
+    * (see the i29 key comment). */
+  private[graft] class InitRunningStatsProcessor
+      extends StatefulProcessorWithInitialState[
+        Long, (Long, Long, Long), (Long, Long, Long, Long), (Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: (Long, Long, Long),
+        timers: TimerValues): Unit = state.update(initial)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (cnt, sum, mx) =
+        if (state.exists()) state.get() else (0L, 0L, Long.MinValue)
+      rows.foreach { case (_, uval, tsUs) =>
+        cnt += 1; sum += uval; if (tsUs > mx) mx = tsUs
+      }
+      state.update((cnt, sum, mx))
+      Iterator((key, cnt, sum, mx))
+    }
+  }
+
   /** i18's processor: hand-built sessionization on the timer API.
     *
     * Buffer = a ListState of the user's not-yet-final event times (µs).
@@ -1534,6 +1638,17 @@ object Streaming {
            CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_uval,
            max(epoch_us(ts)) AS max_ts_us
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // ALL events fold into the per-user triple (even ids via the seeded
+    // initial state, odd via the stream); Update mode only emits users
+    // with stream activity, hence the odd-id restriction
+    "i29_stream_initial_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_uval,
+           max(epoch_us(ts)) AS max_ts_us
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events WHERE event_id % 2 = 1)
+         GROUP BY 1 ORDER BY 1""",
 
     "i6_stream_static_join" ->
       """SELECT c_mktsegment, count(*) AS cnt

@@ -101,6 +101,39 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("d27: histogram quantiles within one bucket width of exact, AND daily-merge == direct histogram") {
+    import org.apache.spark.sql.functions._
+    val W = 1000.0
+    val row = SparkEntry.queries("d27_agg_quantile_hist_merge")(spark, sfTiny).head()
+    val est = Map(50 -> row.getDouble(0), 90 -> row.getDouble(1), 99 -> row.getDouble(2))
+    // error bound BY CONSTRUCTION: the reported upper bucket edge can
+    // overshoot the exact discrete quantile by at most one bucket width
+    graft.Tables.t(spark, sfTiny, "orders")
+      .createOrReplaceTempView("d27spec_orders")
+    Seq(50, 90, 99).foreach { p =>
+      val ex = spark.sql(
+        s"SELECT percentile_disc(${p / 100.0}) WITHIN GROUP (ORDER BY o_totalprice) " +
+          "FROM d27spec_orders").head().getDouble(0)
+      assert(est(p) >= ex && est(p) <= ex + W,
+        s"p$p: histogram estimate ${est(p)} outside [$ex, ${ex + W}]")
+    }
+    // merge-consistency (the d21/d26 property for the quantile sketch):
+    // per-day partial histograms merged by counter addition must equal the
+    // single-pass whole-table histogram bucket-for-bucket — here it is an
+    // arithmetic identity (sum re-association), asserted to pin the
+    // implementation to it
+    val direct = graft.Tables.t(spark, sfTiny, "orders")
+      .groupBy(floor(col("o_totalprice") / W).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mergedN = row.getLong(3)
+    val nBuckets = row.getLong(4)
+    assert(nBuckets == direct.size.toLong,
+      s"merged histogram has $nBuckets buckets, direct has ${direct.size}")
+    assert(mergedN == direct.values.sum,
+      s"merged total $mergedN != direct total ${direct.values.sum}")
+  }
+
   test("d16: approx quantiles within 1% of exact d11 per group") {
     def rows(key: String) = SparkEntry.queries(key)(spark, sfTiny)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap

@@ -348,6 +348,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); s2.streams.resetTerminated() }
   }
 
+  test("i29 initial state: the seeded snapshot resumes, unseeded keys start fresh") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    // snapshot: user 1 has folded (cnt=2, sum=10, max_ts=90) "history";
+    // user 3 is seeded but never streams (must stay silent in Update mode)
+    val snapshot = Seq((1L, (2L, 10L, 90L)), (3L, (5L, 50L, 70L)))
+      .toDS().groupByKey(_._1).mapValues(_._2)
+    val input = MemoryStream[(Long, Long, Long)] // (user, uval, ts_us)
+    val out = input.toDS().groupByKey(_._1)
+      .transformWithState(new operators.Streaming.InitRunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(), snapshot)
+      .toDF("user_id", "cnt", "sum_uval", "max_ts_us")
+    val q = out.writeStream.format("memory").queryName("i29_init")
+      .option("checkpointLocation", Tables.scratch(s2, "i29init", "ckpt"))
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 5L, 200L), (2L, 7L, 30L))
+      q.processAllAvailable()
+      input.addData((1L, 1L, 150L)) // batch 2: seeded state continues further
+      q.processAllAvailable()
+      val last = s2.table("i29_init")
+        .groupBy("user_id")
+        .agg(max(struct(col("cnt"), col("sum_uval"), col("max_ts_us"))).as("x"))
+        .collect().map(r => r.getLong(0) -> r.getStruct(1).toSeq).toMap
+      // user 1: snapshot (2,10,90) + stream rows → (4, 16, 200)
+      assert(last(1L) == Seq(4L, 16L, 200L), s"user 1 got ${last(1L)}")
+      // user 2: no snapshot → fresh fold
+      assert(last(2L) == Seq(1L, 7L, 30L), s"user 2 got ${last(2L)}")
+      // user 3: seeded, never streamed → no emission in Update mode
+      assert(!last.contains(3L), s"snapshot-only user 3 emitted: ${last.get(3L)}")
+    } finally { q.stop(); s2.streams.resetTerminated() }
+  }
+
   test("i18 timers: sessions emit exactly when the watermark passes end+gap") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
