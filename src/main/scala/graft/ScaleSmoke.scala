@@ -149,12 +149,15 @@ object ScaleSmoke {
     // j25's dimension-version chains and e13's per-user interval series
     // both multiply on the user axis (chain/series LENGTH fixed) — the
     // same growth shape as j15's history build
+    // i29's snapshot+stream both multiply on the user axis like i17 (the
+    // per-key state table is the growth surface; seeding cost is one
+    // hash-partition pass over the snapshot)
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
       "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters",
       "j25_pit_scd2_join", "e13_win_time_weighted_avg",
-      "j27_late_arriving_dim", "e14_funnel_stages")
+      "j27_late_arriving_dim", "e14_funnel_stages", "i29_stream_initial_state")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
@@ -206,7 +209,10 @@ object ScaleSmoke {
       "k10_catalog_v2_function", "a33_catalog_mor_travel",
       "i28_stream_mor_cdf", "a34_catalog_rtas_atomic",
       "a35_scan_agg_pushdown", "c24_join_runtime_file_prune",
-      "a36_sink_required_distribution")
+      "a36_sink_required_distribution",
+      // d27's raw pass scales on order rows; the bucket artifact after it
+      // must stay ~fixed-size (value RANGE, not row count, sets buckets)
+      "d27_agg_quantile_hist_merge")
     if (keys.exists(ordersKeys)) {
       val od = spark.read.parquet(s"$src/orders.parquet")
       val no = od.agg(max("o_orderkey")).head().getLong(0) + 1

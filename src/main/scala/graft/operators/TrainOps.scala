@@ -99,6 +99,19 @@ object TrainOps {
     vocab
   }
 
+  /** BPE merge-table trainer: `nRounds` argmax rounds, each ONE 1-row
+    * driver collect (the winning pair) over a candidate-pair aggregation.
+    *
+    * SCALE BOUND (the production rule, probed 8×/32× in SURVEY §7.5): the
+    * trainer's per-round input is the distinct-WORD table `(syms, cnt)` —
+    * the corpus collapses to a word histogram in the first groupBy and
+    * never re-enters the loop, so round cost is vocabulary-sized, not
+    * corpus-sized (clone probes read sublinear: 2.0 → 3.1 s at 8×/32×).
+    * At 100 TB you additionally CAP the histogram (train on a bounded
+    * top-frequency word shard — merge quality is frequency-dominated, the
+    * tail adds nothing) and stream the full corpus only through ENCODING
+    * (l48), which folds per distinct term against the trained table. The
+    * 1-row-per-round collects are coordinator-sized by design. */
   private[graft] def bpeMerges(s: SparkSession, toks: DataFrame,
       nRounds: Int): DataFrame = {
     val eow = "#"
