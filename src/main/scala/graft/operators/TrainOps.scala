@@ -163,16 +163,18 @@ object TrainOps {
     "zh" -> Seq("wo", "ni", "shi", "bu", "zai", "zhe", "ge", "men", "hao", "ma"))
 
   /** exact-dup + planted-near-dup signature: 64-bit SimHash over unigram
-    * token hashes. The token hash is the LOW 64 BITS OF md5 (hex chars
-    * 17..32, read as a signed two's-complement long via `conv(_, 16, -10)`)
-    * rather than xxhash64: md5 is computable bit-identically by DuckDB, so
-    * the whole signature — and with it the entire l1 output — becomes
-    * oracle-checkable (the r14 VERDICT task). md5 costs more per token
-    * than xxhash64, but the vote aggregation dominates this kernel and the
-    * hash family is part of the operator definition, not the hot loop. */
+    * token hashes. The token hash is the LOW 64 BITS OF md5 (digest bytes
+    * 8..15 big-endian as a signed long ≡ DuckDB's
+    * `conv(substr(md5(s),17,16),16,-10)`) rather than xxhash64: md5 is
+    * computable bit-identically by DuckDB, so the whole signature — and
+    * with it the entire l1 output — becomes oracle-checkable (the r14
+    * VERDICT task). Computed by the codegen'd [[graft.functions.Md5Low64]]
+    * (digest-bytes → long, no hex-string round-trip — ~6.5× the SQL
+    * chain, measured at its Scaladoc), so the oracle-motivated family
+    * switch costs ~nothing in the scan. */
   private def simhashed(s: SparkSession, d: String): DataFrame = {
     val toks = LlmOps.tokens(s, d).select(col("doc_id"),
-      expr("CAST(conv(substr(md5(term), 17, 16), 16, -10) AS BIGINT)").as("h"))
+      graft.functions.Md5Low64.md5Low64(col("term")).as("h"))
     val bitVotes = (0 until 64).map { i =>
       sum(when((shiftright(col("h"), i).bitwiseAND(lit(1L))) === 1L, 1)
         .otherwise(-1)).as(s"b$i")

@@ -33,6 +33,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Low64 == the SQL conv(substr(md5)) chain and an independent MessageDigest fold") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    // random strings incl. empty, unicode, and long — the l1 token domain
+    // plus its edges
+    val samples = Seq("", "a", "zz", "Ünïcode-ø", "x" * 300) ++
+      List.fill(200)(rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString)
+    val df = samples.toDF("s")
+    val rows = df.select(col("s"),
+        graft.functions.Md5Low64.md5Low64(col("s")).as("native"),
+        expr("CAST(conv(substr(md5(s), 17, 16), 16, -10) AS BIGINT)").as("chain"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"'${r.getString(0)}': native=${r.getLong(1)} chain=${r.getLong(2)}")
+      // independent reference: bytes 8..15 of a fresh digest, big-endian
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.getString(0).getBytes("UTF-8"))
+      val ref = (8 until 16).foldLeft(0L)((v, i) => (v << 8) | (dig(i) & 0xFFL))
+      assert(r.getLong(1) == ref, s"'${r.getString(0)}' vs MessageDigest")
+    }
+  }
+
   test("JaroWinkler kernel == an independent reference implementation on random strings") {
     // reference written the slow, obvious way (full boolean matrices,
     // collection ops) — a genuinely different code path from the
