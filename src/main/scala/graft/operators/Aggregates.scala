@@ -443,10 +443,15 @@ object Aggregates {
     // bucket-count-sized artifact (~600 rows here) — the single-partition
     // window IS the kilobyte-scale coordinator merge, never row data.
     "d27_agg_quantile_hist_merge" -> ((s, d) => {
+      // materialized once, consumed twice (the merge chain AND the n_days
+      // side): without it the 1-row n_days branch re-runs the full orders
+      // scan — the ONE raw pass is the whole cost at 100 TB, and the
+      // checkpoint is (days × buckets)-sized, kilobytes at any corpus
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"),
           floor(col("o_totalprice") / 1000.0).as("bkt"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
       val merged = daily.groupBy("bkt").agg(sum(col("c")).as("c"))
       val nDays = daily.agg(countDistinct(col("day")).as("n_days"))
       val wCum = org.apache.spark.sql.expressions.Window.orderBy("bkt")
