@@ -443,30 +443,42 @@ object Aggregates {
     // bucket-count-sized artifact (~600 rows here) — the single-partition
     // window IS the kilobyte-scale coordinator merge, never row data.
     "d27_agg_quantile_hist_merge" -> ((s, d) => {
-      // materialized once, consumed twice (the merge chain AND the n_days
-      // side): without it the 1-row n_days branch re-runs the full orders
-      // scan — the ONE raw pass is the whole cost at 100 TB, and the
-      // checkpoint is (days × buckets)-sized, kilobytes at any corpus
       val daily = t(s, d, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"),
           floor(col("o_totalprice") / 1000.0).as("bkt"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint(eager = false)
-      val merged = daily.groupBy("bkt").agg(sum(col("c")).as("c"))
-      val nDays = daily.agg(countDistinct(col("day")).as("n_days"))
-      val wCum = org.apache.spark.sql.expressions.Window.orderBy("bkt")
-        .rowsBetween(Long.MinValue, 0)
-      val wAll = org.apache.spark.sql.expressions.Window.orderBy("bkt")
+      // ONE linear plan = ONE raw orders pass. Branching `daily` into a
+      // separate n_days aggregate re-scans orders (the two branches prune
+      // different columns, so the scan subtrees diverge and ReuseExchange
+      // can't fire); localCheckpoint-sharing it costs a ~0.5 s
+      // materialization; rollup(bkt)+countDistinct(day) triggers the
+      // distinct-agg rewrite's extra Expand+exchange round (all three
+      // measured, sf0.1). GROUPING SETS ((bkt),(day)) over the
+      // (days × buckets)-sized artifact is distinct-free: per-bkt rows
+      // are the merged histogram, per-day rows exist just to be COUNTED
+      // (daily has exactly one row-group per day) — n_days with no
+      // second aggregation. The day rows ride the same kilobyte stream
+      // through the window, excluded from cum/probe by their null bkt.
+      val art = daily
+        .groupingSets(Seq(Seq(col("bkt")), Seq(col("day"))),
+          col("bkt"), col("day"))
+        .agg(sum(col("c")).as("c"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bkt").asc_nulls_first).rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bkt").asc_nulls_first)
         .rowsBetween(Long.MinValue, Long.MaxValue)
-      val cum = merged
-        .withColumn("cum", sum(col("c")).over(wCum))
-        .withColumn("n", sum(col("c")).over(wAll))
+      val bucketC = when(col("bkt").isNotNull, col("c"))
+      val cum = art
+        .withColumn("cum", sum(bucketC).over(wCum))
+        .withColumn("n", sum(bucketC).over(wAll))
       def probe(pct: Int) =
-        min(when(col("cum") * 100 >= col("n") * pct,
+        min(when(col("bkt").isNotNull && col("cum") * 100 >= col("n") * pct,
           (col("bkt") + 1) * 1000.0)).as(s"p$pct")
       cum.agg(probe(50), probe(90), probe(99),
-          max(col("n")).as("n_orders"), count(lit(1)).as("n_buckets"))
-        .crossJoin(broadcast(nDays))
+        max(col("n")).as("n_orders"),
+        count(bucketC).as("n_buckets"),
+        count(when(col("bkt").isNull, lit(1))).as("n_days"))
     })
   )
 

@@ -416,8 +416,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "j18_merge_into_sql", // 1-row broadcast cardinality-guard frame
       "l36_pmi_cooccur", // 1-row broadcast N frame (df window + final pmi)
       "l38_budget_select", // 1-row broadcast budget frame × ≤101-row buckets
-      "c21_join_bnl_rate_table", // BNL IS the point: 5-row rate table, gated FOR it
-      "d27_agg_quantile_hist_merge") // 1-row broadcast n_days frame × 1-row probe result
+      "c21_join_bnl_rate_table") // BNL IS the point: 5-row rate table, gated FOR it
+    // (d27 left the allowance in r15: its n_days side moved from a 1-row
+    // cross join into the grouping-sets artifact — one linear plan)
     // the dedup pipelines run real jobs during DataFrame CONSTRUCTION
     // (checkpointed closure rounds) and have their own dedicated
     // no-cartesian test above — skip them here to avoid re-executing them
