@@ -974,11 +974,14 @@ object TrainOps {
     }),
 
     // l12: embedding-cosine near-dup — SRP-LSH banded candidates, exact
-    // cosine >= 0.98, transitive cluster closure. Unoracled (LSH banding
-    // is approximate by design, like j2/l1); TrainOpsSpec pins recall on
-    // planted clusters and chain closure; ScaleSmoke's cloned embeddings
-    // exercise real clusters (the fixture's max pairwise cosine is 0.51,
-    // so here every vector is its own cluster — the honest output).
+    // cosine >= 0.98, transitive cluster closure. Oracled since r15
+    // against the brute-forced all-pairs ground truth (the j2/l1
+    // construction: the exact-verify layer makes false positives
+    // impossible, and recall is 1.0 on this corpus — max pairwise cosine
+    // 0.51, so every vector is its own cluster, the honest output);
+    // TrainOpsSpec pins the NON-trivial claims: recall >= 0.9 on planted
+    // clusters, A~B~C chain closure, stranger precision. ScaleSmoke's
+    // cloned embeddings exercise real clusters.
     "l12_dedup_embedding" -> ((s, d) =>
       embeddingNearDups(t(s, d, "embeddings").select("vec_id", "embedding"), 0.98)),
 
@@ -2827,6 +2830,38 @@ object TrainOps {
          JOIN sz sb ON sb.doc_id = b_id
          WHERE 5 * c >= 4 * (sa.n + sb.n - c)
          ORDER BY a_id, b_id""",
+
+    // l12's ground truth, brute-forced: the engine's SRP banding is
+    // candidate GENERATION only — the exact-cosine layer keeps exactly
+    // the >= 0.98 pairs among candidates, so false positives are
+    // impossible and equality with the all-pairs oracle asserts full
+    // recall on this corpus (trivially so: the fixture's max pairwise
+    // cosine is 0.51, measured — every vector is its own cluster; the
+    // NON-trivial recall claim stays spec-pinned on planted clusters in
+    // TrainOpsSpec, where banding must actually find them). Output has
+    // no float columns (ids/labels/degrees only), so cross-engine float
+    // precision cannot perturb the hash.
+    "l12_dedup_embedding" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.98),
+         sym AS (SELECT a_id, b_id FROM p
+                 UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM p),
+         deg AS (SELECT a_id AS vec_id, CAST(count(*) AS BIGINT) AS n_dups
+                 FROM sym GROUP BY 1),
+         reach AS (SELECT vec_id, vec_id AS r FROM embeddings
+                   UNION
+                   SELECT sym.a_id AS vec_id, reach.r
+                   FROM sym JOIN reach ON sym.b_id = reach.vec_id),
+         cl AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+         SELECT vec_id, cluster_id,
+                coalesce(n_dups, CAST(0 AS BIGINT)) AS n_dups
+         FROM cl LEFT JOIN deg USING (vec_id)
+         ORDER BY vec_id""",
 
     // same deterministic ~50% md5 id-sample as the Spark side
     "l2_sim_embedding_nn" ->
