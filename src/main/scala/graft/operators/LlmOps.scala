@@ -221,14 +221,24 @@ object LlmOps {
     // any tested SF). So the OUTPUT is SQL-expressible: the DuckDB oracle
     // recomputes exact all-pairs string-shingle Jaccard (l9's lossless-
     // oracle construction) + a recursive-CTE connected-component closure.
-    // The oracle matching also witnesses 100% LSH recall on this corpus
-    // (8 band minhashes, miss prob <= 0.2^8 ≈ 2.6e-6 per true pair);
+    // The oracle matching also witnesses 100% LSH recall on this corpus;
     // LshSpec additionally pins recall >= 0.9 at sf0.001 structurally.
     //
+    // Banding is b=12 bands × r=2 minhash rows (24 minhashes/doc): a band
+    // collides with p = J^2, so a true pair (J >= 0.8) is caught with
+    // p = 1-(1-J²)^12 >= 1 - 4.7e-6, while the low-J noise that dominates
+    // candidate volume is crushed quadratically. The r=1 first cut
+    // (8 bands × 1 minhash) was MEASURED at sf0.1: the argmin of a single
+    // minhash is a globally COMMON shingle for many docs, so buckets go
+    // quadratic — 165,058 candidates for 512 true pairs, 164,544 of them
+    // at J < 0.1, and the exact-Jaccard gate (1.9 s) dominated the key.
+    // r=2 makes a bucket key the CO-OCCURRENCE of two independent argmin
+    // shingles — at 100 TB this is the difference between near-linear
+    // banding and stop-word-bucket blowup. (Probe record in SURVEY §7.5.)
+    //
     // Built entirely from codegen'd columnar primitives (no ML-pipeline
-    // per-row UDFs): 8 minhashes per doc in ONE aggregation pass, band
-    // equi-join for candidates (a pair with true J >= 0.8 shares a band
-    // with p = 1-(1-J)^8 > 0.999), then an EXACT Jaccard filter via
+    // per-row UDFs): 24 minhashes per doc in ONE aggregation pass, band
+    // equi-join for candidates, then an EXACT Jaccard filter via
     // array_intersect on the hashed shingle sets of candidates only.
     // Scale story: candidates come from the equi-join on (band, value) —
     // hash-partitioned, never an all-pairs scan; full shingle sets are
@@ -240,7 +250,8 @@ object LlmOps {
       // and minhashes never carry text
       val shingles = shingleRows(s, d)
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      val nBands = 8
+      val nBands = 12
+      val nRows = 2 // minhashes per band; band value = hash of the r-tuple
       // materialized once, consumed 4× below (both sides of the band
       // self-join + the two candidate set lookups) — without it the whole
       // shingle pipeline re-executes per consumer. localCheckpoint, NOT
@@ -252,12 +263,16 @@ object LlmOps {
       // signature table you'd write once per corpus snapshot.
       val sigs = shingles.groupBy("doc_id")
         .agg(collect_set(col("sh")).as("set"),
-          (0 until nBands).map(b => min(xxhash64(lit(b), col("sh"))).as(s"m$b")): _*)
+          (0 until nBands * nRows)
+            .map(h => min(xxhash64(lit(h), col("sh"))).as(s"m$h")): _*)
         .localCheckpoint(eager = false)
       // the band join shuffles only (doc_id, band, value) — 24 bytes/row;
-      // shingle sets attach to the (few) candidates afterwards
+      // shingle sets attach to the (few) candidates afterwards. The band
+      // value folds the band's r minhashes into one 64-bit key.
       val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until nBands).map(b => col(s"m$b")): _*)))
+        posexplode(array((0 until nBands).map { b =>
+          xxhash64((0 until nRows).map(r => col(s"m${b * nRows + r}")): _*)
+        }: _*)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
       val cand = banded.as("a")
         .join(banded.as("b"),
