@@ -1450,7 +1450,17 @@ object TrainOps {
           Seq("doc_id"), "left_semi")
         .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
         .localCheckpoint(eager = false) // joined under two aliases below
-      cand
+      // one-sided containment length filter (the verifyJaccard AllPairs
+      // idea, asymmetric form): C(A→B) = |A∩B|/|A| ≥ 9/10 and
+      // |A∩B| ≤ |B| force 10·|B| ≥ 9·|A| — size-incompatible candidates
+      // die losslessly on two integer joins before the sets attach
+      val sizes = sets.select(col("doc_id"), size(col("sset")).as("n"))
+      val lenOk = cand
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .filter(col("nb") * 10 >= col("na") * 9)
+        .select("a_id", "b_id")
+      lenOk
         .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
         .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
         .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
