@@ -71,8 +71,18 @@ object Streaming {
     * either encoding is the r12 failure mode: the µs regeneration read
     * through a declared ns-long schema silently collapsed every
     * timestamp ~1000× toward the epoch and broke all 10 streaming keys. */
+  /** Footer-probe memo: the physical schema of `$d/events.parquet` is a
+    * pure function of the file, and every i-key's every bench run was
+    * re-listing + re-reading the footer just to learn it (≈20 i-keys ×
+    * N passes of pure fixed cost). Keyed by (session, dir) like
+    * [[graft.Tables.sharedFrame]]; a regenerated testdata dir arrives in
+    * a fresh driver session, so staleness is not reachable in practice. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
+
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+    val fileSchema = schemaCache.computeIfAbsent((s, d),
+      _ => s.read.parquet(s"$d/events.parquet").schema)
     val raw = s.readStream.schema(fileSchema)
       // events.parquet is a single FILE: a non-glob path makes
       // FileStreamSource force basePath to the file itself (then reject it
@@ -499,16 +509,23 @@ object Streaming {
     // watermark established by batch 1, so its too-late rows are dropped
     // and only watermark-finalized windows are emitted (Append mode).
     "i7_stream_late_data" -> ((s, d) => {
-      val base = scratch(s, d, "i7")
-      val ev = t(s, d, "events")
       // batch 1: the bulk of the stream; batch 2: a 5% "straggler" slice
-      // whose timestamps span the whole range — genuinely late data
+      // whose timestamps span the whole range — genuinely late data.
       // plain subdir names (no '=': keep partition inference out of play);
-      // coalesce(1) so each slice is exactly one file = one micro-batch
-      ev.filter(col("event_id") % 20 =!= 0).coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/in/b0")
-      ev.filter(col("event_id") % 20 === 0).coalesce(1).write.mode("overwrite")
-        .parquet(s"$base/in/b1")
+      // coalesce(1) so each slice is exactly one file = one micro-batch.
+      // The split is a pure function of the source data → cachedFixture
+      // (the a4/a5 idiom): re-runs pay the streaming query, not two
+      // events-table scans + writes per run. The b0-then-b1 ORDER the key
+      // depends on is mtime order, which the sequential build preserves
+      // (FileStreamSource sorts by timestamp; the two parquet writes are
+      // separate jobs, so b0's mtime strictly precedes b1's).
+      val base = cachedFixture(s, d, "i7_batches") { p =>
+        val ev = t(s, d, "events")
+        ev.filter(col("event_id") % 20 =!= 0).coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/in/b0")
+        ev.filter(col("event_id") % 20 === 0).coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/in/b1")
+      }
       val stream = s.readStream
         .schema(new StructType()
           .add("event_id", LongType).add("ts", TimestampType)
