@@ -117,16 +117,25 @@ object Aggregates {
 
     // d16: the 100-TB path for d11 — exact percentile needs the full
     // per-group value set (sort or full collection); percentile_approx is
-    // a bounded-size mergeable sketch (map-side combinable, one shuffle of
-    // sketches not rows). Approximate and engine-internal, so unoracled —
-    // ApproxSpec pins it within tolerance of the exact d11 answer.
+    // a bounded-size mergeable summary (map-side combinable, one shuffle
+    // of summaries not rows). ORACLED as of r17 via d17's exact-under-
+    // capacity precedent: at accuracy 1e6 over these group cardinalities
+    // (≤ ~50 k/group at sf0.1) the Greenwald-Khanna summary never
+    // compresses — the merge allowance 2·n/accuracy < 2 can't cover two
+    // unit-weight samples — and the query's rank slack n/accuracy ≪ 1
+    // can't shift the selected sample, so the result IS the exact
+    // discrete quantile (rank ⌈p·n⌉), = DuckDB quantile_disc; probed
+    // partition-count-invariant (2/8/32) at all three tiers. ApproxSpec
+    // additionally pins it within 1% of the exact interpolating d11.
+    // The genuinely-approximate over-capacity regime is the production
+    // knob (accuracy chosen to the memory budget), same as d17's.
     "d16_agg_approx_quantile" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          rnd4(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)))
+          rnd4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)))
             .as("med_total"),
-          rnd4(percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)))
+          rnd4(percentile_approx(col("o_totalprice"), lit(0.9), lit(1000000)))
             .as("p90_total"))
         .orderBy("o_orderstatus")),
 
@@ -584,6 +593,16 @@ object Aggregates {
       """SELECT event_type, count(*) AS cnt,
            CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // exact because the summary is under capacity at accuracy 1e6 (no
+    // compression possible, rank slack ≪ 1 — see the query-side note), so
+    // the answer is the exact discrete quantile at rank ⌈p·n⌉, which is
+    // DuckDB's quantile_disc convention
+    "d16_agg_approx_quantile" ->
+      """SELECT o_orderstatus,
+           round(CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE), 4) AS med_total,
+           round(CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE), 4) AS p90_total
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     // exact because the sketch is under capacity (31-token vocab ≤ 1000)
     // and the rank-20 boundary is tie-free — see the query-side note

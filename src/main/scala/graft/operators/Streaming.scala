@@ -74,14 +74,19 @@ object Streaming {
   /** Footer-probe memo: the physical schema of `$d/events.parquet` is a
     * pure function of the file, and every i-key's every bench run was
     * re-listing + re-reading the footer just to learn it (≈20 i-keys ×
-    * N passes of pure fixed cost). Keyed by (session, dir) like
-    * [[graft.Tables.sharedFrame]]; a regenerated testdata dir arrives in
-    * a fresh driver session, so staleness is not reachable in practice. */
+    * N passes of pure fixed cost). The key folds in the file's
+    * length+mtime signature (one cheap stat per call — the
+    * [[graft.Tables.cachedFixture]] idiom), so an in-place regeneration
+    * of events.parquet during a live session (the r12 µs/ns hazard this
+    * footer probe exists to catch) invalidates the memo instead of
+    * serving the stale encoding silently. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val fileSchema = schemaCache.computeIfAbsent((s, d),
+    val f = new java.io.File(s"$d/events.parquet")
+    val fileSchema = schemaCache.computeIfAbsent(
+      (s, s"$d#${f.length}:${f.lastModified}"),
       _ => s.read.parquet(s"$d/events.parquet").schema)
     val raw = s.readStream.schema(fileSchema)
       // events.parquet is a single FILE: a non-glob path makes
@@ -142,6 +147,57 @@ object Streaming {
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
+  }
+
+  /** Shared tumbling-Append streaming run (r17, VERDICT r16 task 1 —
+    * "fold demo variants that share a transform into fewer streaming
+    * sessions"): i9 and i12 consume the SAME production query —
+    * [[tumblingAgg]] in Append mode — i9 pinning the eviction semantics
+    * of its output, i12 the drift enrichment over its finalized rows. A
+    * real pipeline runs that query ONCE and fans the finalized output to
+    * every consumer, so the suite models it with one session-memoized
+    * run: the first consuming key's first run pays the streaming session
+    * and every later run — including the other consumer's — reads the
+    * memory-sink table warm (the [[graft.Tables.sharedFrame]] semantics,
+    * disclosed in BASELINE.md's bench-methodology paragraph). The run
+    * executes on the RocksDB provider (i12's declared production
+    * provider, asserted fail-loud from the query's own progress
+    * metrics); provider choice is result-invariant, so i9's oracle is
+    * untouched. Key carries the events file's length+mtime signature
+    * (the schemaCache idiom) so an in-place regeneration invalidates. */
+  private val tumblingAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def tumblingAppendShared(s: SparkSession, d: String): DataFrame = {
+    val f = new java.io.File(s"$d/events.parquet")
+    tumblingAppendCache.computeIfAbsent(
+      (s, s"$d#${f.length}:${f.lastModified}"), { _ =>
+        import scala.jdk.CollectionConverters._
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        val prevProv = s.conf.getOption(provKey)
+        val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set(provKey, rocks)
+        s.conf.set("spark.sql.shuffle.partitions", stateParts)
+        try {
+          val name = s"graft_stream_${runSeq.incrementAndGet()}"
+          val q = tumblingAgg(eventsStream(s, d))
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", scratch(s, name, "ckpt"))
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          require(q.recentProgress.exists(_.stateOperators.exists(
+              _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
+            "shared tumbling-Append run must execute on the RocksDB state " +
+              "store provider (no rocksdb* metrics in the query progress)")
+          s.table(name)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevPart)
+          prevProv match {
+            case Some(v) => s.conf.set(provKey, v)
+            case None => s.conf.unset(provKey)
+          }
+        }
+      })
   }
 
   /** The i1 tumbling aggregation as a pure stream transform: 1-hour
@@ -413,12 +469,14 @@ object Streaming {
     // batch sets the final watermark to max(ts) − 1 h (truncated to ms by
     // the engine's EventTimeStats), and the trailing no-data batch emits
     // every window whose end is ≤ that watermark — a pure batch-
-    // expressible cut, so unlike i7 (micro-batch-boundary-dependent) this
-    // Append query is fully oracled. i1 (Complete) and i9 (Append) share
-    // the same transform [[tumblingAgg]]; together they pin that the two
-    // output modes agree on the watermark-finalized prefix.
+    // expressible cut, so this Append query is fully oracled. i1
+    // (Complete) and i9 (Append) share the same transform [[tumblingAgg]];
+    // together they pin that the two output modes agree on the
+    // watermark-finalized prefix. The Append run itself is SHARED with
+    // i12 ([[tumblingAppendShared]] — one production query, two
+    // consumers).
     "i9_stream_tumbling_append" -> ((s, d) => {
-      runToTable(s, tumblingAgg(eventsStream(s, d)), "append")
+      tumblingAppendShared(s, d)
         .select(epochUs(col("window.start")).as("w_start_us"),
           col("event_type"), col("cnt"))
         .orderBy("w_start_us", "event_type")
@@ -502,29 +560,58 @@ object Streaming {
       }
     }),
 
-    // i7: watermark / late-data semantics demo (unoracled by design —
-    // which rows count as late depends on micro-batch boundaries). The
-    // events table is split into two files processed as ORDERED micro
-    // batches (maxFilesPerTrigger=1): batch 2 replays rows older than the
-    // watermark established by batch 1, so its too-late rows are dropped
-    // and only watermark-finalized windows are emitted (Append mode).
+    // i7: watermark / late-data semantics — the events table split into
+    // THREE files processed as ORDERED micro-batches (maxFilesPerTrigger
+    // =1): b0 is the bulk, b1 a mid-stream 5% slice, b2 a 5% "straggler"
+    // slice whose timestamps span the whole range — genuinely late data.
+    // Three batches because Spark ≥3.4 filters late events with the
+    // PREVIOUS batch's watermark (SPARK-24634: late-events wm lags
+    // eviction wm by one batch — measured this round: in a two-batch run
+    // the straggler batch is filtered at wm=0 and NOTHING drops): batch
+    // b2 is late-filtered at the watermark batch b1 ran under, which is
+    // the one established by b0 = max(b0.ts) ms-floored − 1 h. ORACLED
+    // (r17): the build pins the global max-ts row into b0, so that
+    // late-filter watermark EQUALS the final emission watermark (max of
+    // all ts — EventTimeStats collects before the late filter, so even
+    // dropped rows advance it; here max rides b0 anyway). With the two
+    // cuts equal, a b2 row is either dropped late (window end ≤ wm) or
+    // accepted into a window the final no-data batch can never emit
+    // (end > wm) — the straggler slice contributes ZERO emitted rows by
+    // construction, independent of the engine's exact acceptance
+    // boundary, and the result is the b0∪b1 histogram under i9's
+    // horizon cut: plain batch SQL on both engines (the probe run's
+    // numRowsDroppedByWatermark=495/500 pins that the drop is real).
     "i7_stream_late_data" -> ((s, d) => {
-      // batch 1: the bulk of the stream; batch 2: a 5% "straggler" slice
-      // whose timestamps span the whole range — genuinely late data.
       // plain subdir names (no '=': keep partition inference out of play);
       // coalesce(1) so each slice is exactly one file = one micro-batch.
       // The split is a pure function of the source data → cachedFixture
-      // (the a4/a5 idiom): re-runs pay the streaming query, not two
-      // events-table scans + writes per run. The b0-then-b1 ORDER the key
-      // depends on is mtime order, which the sequential build preserves
-      // (FileStreamSource sorts by timestamp; the two parquet writes are
-      // separate jobs, so b0's mtime strictly precedes b1's).
-      val base = cachedFixture(s, d, "i7_batches") { p =>
+      // (the a4/a5 idiom): re-runs pay the streaming query, not three
+      // events-table scans + writes per run. The b0→b1→b2 ORDER the key
+      // depends on is FileStreamSource's mtime sort, which has ms
+      // granularity and unspecified tie order — so the build makes the
+      // ordering STRUCTURAL: b1/b2's files are stamped to max(b0 mtime)
+      // + 5 s/+ 10 s (r16 ADVICE — same-millisecond tiny sequential
+      // writes would otherwise persist a nondeterministic batch order
+      // for the fixture's whole cache life).
+      val base = cachedFixture(s, d, "i7_batches3") { p =>
         val ev = t(s, d, "events")
-        ev.filter(col("event_id") % 20 =!= 0).coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/in/b0")
-        ev.filter(col("event_id") % 20 === 0).coalesce(1).write.mode("overwrite")
-          .parquet(s"$p/in/b1")
+        // 1-row collect: fixture-build only (the a16 idiom) — the max-ts
+        // row is pinned into b0 so the late-filter and emission
+        // watermarks coincide (see the key comment)
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val m20 = col("event_id") % 20
+        ev.filter((m20 =!= 0 && m20 =!= 10) || col("ts") === lit(maxTs))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/in/b0")
+        ev.filter(m20 === 10 && col("ts") =!= lit(maxTs))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/in/b1")
+        ev.filter(m20 === 0 && col("ts") =!= lit(maxTs))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/in/b2")
+        val parts = (dir: String) => Option(new java.io.File(s"$p/in/$dir")
+          .listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        val b0Max = parts("b0").map(_.lastModified).max
+        parts("b1").foreach(f => f.setLastModified(b0Max + 5000L))
+        parts("b2").foreach(f => f.setLastModified(b0Max + 10000L))
       }
       val stream = s.readStream
         .schema(new StructType()
@@ -558,56 +645,33 @@ object Streaming {
     // enrichment rides foreachBatch on the same finalized output. The
     // baseline side is Laplace-smoothed over the static type vocabulary
     // (l25's union-vocab rule; the stream's types are a subset of the
-    // static table's by construction here). Stateful-op fixed cost is
-    // ∝ state partitions, so the query sizes them to the data (the
-    // i8 lesson) and restores in a finally. Fully oracled: i9's
-    // watermark-horizon cut + the same drift arithmetic in batch SQL.
+    // static table's by construction here). The streaming stage is the
+    // SHARED [[tumblingAppendShared]] run (one production query, two
+    // consumers — i9 pins its semantics, i12 enriches its output; the
+    // RocksDB contract is asserted inside the shared run). Fully
+    // oracled: i9's watermark-horizon cut + the same drift arithmetic
+    // in batch SQL.
     "i12_stream_drift" -> ((s, d) => {
-      import scala.jdk.CollectionConverters._
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      val prevProv = s.conf.getOption(provKey)
-      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set(provKey, rocks)
-      s.conf.set("spark.sql.shuffle.partitions", stateParts)
-      try {
-        val name = s"graft_stream_${runSeq.incrementAndGet()}"
-        val q = tumblingAgg(eventsStream(s, d))
-          .writeStream.format("memory").queryName(name)
-          .option("checkpointLocation", scratch(s, name, "ckpt"))
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        require(q.recentProgress.exists(_.stateOperators.exists(
-            _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
-          "i12 must run on the RocksDB state store provider " +
-            "(no rocksdb* metrics in the query progress)")
-        val hist = s.table(name)
-          .select(epochUs(col("window.start")).as("w_start_us"),
-            col("event_type"), col("cnt"))
-        val g = Window.partitionBy() // ≤ #types rows — never the stream
-        val base = t(s, d, "events")
-          .groupBy("event_type").agg(count(lit(1)).as("b_cnt"))
-          .withColumn("b_tot", sum(col("b_cnt")).over(g))
-          .withColumn("v", count(lit(1)).over(g))
-        val w = Window.partitionBy("w_start_us")
-        hist.join(broadcast(base), "event_type")
-          .withColumn("w_tot", sum(col("cnt")).over(w))
-          .withColumn("pd", col("cnt").cast(DoubleType) / col("w_tot"))
-          .withColumn("pc",
-            (col("b_cnt") + lit(1L)).cast(DoubleType) / (col("b_tot") + col("v")))
-          .withColumn("q_contrib",
-            floor(col("pd") * log(col("pd") / col("pc")) * 1e6 + 0.5).cast(LongType))
-          .withColumn("w_kl_unats", sum(col("q_contrib")).over(w))
-          .select(col("w_start_us"), col("event_type"), col("cnt"),
-            col("q_contrib"), col("w_kl_unats"))
-          .orderBy("w_start_us", "event_type")
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevPart)
-        prevProv match {
-          case Some(v) => s.conf.set(provKey, v)
-          case None => s.conf.unset(provKey)
-        }
-      }
+      val hist = tumblingAppendShared(s, d)
+        .select(epochUs(col("window.start")).as("w_start_us"),
+          col("event_type"), col("cnt"))
+      val g = Window.partitionBy() // ≤ #types rows — never the stream
+      val base = t(s, d, "events")
+        .groupBy("event_type").agg(count(lit(1)).as("b_cnt"))
+        .withColumn("b_tot", sum(col("b_cnt")).over(g))
+        .withColumn("v", count(lit(1)).over(g))
+      val w = Window.partitionBy("w_start_us")
+      hist.join(broadcast(base), "event_type")
+        .withColumn("w_tot", sum(col("cnt")).over(w))
+        .withColumn("pd", col("cnt").cast(DoubleType) / col("w_tot"))
+        .withColumn("pc",
+          (col("b_cnt") + lit(1L)).cast(DoubleType) / (col("b_tot") + col("v")))
+        .withColumn("q_contrib",
+          floor(col("pd") * log(col("pd") / col("pc")) * 1e6 + 0.5).cast(LongType))
+        .withColumn("w_kl_unats", sum(col("q_contrib")).over(w))
+        .select(col("w_start_us"), col("event_type"), col("cnt"),
+          col("q_contrib"), col("w_kl_unats"))
+        .orderBy("w_start_us", "event_type")
     }),
 
     // i13: STATELESS streaming ingest gate — the live corpus-ingest
@@ -1732,6 +1796,28 @@ object Streaming {
                 floor(raw_q * 1e4 + 5e-1) / 1e4 AS quality,
                 raw_q >= 26e-2 AS keep
          FROM scored ORDER BY doc_id""",
+
+    // i7 = the three-batch watermark construction in closed form (the
+    // key's Scaladoc): the straggler slice b2 (event_id%20 = 0, minus
+    // the pinned max-ts row) contributes ZERO emitted rows — its rows
+    // are either dropped by the late filter (window end ≤ wm) or
+    // accepted into never-emitted windows (end > wm), because the build
+    // pins the max-ts row into b0 so both watermarks coincide at
+    // max(all ts) ms-floored − 1 h. Result = the b0∪b1 histogram under
+    // i9's horizon cut.
+    "i7_stream_late_data" ->
+      """WITH wm AS (SELECT ((epoch_us(max(ts)) // 1000) - 3600000) * 1000 AS v
+                     FROM events),
+         kept AS (
+           SELECT ts FROM events
+           WHERE event_id % 20 <> 0
+              OR epoch_us(ts) = (SELECT max(epoch_us(ts)) FROM events))
+         SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us,
+                count(*) AS cnt
+         FROM kept
+         GROUP BY 1
+         HAVING w_start_us + 3600000000 <= (SELECT v FROM wm)
+         ORDER BY 1""",
 
     // µs-space comparisons on both engines: DuckDB's epoch_us truncates
     // the ns-resolution parquet timestamps exactly like the Spark loader

@@ -329,6 +329,21 @@ object TrainOps {
           .as("jaccard"))
   }
 
+  /** The J ≥ 4/5 word-3-gram prefix index over the whole documents table
+    * — THE persistent artifact of the incremental-dedup story (l18's own
+    * Scaladoc: "a stored corpus index" is what a nightly pipeline keeps,
+    * the delta probe joins against it). Computed ONCE per (session,
+    * corpus) via [[Tables.sharedFrame]] (r17, VERDICT r16 task 3 — l18
+    * was rebuilding df + prefix ranks on every run, so its bench entry
+    * timed the index REBUILD instead of the incremental probe). The
+    * l9/l32 pair production keeps its own inline build inside the
+    * `l9pairs` memo (also once per session): PlanShapeSpec pins that
+    * subtree's candidate-join shape, which a checkpoint scan would
+    * hide. */
+  private def sharedPrefix45(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "pref45")(
+      prefixIndex(LlmOps.shingleRows(s, d).localCheckpoint(eager = false), 4, 5))
+
   /** Verified exact-Jaccard pairs over word-3-gram shingles — the l9
     * PPJoin kernel's output `(a_id, b_id, jaccard)` at J >= 4/5,
     * computed ONCE per (session, corpus) via [[Tables.sharedFrame]] and
@@ -629,6 +644,16 @@ object TrainOps {
         explode(array((0 until 4).map(k =>
           shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
             * 4 + k): _*)).as("band"))
+      // Stage order is MEASURED, not assumed (r17 A/B, SURVEY §7.5):
+      // distinct-THEN-gate wins over gate-then-distinct by ~8–13% at
+      // sf0.1 (3.90/3.95 s vs 4.14/4.51 s, same-interval alternation) —
+      // a banded pair surfaces in up to 4 bands, so pre-distinct gating
+      // evaluates bit_count per COLLISION while post-distinct evaluates
+      // it once per PAIR, and on this tiny-vocab corpus the Hamming gate
+      // is not selective enough to pay that back. (A token-LENGTH
+      // pre-filter — l9's idiom — is rejected on semantics, not cost:
+      // it is not lossless for Hamming-over-simhash, so it would change
+      // the oracled relation.)
       val pairs = banded.as("a")
         .join(banded.as("b"), col("a.band") === col("b.band") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -1220,9 +1245,10 @@ object TrainOps {
           Seq("dig"), "left")
         .select("doc_id", "exact_of")
       val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
-        .localCheckpoint(eager = false) // feeds df, prefixes, verification
-      val pref = prefixIndex(shing, 4, 5)
-        .localCheckpoint(eager = false) // split into the two join sides below
+        .localCheckpoint(eager = false) // feeds the verification sets
+      // the persistent corpus artifact, built once per session — this key
+      // times the incremental PROBE against it, not the index build
+      val pref = sharedPrefix45(s, d)
       // bipartite candidates: delta prefixes (a) vs corpus prefixes (b)
       val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
         .join(pref.join(corpusIds, Seq("doc_id"), "left_semi").as("b"),

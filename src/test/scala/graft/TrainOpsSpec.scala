@@ -31,17 +31,24 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(sig(x) == sig(y), s"identical texts $x/$y differ in simhash")
       assert(cluster(x) == cluster(y), s"identical texts $x/$y not clustered")
     }
-    // Degeneracy bound: the near-dup relation must stay far from the
-    // all-merged fixpoint. The threshold is hash-family-calibrated: this
-    // corpus draws ~50-token docs from a ~31-word vocabulary, so SimHash
-    // margins are small and the Hamming<=3 component volume swings with
-    // the family (xxhash64 merged ~9% of sf0.1 docs; the r15 md5-low-64
-    // family — adopted so DuckDB can recompute the signature exactly —
-    // merges ~22%, every pair of which the oracle verifies bit-exactly).
-    // 40% is the "did NOT collapse to one blob" line, not a quality bar.
+    // Degeneracy BAND (r17, VERDICT r16 task 6 — a one-sided <40% bound
+    // was a materially weaker anti-collapse guard): the merge rate is
+    // hash-family-calibrated — this corpus draws ~50-token docs from a
+    // ~31-word vocabulary, so SimHash margins are small and the
+    // Hamming<=3 component volume swings with the family (xxhash64
+    // merged ~9% of sf0.1 docs; the r15 md5-low-64 family — adopted so
+    // DuckDB can recompute the signature exactly — merges ~22%, every
+    // pair of which the oracle verifies bit-exactly). Pin a band around
+    // that measured ~22%: >32% smells of banding collapse, <12% of an
+    // unintended hash-family/threshold change (xxhash's 9% would trip
+    // it), both of which the value-hash oracle alone can't attribute.
     val merged = rows.count(r => r.getLong(0) != r.getLong(2))
-    assert(merged < rows.length * 4 / 10,
-      s"$merged of ${rows.length} docs marked near-dup — degenerate banding")
+    assert(merged < rows.length * 32 / 100,
+      s"$merged of ${rows.length} docs marked near-dup (>32%) — degenerate banding")
+    assert(merged > rows.length * 12 / 100,
+      s"$merged of ${rows.length} docs marked near-dup (<12%) — merge rate " +
+        "far below the md5-low-64 family's measured ~22%: hash family or " +
+        "threshold changed without recalibrating this band")
   }
 
   test("broadcast guard fails loudly past MaxBroadcastRows, passes under it") {
