@@ -152,12 +152,17 @@ object ScaleSmoke {
     // i29's snapshot+stream both multiply on the user axis like i17 (the
     // per-key state table is the growth surface; seeding cost is one
     // hash-partition pass over the snapshot)
+    // i24's dual sink scales on the same events clone: the audit LOG side
+    // grows with row volume ×factor (every event lands in the log), the
+    // aggregate store stays |event_type|-sized — the claimed economics is
+    // log-write ∝ rows, store-merge ∝ types
     val eventsBatchKeys = Set("j15_scd2_history", "j16_merge_upsert",
       "j17_incremental_agg", "j18_merge_into_sql", "i17_stream_transform_state",
       "i19_stream_foreachbatch_upsert", "d24_agg_bitmap_distinct",
       "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters",
       "j25_pit_scd2_join", "e13_win_time_weighted_avg",
-      "j27_late_arriving_dim", "e14_funnel_stages", "i29_stream_initial_state")
+      "j27_late_arriving_dim", "e14_funnel_stages", "i29_stream_initial_state",
+      "i24_stream_dual_sink")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()

@@ -488,6 +488,39 @@ object Aggregates {
         max(col("n")).as("n_orders"),
         count(bucketC).as("n_buckets"),
         count(when(col("bkt").isNull, lit(1))).as("n_days"))
+    }),
+
+    // d28: THETA-SKETCH SET OPERATIONS — the member the d4/d16/d17/d21/
+    // d24/d26/d27 ladder was missing (named in VERDICT r16 task 8):
+    // distinct-count INTERSECTIONS and DIFFERENCES. HLL sketches merge
+    // (union) but structurally cannot intersect — "how many distinct
+    // users did BOTH click AND purchase" needs either an exact distinct
+    // join or a theta sketch, whose bounded θ-sample supports full set
+    // algebra on the kilobyte artifacts themselves. One map-side-
+    // combinable pass builds a sketch per event_type (the native
+    // TypedImperativeAggregate in functions/ThetaSketch.scala — Spark's
+    // own HllSketchAgg lifecycle); the pivot collapses them to ONE
+    // 5-sketch row; the estimators run set algebra on that row. At
+    // 100 TB the raw pass shuffles one bounded sketch per partition per
+    // type and the set algebra never touches row data. ORACLED (the
+    // d16/d17 exact-under-capacity precedent): at lgK=16 the ≤15 k-user
+    // domain keeps every sketch in exact mode (θ=1) at all tiers, so
+    // every estimate is the exact integer COUNT DISTINCT; ApproxSpec
+    // pins the over-capacity regime on a planted fixture.
+    "d28_agg_theta_set_ops" -> ((s, d) => {
+      import graft.functions.ThetaSketch._
+      val sk = t(s, d, "events")
+        .groupBy("event_type")
+        .agg(thetaSketchAgg(col("user_id")).as("sk"))
+      sk.groupBy()
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(first(col("sk")))
+        .select(
+          thetaEstimate(col("click")).as("n_click"),
+          thetaEstimate(col("purchase")).as("n_purchase"),
+          thetaIntersectionEstimate(col("click"), col("purchase")).as("n_both"),
+          thetaDifferenceEstimate(col("click"), col("purchase")).as("n_click_only"),
+          thetaDifferenceEstimate(col("purchase"), col("click")).as("n_purchase_only"))
     })
   )
 
@@ -741,6 +774,19 @@ object Aggregates {
                 max(n) AS n_orders,
                 CAST(count(*) AS BIGINT) AS n_buckets,
                 min(n_days) AS n_days
-         FROM cum CROSS JOIN nd"""
+         FROM cum CROSS JOIN nd""",
+
+    // exact because every sketch is under capacity at lgK=16 (θ=1, every
+    // distinct hash retained — the d16/d17 precedent), so each theta
+    // set-operation estimate IS the exact distinct count
+    "d28_agg_theta_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         SELECT
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT count(*) FROM c WHERE user_id IN (SELECT user_id FROM p)) AS n_both,
+           (SELECT count(*) FROM c WHERE user_id NOT IN (SELECT user_id FROM p)) AS n_click_only,
+           (SELECT count(*) FROM p WHERE user_id NOT IN (SELECT user_id FROM c)) AS n_purchase_only"""
   )
 }

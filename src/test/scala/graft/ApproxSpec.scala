@@ -146,4 +146,44 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(ap - p) / p <= 0.01, s"$k p90 approx=$ap exact=$p")
     }
   }
+
+  test("d28: theta set ops — exact under capacity, bounded + sane over capacity") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaSketch._
+    import spark.implicits._
+    // UNDER capacity (the oracled regime, here asserted directly against
+    // exact set algebra on a planted overlap): A = [0, 3000), B = [2000,
+    // 5000) → |A∩B| = 1000, |A∖B| = 2000, |B∖A| = 2000, all exact at
+    // lgK=16 because every sketch stays in exact mode (θ = 1)
+    val ab = spark.range(5000).select(col("id"),
+      (col("id") < 3000).as("in_a"), (col("id") >= 2000).as("in_b"))
+    val row = ab.agg(
+      thetaSketchAgg(when(col("in_a"), col("id"))).as("a"),
+      thetaSketchAgg(when(col("in_b"), col("id"))).as("b"))
+      .select(thetaEstimate(col("a")), thetaEstimate(col("b")),
+        thetaIntersectionEstimate(col("a"), col("b")),
+        thetaDifferenceEstimate(col("a"), col("b")),
+        thetaDifferenceEstimate(col("b"), col("a")))
+      .head()
+    assert((0 until 5).map(row.getLong) == Seq(3000L, 3000L, 1000L, 2000L, 2000L),
+      s"under-capacity theta set ops must be exact: $row")
+    // OVER capacity (the production regime): 60k ∪-overlapping 100k at
+    // lgK=9 (512 nominal) — estimates must land within the sketch's
+    // documented relative standard error (~1/sqrt(512) ≈ 4.4%; allow 4
+    // sigma) and the intersection estimate must stay inside the overlap's
+    // error envelope rather than collapsing to 0 or the union size
+    val big = spark.range(100000).select(col("id"),
+      (col("id") < 60000).as("in_a"), (col("id") >= 40000).as("in_b"))
+    val brow = big.agg(
+      thetaSketchAgg(when(col("in_a"), col("id")), 9).as("a"),
+      thetaSketchAgg(when(col("in_b"), col("id")), 9).as("b"))
+      .select(thetaEstimate(col("a")),
+        thetaIntersectionEstimate(col("a"), col("b")))
+      .head()
+    val (estA, estI) = (brow.getLong(0), brow.getLong(1))
+    assert(math.abs(estA - 60000.0) / 60000.0 <= 0.18,
+      s"over-capacity |A| estimate $estA outside 4-sigma of 60000")
+    assert(math.abs(estI - 20000.0) / 20000.0 <= 0.35,
+      s"over-capacity intersection estimate $estI outside the error envelope of 20000")
+  }
 }
