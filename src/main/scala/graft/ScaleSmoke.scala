@@ -162,7 +162,11 @@ object ScaleSmoke {
       "j19_session_funnel", "j20_anomaly_zscore", "d26_agg_cms_heavy_hitters",
       "j25_pit_scd2_join", "e13_win_time_weighted_avg",
       "j27_late_arriving_dim", "e14_funnel_stages", "i29_stream_initial_state",
-      "i24_stream_dual_sink")
+      "i24_stream_dual_sink",
+      // d28's theta sketches scale on the user axis: distinct users ×
+      // factor grows toward (and past) sketch capacity while the set
+      // algebra stays one 5-sketch row
+      "d28_agg_theta_set_ops")
     if (keys.exists(eventsBatchKeys)) {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val st = ev.agg(max("event_id"), max("user_id")).head()
