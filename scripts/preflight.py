@@ -115,6 +115,27 @@ def main():
             print(f"FAIL {name} ({spark_tbl.num_rows} rows):")
             for e in errs[:6]:
                 print(f"   {e}")
+            # Dedup-key diagnostic (r15 ADVICE): the banded-LSH oracles
+            # (j2/l1/l12) are exact-equality constructions that are sound
+            # only while banding recall is 1.0. If one ever fails, say
+            # WHICH failure mode it is: spark-rows ⊂ oracle-rows means a
+            # banding recall MISS (a true pair never collided — the
+            # documented ~5e-6/pair probabilistic risk, not a value bug);
+            # anything else is a genuine computation mismatch.
+            if name.split("_")[0] in ("j2", "l1", "l12") and \
+                    cols(spark_tbl) == cols(ora_tbl):
+                def keyset(t):
+                    cs = [t.column(c).to_pylist() for c in cols(t)]
+                    return set(zip(*cs)) if cs and cs[0] else set()
+                s_rows, o_rows = keyset(spark_tbl), keyset(ora_tbl)
+                if s_rows < o_rows:
+                    print("   hint: spark rows are a STRICT SUBSET of the "
+                          "oracle rows -> banding recall miss (an uncollided "
+                          "true pair), not a value computation bug")
+                elif s_rows - o_rows and not (o_rows - s_rows):
+                    print("   hint: spark emitted rows the oracle lacks -> "
+                          "banding admitted a below-threshold pair past the "
+                          "exact gate; check the verify stage, not the bands")
         else:
             n_pass += 1
             print(f"PASS {name} ({spark_tbl.num_rows} rows)")
