@@ -315,6 +315,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("i9/i12 share ONE tumbling-Append run; the memo rebinds on file change") {
+    // pin the r17 shared-run memo contract: (1) both consumers' plans scan
+    // the SAME memory-sink table (one streaming session, two keys), and
+    // (2) the memo key binds the events file's length+mtime signature, so
+    // an in-place regeneration (the r12 µs/ns hazard) starts a FRESH run
+    // instead of serving the stale table (the r16 ADVICE fix)
+    val dir = graft.Tables.scratch(spark, sfTiny, "i9_memo_spec")
+    new java.io.File(dir).mkdirs()
+    val src = java.nio.file.Paths.get(s"$sfTiny/events.parquet")
+    val dst = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def memTable(key: String): String = {
+      val plan = SparkEntry.queries(key)(spark, dir)
+        .queryExecution.analyzed.toString
+      "graft_stream_\\d+".r.findFirstIn(plan).getOrElse(
+        fail(s"$key: no memory-sink table in the analyzed plan:\n$plan"))
+    }
+    val n9 = memTable("i9_stream_tumbling_append")
+    val n12 = memTable("i12_stream_drift")
+    assert(n9 == n12,
+      s"i9 ($n9) and i12 ($n12) must consume the same shared streaming run")
+    // simulate an in-place regeneration: same bytes, different mtime ⇒
+    // different file signature ⇒ the memo must NOT serve the old table
+    assert(dst.toFile.setLastModified(dst.toFile.lastModified + 10000L))
+    val n9b = memTable("i9_stream_tumbling_append")
+    assert(n9b != n9,
+      "the shared-run memo served a stale table after the events file changed")
+  }
+
   test("i17 transformWithState: state continues across batches on RocksDB") {
     // fresh session — transformWithState REQUIRES the RocksDB provider
     val s2 = spark.newSession()
