@@ -68,9 +68,19 @@ if dropped:
 if all_failed:
     print(f"WARNING: {len(all_failed)} keys failed in EVERY session "
           f"(prior kept where available): {all_failed}", file=sys.stderr)
+# a changed/new key that failed everywhere has NO honest timing: the -1
+# sentinel would be silently excluded from the summed total, making a
+# broken record look better than a working one — hard-exit instead, and
+# surface the prior-sourced fallbacks in "errors" so downstream budget
+# reads can't take the record as clean (r17 ADVICE)
+unrecoverable = [k for k in all_failed if out_q[k] < 0]
+if unrecoverable:
+    sys.exit(f"fold_bench.py: {len(unrecoverable)} changed/new keys failed "
+             f"in every session with no prior record: {unrecoverable}")
 total = sum(v for v in out_q.values() if v >= 0)
+errors = {k: "all sessions failed; prior record kept" for k in all_failed}
 rec = {"metric": "total", "value": total, "unit": "sec", "queries": out_q,
-       "runs": out_runs, "errors": {}, "sf": runs[-1].get("sf", "")}
+       "runs": out_runs, "errors": errors, "sf": runs[-1].get("sf", "")}
 json.dump(rec, open(out_path, "w"))
 print(f"folded {len(out_q)} keys over {len(sessions)} sessions "
       f"(+prior for unchanged): total {total:.2f} s; "

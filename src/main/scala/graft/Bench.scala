@@ -1,6 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** HOST-CALIBRATION workload (r18, VERDICT r17 task 1): a pinned,
+    * deterministic, CPU-bound loop run before the first pass and after
+    * the last, EXCLUDED from the suite total. The host VM has two
+    * documented slow modes — 30–60 s stalls (filtered by min-of-N
+    * pass-interleaving) and a SUSTAINED ~1.5–1.6× uniform slowdown
+    * (all of 2026-08-15) that min-of-N cannot filter — and without an
+    * in-session probe a budget read cannot separate "suite got slower"
+    * from "host got slower" except by arguing from cross-session
+    * arrays. Two legs: ST = the loop on one thread (cycle speed), MT =
+    * the SAME per-thread loop on 32 concurrent threads (effective
+    * parallelism; ≈ ST wall time on an uncontended 32-core host).
+    * Slowdown factor = session calib / the best calib recorded in
+    * BASELINE.md; normalized total = raw total / factor. */
+  private def calibChunk(iters: Long, seed: Long): Long = {
+    var x = seed | 1L; var acc = 0L; var i = 0L
+    while (i < iters) { // xorshift64 + odd-constant mix: unvectorizable,
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // serially dependent —
+      acc ^= x * 0x2545F4914F6CDD1DL // measures cycle throughput
+      i += 1
+    }
+    acc
+  }
+  private val CalibIters = 400000000L // ~1 s single-thread, normal host
+  private def calibrate(): (Double, Double) = {
+    calibChunk(CalibIters / 20, 0x9E3779B97F4A7C15L) // JIT warmup
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong(
+      calibChunk(CalibIters, 0x9E3779B97F4A7C15L))
+    val st = (System.nanoTime() - t0) / 1e9
+    val threads = (1 to 32).map { i =>
+      new Thread(() => { sink.getAndAdd(calibChunk(CalibIters, 1000L + i)): Unit })
+    }
+    val t1 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    // consume the accumulator so the loops cannot be dead-code-eliminated
+    System.err.println(f"CALIB st=$st%.3f mt=$mt%.3f (sink=${sink.get()}%x)")
+    (st, mt)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract is local[32] with shuffle.partitions=32
@@ -42,6 +81,7 @@ object Bench {
     // apart, so a stall can inflate at most one of them and min-of-N
     // filters it as designed. Warm-cache semantics are unchanged: fixtures
     // and shared frames warm on pass 1 exactly as they warmed on run 1.
+    val (calStPre, calMtPre) = calibrate()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val fails = scala.collection.mutable.Map.empty[String, Int]
     for (_ <- 1 to repeat; (name, fn) <- keys) {
@@ -74,7 +114,9 @@ object Bench {
     val errs = results.collect { case (k, _, f) if f > 0 => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    val (calStPost, calMtPost) = calibrate()
+    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"iters":$CalibIters}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}"""
     println(json)
     // persist the full JSON: the driver's log tail truncates at 2000
     // chars, which has repeatedly cut off the suite total. The durable
@@ -101,7 +143,7 @@ object Bench {
     val errsCompact = (errPairs.take(10).map { case (k, f) => s"\"" + k + s"\":$f" } ++
       (if (errPairs.size > 10) Seq(s"\"_more_failed_keys\":${errPairs.size - 10}") else Nil))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"errors":$errsCompact,"slowest":$slowest,"queries_file":"$out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"errors":$errsCompact,"calib":$calib,"slowest":$slowest,"queries_file":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

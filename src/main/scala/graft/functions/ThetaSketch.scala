@@ -153,4 +153,12 @@ object ThetaSketch {
 
   def thetaDifferenceEstimate(a: Column, b: Column): Column =
     column(ThetaDifferenceEstimate(expression(a), expression(b)))
+
+  /** Serialized EMPTY compact sketch — the identity of theta set algebra
+    * (estimate 0; A∩∅ = ∅, A∖∅ = A). Callers coalesce absent groups to
+    * this so a missing slice degrades to exact zeros instead of NULL
+    * poisoning every estimator (the d28 pivot hazard). */
+  def emptyThetaSketchBytes(lgK: Int = 16): Array[Byte] =
+    SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      .getResult.toByteArray
 }

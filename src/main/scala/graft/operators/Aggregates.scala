@@ -512,9 +512,16 @@ object Aggregates {
       val sk = t(s, d, "events")
         .groupBy("event_type")
         .agg(thetaSketchAgg(col("user_id")).as("sk"))
+      // a pivot cell with no rows is NULL; coalesce to the EMPTY sketch
+      // (set-algebra identity) so a fixture lacking one event type
+      // degrades to exact zero counts matching the SQL oracle instead of
+      // NULL-poisoning every estimator (r17 ADVICE)
+      val empty = lit(emptyThetaSketchBytes())
       sk.groupBy()
         .pivot("event_type", Seq("click", "purchase"))
         .agg(first(col("sk")))
+        .select(coalesce(col("click"), empty).as("click"),
+          coalesce(col("purchase"), empty).as("purchase"))
         .select(
           thetaEstimate(col("click")).as("n_click"),
           thetaEstimate(col("purchase")).as("n_purchase"),

@@ -165,12 +165,21 @@ object Streaming {
     * metrics); provider choice is result-invariant, so i9's oracle is
     * untouched. Key carries the events file's length+mtime signature
     * (the schemaCache idiom) so an in-place regeneration invalidates. */
+  private case class SharedRun(sig: String, table: String, df: DataFrame)
   private val tumblingAppendCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SharedRun]()
   private def tumblingAppendShared(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
-    tumblingAppendCache.computeIfAbsent(
-      (s, s"$d#${f.length}:${f.lastModified}"), { _ =>
+    val sig = s"${f.length}:${f.lastModified}"
+    // keyed by DIR with the signature INSIDE the value (r17 ADVICE): an
+    // in-place regeneration evicts the prior entry and drops its
+    // memory-sink table instead of leaking one per regeneration. (mtime
+    // is ms-granular — a same-length same-millisecond regeneration is
+    // indistinguishable; acceptable for the harness's session lifetimes.)
+    tumblingAppendCache.compute((s, d), { (_, old) =>
+      if (old != null && old.sig == sig) old
+      else {
+        if (old != null) s.catalog.dropTempView(old.table)
         import scala.jdk.CollectionConverters._
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -189,7 +198,7 @@ object Streaming {
               _.customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")))),
             "shared tumbling-Append run must execute on the RocksDB state " +
               "store provider (no rocksdb* metrics in the query progress)")
-          s.table(name)
+          SharedRun(sig, name, s.table(name))
         } finally {
           s.conf.set("spark.sql.shuffle.partitions", prevPart)
           prevProv match {
@@ -197,7 +206,41 @@ object Streaming {
             case None => s.conf.unset(provKey)
           }
         }
-      })
+      }
+    }).df
+  }
+
+  /** Session-memoized PARQUET materialization of the shared tumbling-
+    * Append run's finalized rows (r18, VERDICT r17 task 2): the DSv2
+    * sink keys (i10 CSV, i14 partitioned lake) claim the SINK's
+    * streaming publish protocol, not the aggregation run — in
+    * production the aggregate runs once and each sink leg consumes its
+    * finalized output. A memory-sink table is not a streaming source,
+    * so the fan-out point is this one-file parquet artifact: each sink
+    * key re-streams it STATELESSLY (no state store, no watermark
+    * no-data batch) through its own sink, exercising the full epoch
+    * stage/commit/publish path on exactly the rows the shared run
+    * finalized. Same dir+signature eviction as [[tumblingAppendShared]];
+    * disclosed in BASELINE.md's bench-methodology paragraph. */
+  private val finalizedDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  private[graft] val tumblingFinalizedSchema = new StructType()
+    .add("w_start_us", LongType).add("event_type", StringType)
+    .add("cnt", LongType)
+  private def tumblingFinalizedDir(s: SparkSession, d: String): String = {
+    val f = new java.io.File(s"$d/events.parquet")
+    val sig = s"${f.length}:${f.lastModified}"
+    finalizedDirCache.compute((s, d), { (_, old) =>
+      if (old != null && old._1 == sig) old
+      else {
+        val dir = scratch(s, s"tumbling_final_${runSeq.incrementAndGet()}", "rows")
+        tumblingAppendShared(s, d)
+          .select(epochUs(col("window.start")).as("w_start_us"),
+            col("event_type"), col("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        (sig, dir)
+      }
+    })._2
   }
 
   /** The i1 tumbling aggregation as a pure stream transform: 1-hour
@@ -489,20 +532,19 @@ object Streaming {
     // Oracled with i9's watermark-horizon cut — the sink roundtrip must
     // be value-exact (shortest-repr serialization), and the epoch marker
     // must exist before anything is read (the sink's publish contract).
+    // The aggregate itself is the SHARED [[tumblingAppendShared]] run
+    // (r18 — this key's distinct claim is the SINK): the sink leg is a
+    // stateless streaming pass over the shared run's finalized rows
+    // ([[tumblingFinalizedDir]]), the production fan-out shape.
     "i10_stream_custom_sink" -> ((s, d) => {
       val dir = scratch(s, s"i10_${runSeq.incrementAndGet()}", "sink")
-      val out = tumblingAgg(eventsStream(s, d))
-        .select(epochUs(col("window.start")).as("w_start_us"),
-          col("event_type"), col("cnt"))
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", stateParts) // the runToTable sizing
-      try {
-        val q = out.writeStream.format("graft.sources.CsvDirSink")
-          .option("path", dir)
-          .option("checkpointLocation", scratch(s, dir, "ckpt"))
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = s.readStream.schema(tumblingFinalizedSchema)
+        .parquet(tumblingFinalizedDir(s, d))
+      val q = out.writeStream.format("graft.sources.CsvDirSink")
+        .option("path", dir)
+        .option("checkpointLocation", scratch(s, dir, "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       val published = new java.io.File(dir).list()
       require(published != null && published.exists(_.startsWith("_graft_epoch_")),
         "CsvDirSink epoch marker missing — streaming write did not publish")
@@ -610,8 +652,13 @@ object Streaming {
           .listFiles()).getOrElse(Array.empty)
           .filter(_.getName.endsWith(".parquet"))
         val b0Max = parts("b0").map(_.lastModified).max
-        parts("b1").foreach(f => f.setLastModified(b0Max + 5000L))
-        parts("b2").foreach(f => f.setLastModified(b0Max + 10000L))
+        // a silently-failed stamp would persist a nondeterministic batch
+        // order for the fixture's whole cache life — fail the build loudly
+        // instead (r17 ADVICE)
+        parts("b1").foreach(f => require(f.setLastModified(b0Max + 5000L),
+          s"i7 fixture: setLastModified failed for $f — batch order would be nondeterministic"))
+        parts("b2").foreach(f => require(f.setLastModified(b0Max + 10000L),
+          s"i7 fixture: setLastModified failed for $f — batch order would be nondeterministic"))
       }
       val stream = s.readStream
         .schema(new StructType()
@@ -723,21 +770,19 @@ object Streaming {
     // exactly like l28. Oracled with i9's watermark-horizon cut: parquet
     // INT64/BINARY carry the values bit-exactly, so the lake roundtrip
     // must not change a single row. Epoch replay / crash-orphan sweep
-    // pinned in SinkSpec's parquet cases.
+    // pinned in SinkSpec's parquet cases. Like i10, the aggregate is the
+    // SHARED run (r18 — this key's claim is the partitioned lake SINK):
+    // a stateless streaming pass over [[tumblingFinalizedDir]] drives
+    // the sink's full stage/commit/publish + hive-layout path.
     "i14_stream_lake_sink" -> ((s, d) => {
       val dir = scratch(s, s"i14_${runSeq.incrementAndGet()}", "lake")
-      val out = tumblingAgg(eventsStream(s, d))
-        .select(epochUs(col("window.start")).as("w_start_us"),
-          col("event_type"), col("cnt"))
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", stateParts) // the runToTable sizing
-      try {
-        val q = out.writeStream.format("graft.sources.ParquetDirSink")
-          .option("path", dir).option("partitionBy", "event_type")
-          .option("checkpointLocation", scratch(s, dir, "ckpt"))
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = s.readStream.schema(tumblingFinalizedSchema)
+        .parquet(tumblingFinalizedDir(s, d))
+      val q = out.writeStream.format("graft.sources.ParquetDirSink")
+        .option("path", dir).option("partitionBy", "event_type")
+        .option("checkpointLocation", scratch(s, dir, "ckpt"))
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       val published = new java.io.File(dir).list()
       require(published != null && published.exists(_.startsWith("_graft_epoch_")),
         "ParquetDirSink epoch marker missing — streaming write did not publish")
