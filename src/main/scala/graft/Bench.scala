@@ -24,7 +24,32 @@ object Bench {
     acc
   }
   private val CalibIters = 400000000L // ~1 s single-thread, normal host
-  private def calibrate(): (Double, Double) = {
+  /** MEMORY-BANDWIDTH leg: the ST loop runs in registers and measured
+    * FULL nominal speed (4.36 cycles/iter at the pinned 2.1 GHz) even
+    * inside r17/r18's sustained ~1.6× suite-slow regime — so that regime
+    * is NOT cycle speed; the plausible mechanism is shared-host memory-
+    * bandwidth contention, which Spark's scan/shuffle-heavy work feels
+    * and a register-only loop cannot. This leg streams a 256 MiB long
+    * array (sequential sums, one disjoint slice per thread on the MT
+    * pass) so the calib tuple separates the two host axes: cycle speed
+    * (st) and memory bandwidth (mem_st / mem_mt). */
+  private val MemWords = 32 * 1024 * 1024 // 256 MiB of longs
+  private lazy val memArr: Array[Long] = {
+    val a = new Array[Long](MemWords)
+    var i = 0
+    while (i < MemWords) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+  private def memSweep(lo: Int, hi: Int, passes: Int): Long = {
+    var acc = 0L; var p = 0
+    while (p < passes) {
+      var i = lo
+      while (i < hi) { acc += memArr(i); i += 1 }
+      p += 1
+    }
+    acc
+  }
+  private def calibrate(): (Double, Double, Double, Double) = {
     calibChunk(CalibIters / 20, 0x9E3779B97F4A7C15L) // JIT warmup
     val t0 = System.nanoTime()
     val sink = new java.util.concurrent.atomic.AtomicLong(
@@ -36,9 +61,23 @@ object Bench {
     val t1 = System.nanoTime()
     threads.foreach(_.start()); threads.foreach(_.join())
     val mt = (System.nanoTime() - t1) / 1e9
+    sink.getAndAdd(memSweep(0, MemWords, 1)) // touch + JIT warmup
+    val t2 = System.nanoTime()
+    sink.getAndAdd(memSweep(0, MemWords, 8)) // 2 GiB of sequential traffic
+    val memSt = (System.nanoTime() - t2) / 1e9
+    val slice = MemWords / 32
+    val memThreads = (0 until 32).map { i =>
+      new Thread(() => {
+        sink.getAndAdd(memSweep(i * slice, (i + 1) * slice, 256)): Unit
+      }) // 32 × 8 MiB × 256 passes = 64 GiB aggregate traffic
+    }
+    val t3 = System.nanoTime()
+    memThreads.foreach(_.start()); memThreads.foreach(_.join())
+    val memMt = (System.nanoTime() - t3) / 1e9
     // consume the accumulator so the loops cannot be dead-code-eliminated
-    System.err.println(f"CALIB st=$st%.3f mt=$mt%.3f (sink=${sink.get()}%x)")
-    (st, mt)
+    System.err.println(
+      f"CALIB st=$st%.3f mt=$mt%.3f mem_st=$memSt%.3f mem_mt=$memMt%.3f (sink=${sink.get()}%x)")
+    (st, mt, memSt, memMt)
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +120,7 @@ object Bench {
     // apart, so a stall can inflate at most one of them and min-of-N
     // filters it as designed. Warm-cache semantics are unchanged: fixtures
     // and shared frames warm on pass 1 exactly as they warmed on run 1.
-    val (calStPre, calMtPre) = calibrate()
+    val (calStPre, calMtPre, calMemStPre, calMemMtPre) = calibrate()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val fails = scala.collection.mutable.Map.empty[String, Int]
     for (_ <- 1 to repeat; (name, fn) <- keys) {
@@ -114,8 +153,8 @@ object Bench {
     val errs = results.collect { case (k, _, f) if f > 0 => s"\"" + k + "\":" + f }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
-    val (calStPost, calMtPost) = calibrate()
-    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"iters":$CalibIters}"""
+    val (calStPost, calMtPost, calMemStPost, calMemMtPost) = calibrate()
+    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"mem_st_pre":$calMemStPre%.3f,"mem_mt_pre":$calMemMtPre%.3f,"mem_st_post":$calMemStPost%.3f,"mem_mt_post":$calMemMtPost%.3f,"iters":$CalibIters}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}"""
     println(json)
     // persist the full JSON: the driver's log tail truncates at 2000
