@@ -79,6 +79,30 @@ object Bench {
       f"CALIB st=$st%.3f mt=$mt%.3f mem_st=$memSt%.3f mem_mt=$memMt%.3f (sink=${sink.get()}%x)")
     (st, mt, memSt, memMt)
   }
+  /** SPARK-JOB calibration legs (r18, added after session 2's finding):
+    * every process-level probe — cycle speed, parallel throughput,
+    * memory bandwidth — read NORMAL inside a session whose suite ran a
+    * uniform ~1.56× slow (bench_r18_s2.json), so the sustained regime
+    * lives in neither axis; the remaining candidate is task-dispatch /
+    * thread-wakeup latency, which local-mode Spark pays per task and a
+    * hot in-process loop never does. Two pinned, data-independent jobs:
+    * `cpu` = one codegen'd aggregation over range() in 32 core-sized
+    * tasks (dominated by per-row work — tracks the engine's CPU axis);
+    * `sched` = a count over 2048 near-empty tasks (dominated by
+    * scheduler dispatch + wakeup — tracks the machinery axis small
+    * queries live on). Both deterministic, zero data dependence. */
+  private def sparkCalibrate(spark: SparkSession): (Double, Double) = {
+    spark.range(0, 32000000L, 1, 32).selectExpr("sum(id % 1000007)").collect() // warm codegen
+    val t0 = System.nanoTime()
+    spark.range(0, 12800000000L, 1, 32).selectExpr("sum(id % 1000007)").collect()
+    val cpu = (System.nanoTime() - t0) / 1e9
+    spark.range(0, 256, 1, 256).count() // warm the dispatch path
+    val t1 = System.nanoTime()
+    spark.range(0, 2048, 1, 2048).count()
+    val sched = (System.nanoTime() - t1) / 1e9
+    System.err.println(f"CALIB spark_cpu=$cpu%.3f spark_sched=$sched%.3f")
+    (cpu, sched)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract is local[32] with shuffle.partitions=32
@@ -121,6 +145,7 @@ object Bench {
     // filters it as designed. Warm-cache semantics are unchanged: fixtures
     // and shared frames warm on pass 1 exactly as they warmed on run 1.
     val (calStPre, calMtPre, calMemStPre, calMemMtPre) = calibrate()
+    val (calCpuPre, calSchedPre) = sparkCalibrate(spark)
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val fails = scala.collection.mutable.Map.empty[String, Int]
     for (_ <- 1 to repeat; (name, fn) <- keys) {
@@ -154,7 +179,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
     val (calStPost, calMtPost, calMemStPost, calMemMtPost) = calibrate()
-    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"mem_st_pre":$calMemStPre%.3f,"mem_mt_pre":$calMemMtPre%.3f,"mem_st_post":$calMemStPost%.3f,"mem_mt_post":$calMemMtPost%.3f,"iters":$CalibIters}"""
+    val (calCpuPost, calSchedPost) = sparkCalibrate(spark)
+    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"mem_st_pre":$calMemStPre%.3f,"mem_mt_pre":$calMemMtPre%.3f,"mem_st_post":$calMemStPost%.3f,"mem_mt_post":$calMemMtPost%.3f,"spark_cpu_pre":$calCpuPre%.3f,"spark_sched_pre":$calSchedPre%.3f,"spark_cpu_post":$calCpuPost%.3f,"spark_sched_post":$calSchedPost%.3f,"iters":$CalibIters}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}"""
     println(json)
     // persist the full JSON: the driver's log tail truncates at 2000
