@@ -186,4 +186,24 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(estI - 20000.0) / 20000.0 <= 0.35,
       s"over-capacity intersection estimate $estI outside the error envelope of 20000")
   }
+
+  test("d28: the EMPTY sketch is the set-algebra identity (the pivot coalesce contract)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ThetaSketch._
+    // d28 coalesces an ABSENT pivot cell to emptyThetaSketchBytes so a
+    // fixture lacking one event type degrades to exact zeros matching
+    // the SQL oracle (r17 ADVICE). Pin the algebra that makes that
+    // degradation correct: estimate(∅)=0, A∩∅=∅, A∖∅=A, ∅∖A=∅.
+    val empty = lit(graft.functions.ThetaSketch.emptyThetaSketchBytes())
+    val row = spark.range(1234)
+      .agg(thetaSketchAgg(col("id")).as("a"))
+      .select(
+        thetaEstimate(empty),
+        thetaIntersectionEstimate(col("a"), empty),
+        thetaDifferenceEstimate(col("a"), empty),
+        thetaDifferenceEstimate(empty, col("a")))
+      .head()
+    assert((0 until 4).map(row.getLong) == Seq(0L, 0L, 1234L, 0L),
+      s"empty-sketch identity algebra violated: $row")
+  }
 }
