@@ -78,9 +78,22 @@ if unrecoverable:
     sys.exit(f"fold_bench.py: {len(unrecoverable)} changed/new keys failed "
              f"in every session with no prior record: {unrecoverable}")
 total = sum(v for v in out_q.values() if v >= 0)
-errors = {k: "all sessions failed; prior record kept" for k in all_failed}
+# errors keeps Bench's NUMERIC {key: fail-count} shape (r18 ADVICE — the
+# prior prose-valued shape silently broke consumers comparing session vs
+# folded records); the prose lives in a separate "notes" field. The count
+# is the summed per-session fail count where the sessions recorded one,
+# else the number of sessions (it failed in every one).
+def _session_fails(k):
+    c = 0
+    for r in runs:
+        v = r.get("errors", {}).get(k, 0)
+        c += v if isinstance(v, int) else 1
+    return c if c > 0 else len(sessions)
+errors = {k: _session_fails(k) for k in all_failed}
+notes = {k: "all sessions failed; prior record kept" for k in all_failed}
 rec = {"metric": "total", "value": total, "unit": "sec", "queries": out_q,
-       "runs": out_runs, "errors": errors, "sf": runs[-1].get("sf", "")}
+       "runs": out_runs, "errors": errors, "notes": notes,
+       "sf": runs[-1].get("sf", "")}
 json.dump(rec, open(out_path, "w"))
 print(f"folded {len(out_q)} keys over {len(sessions)} sessions "
       f"(+prior for unchanged): total {total:.2f} s; "

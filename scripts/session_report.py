@@ -33,7 +33,16 @@ try:
 except FileNotFoundError:
     sys.exit(f"(no record at {rec_path} — ratio normalization skipped)")
 ratios = sorted(q[k] / rec[k] for k in q if k in rec and rec[k] > 0 and q[k] >= 0)
+# guard the degenerate paths (r18 ADVICE): a fresh record / all-failed
+# session shares no valid keys (median on [] raises), and an all-zero
+# session would make the normalization a division by zero
+if not ratios:
+    sys.exit(f"(no shared valid keys with {rec_path} — "
+             "ratio normalization skipped; raw total above is the read)")
 med = statistics.median(ratios)
+if med == 0:
+    sys.exit("(median per-key ratio is 0 — degenerate session timings; "
+             "raw total above is the read)")
 print(f"vs record {rec_path}: median per-key ratio {med:.3f} "
       f"(p25 {ratios[len(ratios)//4]:.3f}, p75 {ratios[3*len(ratios)//4]:.3f}; "
       f"{sum(1 for r in ratios if r > 1.5)}/{len(ratios)} keys >1.5x)")

@@ -24,6 +24,12 @@ object Bench {
     acc
   }
   private val CalibIters = 400000000L // ~1 s single-thread, normal host
+  /** Locale-pinned 3-decimal formatter for every double that lands in the
+    * emitted JSON (r18 ADVICE): `f"...%.3f"` uses the default locale, so a
+    * comma-decimal host would print `0,123` — invalid JSON that breaks
+    * fold_bench.py and session_report.py downstream. */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   /** MEMORY-BANDWIDTH leg: the ST loop runs in registers and measured
     * FULL nominal speed (4.36 cycles/iter at the pinned 2.1 GHz) even
     * inside r17/r18's sustained ~1.6× suite-slow regime — so that regime
@@ -118,6 +124,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PRE-FLIGHT mode (r19, VERDICT r18 task 1): SPARK_GRAFT_CALIB_ONLY=1
+    // runs ONLY the six-axis calibration tuple (~15 s) and prints a one-
+    // line JSON verdict — the decision rule for whether the host is in a
+    // quiet window (spark_sched <= 1.2 s AND mem_mt <= 0.6 s, the healthy
+    // ranges measured across r17/r18's 28 sessions; see BASELINE.md).
+    // Quiet => run a raw-budget session (expected ~135 s from the 124.4 s
+    // record + startup); not quiet => don't burn a session chasing a raw
+    // number the host cannot print.
+    if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").contains("1")) {
+      val (st, mt, memSt, memMt) = calibrate()
+      val (cpu, sched) = sparkCalibrate(spark)
+      val quiet = sched <= 1.2 && memMt <= 0.6
+      println(s"""{"metric":"calib_preflight","st":${f3(st)},"mt":${f3(mt)},"mem_st":${f3(memSt)},"mem_mt":${f3(memMt)},"spark_cpu":${f3(cpu)},"spark_sched":${f3(sched)},"quiet":$quiet}""")
+      spark.stop()
+      return
+    }
     // fail-loud data profile (see Verify): printed to stderr so the bench's
     // stdout stays a single JSON line for the driver's parser
     Console.withOut(System.err) { Tables.profileData(spark, sfDir) }
@@ -146,6 +168,30 @@ object Bench {
     // and shared frames warm on pass 1 exactly as they warmed on run 1.
     val (calStPre, calMtPre, calMemStPre, calMemMtPre) = calibrate()
     val (calCpuPre, calSchedPre) = sparkCalibrate(spark)
+    // SHARED-RUN ACCOUNTING (r19, r18 ADVICE medium): the tumbling-Append
+    // streaming run + its finalized-rows parquet materialization is real
+    // pipeline work consumed by i9/i10/i12/i14, but session-memoized it
+    // lands in no key's min-of-N minimum (only pass-1 first-consumer runs
+    // paid it, which the min filters). Time it COLD here as its own
+    // record entry, so the suite total accounts the shared aggregation
+    // exactly once and each consumer key times only its distinct claim
+    // warm — the production fan-out's true cost split. Skipped when a key
+    // subset is requested (local iteration keeps first-consumer-pays
+    // semantics there).
+    val primed: Seq[(String, Vector[Double], Int)] =
+      if (only.nonEmpty) Nil
+      else {
+        val t0 = System.nanoTime()
+        try {
+          operators.Streaming.primeSharedTumbling(spark, sfDir)
+          Seq(("_shared_stream_prime", Vector((System.nanoTime() - t0) / 1e9), 0))
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"BENCH FAIL _shared_stream_prime: ${e.getClass.getName}: ${e.getMessage}")
+            Seq(("_shared_stream_prime", Vector.empty[Double], 1))
+        }
+      }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val fails = scala.collection.mutable.Map.empty[String, Int]
     for (_ <- 1 to repeat; (name, fn) <- keys) {
@@ -166,7 +212,7 @@ object Bench {
           fails(name) = fails.getOrElse(name, 0) + 1
       }
     }
-    val results = keys.map { case (name, _) =>
+    val results = primed ++ keys.map { case (name, _) =>
       (name, times.getOrElse(name, Vector.empty), fails.getOrElse(name, 0))
     }
     val qs = results.map { case (k, v, _) =>
@@ -180,7 +226,18 @@ object Bench {
     val total = results.collect { case (_, v, _) if v.nonEmpty => v.min }.sum
     val (calStPost, calMtPost, calMemStPost, calMemMtPost) = calibrate()
     val (calCpuPost, calSchedPost) = sparkCalibrate(spark)
-    val calib = f"""{"st_pre":$calStPre%.3f,"mt_pre":$calMtPre%.3f,"st_post":$calStPost%.3f,"mt_post":$calMtPost%.3f,"mem_st_pre":$calMemStPre%.3f,"mem_mt_pre":$calMemMtPre%.3f,"mem_st_post":$calMemStPost%.3f,"mem_mt_post":$calMemMtPost%.3f,"spark_cpu_pre":$calCpuPre%.3f,"spark_sched_pre":$calSchedPre%.3f,"spark_cpu_post":$calCpuPost%.3f,"spark_sched_post":$calSchedPost%.3f,"iters":$CalibIters}"""
+    // Locale.ROOT throughout the JSON (r18 ADVICE): the f-interpolator is
+    // default-locale-sensitive — a comma-decimal locale would emit invalid
+    // JSON and break every downstream fold/report script
+    val calib = Seq(
+      "st_pre" -> calStPre, "mt_pre" -> calMtPre,
+      "st_post" -> calStPost, "mt_post" -> calMtPost,
+      "mem_st_pre" -> calMemStPre, "mem_mt_pre" -> calMemMtPre,
+      "mem_st_post" -> calMemStPost, "mem_mt_post" -> calMemMtPost,
+      "spark_cpu_pre" -> calCpuPre, "spark_sched_pre" -> calSchedPre,
+      "spark_cpu_post" -> calCpuPost, "spark_sched_post" -> calSchedPost)
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", s""","iters":$CalibIters}""")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"calib":$calib,"sf":"$sfDir"}"""
     println(json)
     // persist the full JSON: the driver's log tail truncates at 2000
@@ -198,7 +255,7 @@ object Bench {
     // showSuccess := false this line is the final line of the sbt run.
     val slowest = results.collect { case (k, v, _) if v.nonEmpty => (k, v.min) }
       .sortBy(-_._2).take(10)
-      .map { case (k, s) => s"\"" + k + f"\":$s%.3f" }.mkString("{", ",", "}")
+      .map { case (k, s) => s"\"" + k + "\":" + f3(s) }.mkString("{", ",", "}")
     val nOk = results.count(_._2.nonEmpty)
     // errors CAPPED at 10 keys (+ a count of the rest) in the compact line:
     // a mass failure is exactly when the 2000-char tail matters most, and

@@ -168,18 +168,48 @@ object Streaming {
   private case class SharedRun(sig: String, table: String, df: DataFrame)
   private val tumblingAppendCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SharedRun]()
+
+  /** CONTENT-strengthened source signature (r19, VERDICT r18 task 4): the
+    * r18 caches keyed on length+ms-mtime alone, so a same-length
+    * same-millisecond in-place regeneration was indistinguishable and
+    * served stale results. Fold in an md5 over the file's first and last
+    * 4 KiB — a parquet footer carries row-group offsets and per-column
+    * min/max stats, so any content change perturbs the tail bytes — and a
+    * collision now requires identical size, timestamp AND boundary
+    * content (the [[graft.Tables.cachedFixture]] invalidation strength). */
+  private def contentSig(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head)
+      md.update(head)
+      if (n > 4096L) {
+        val tail = new Array[Byte](math.min(4096L, n - 4096L).toInt)
+        raf.seek(n - tail.length)
+        raf.readFully(tail)
+        md.update(tail)
+      }
+    } finally raf.close()
+    val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+    s"${f.length}:${f.lastModified}:$hex"
+  }
+
   private def tumblingAppendShared(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
-    val sig = s"${f.length}:${f.lastModified}"
+    val sig = contentSig(f)
     // keyed by DIR with the signature INSIDE the value (r17 ADVICE): an
-    // in-place regeneration evicts the prior entry and drops its
-    // memory-sink table instead of leaking one per regeneration. (mtime
-    // is ms-granular — a same-length same-millisecond regeneration is
-    // indistinguishable; acceptable for the harness's session lifetimes.)
+    // in-place regeneration evicts the prior entry, drops its memory-sink
+    // table AND deletes its checkpoint scratch dir (r18 ADVICE — tmpfs is
+    // RAM; superseded artifacts must not accumulate within a session)
     tumblingAppendCache.compute((s, d), { (_, old) =>
       if (old != null && old.sig == sig) old
       else {
-        if (old != null) s.catalog.dropTempView(old.table)
+        if (old != null) {
+          s.catalog.dropTempView(old.table)
+          deleteRec(new java.io.File(scratch(s, old.table, "ckpt")))
+        }
         import scala.jdk.CollectionConverters._
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -229,10 +259,14 @@ object Streaming {
     .add("cnt", LongType)
   private def tumblingFinalizedDir(s: SparkSession, d: String): String = {
     val f = new java.io.File(s"$d/events.parquet")
-    val sig = s"${f.length}:${f.lastModified}"
+    val sig = contentSig(f)
     finalizedDirCache.compute((s, d), { (_, old) =>
       if (old != null && old._1 == sig) old
       else {
+        // delete the superseded materialization on eviction (r18 ADVICE):
+        // the scratch tree is app-keyed tmpfs, so within-session leaks
+        // are RAM leaks until the shutdown hook fires
+        if (old != null) deleteRec(new java.io.File(old._2))
         val dir = scratch(s, s"tumbling_final_${runSeq.incrementAndGet()}", "rows")
         tumblingAppendShared(s, d)
           .select(epochUs(col("window.start")).as("w_start_us"),
@@ -241,6 +275,17 @@ object Streaming {
         (sig, dir)
       }
     })._2
+  }
+
+  /** Bench hook (r19, r18 ADVICE): force the shared tumbling-Append run
+    * AND its parquet materialization cold, so the bench can time the
+    * shared pipeline work as its own record entry. Session-memoized like
+    * its consumers — i9/i12 (the streaming run) and i10/i14 (the
+    * finalized-rows fan-out) then time their own distinct claims warm,
+    * and the shared aggregation's cost appears in the suite total exactly
+    * once instead of in no key's min-of-N minimum. */
+  private[graft] def primeSharedTumbling(s: SparkSession, d: String): Unit = {
+    tumblingFinalizedDir(s, d); ()
   }
 
   /** The i1 tumbling aggregation as a pure stream transform: 1-hour
