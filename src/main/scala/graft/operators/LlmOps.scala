@@ -64,6 +64,34 @@ object LlmOps {
     * store (hundreds of thousands of exploded string rows whose
     * checkpoint blocks every consumer must deserialize). Share
     * expensive-tiny frames; recompute cheap-fat ones. */
+  /** j2's LSH geometry: 12 bands × 2 minhashes, P(candidate) =
+    * 1 − (1 − J²)¹² — ~0.92 at J = 0.5, ~0.06 per-band noise floor on
+    * unrelated docs. Named so the oracle comment, the key, and the plan
+    * pin all reference one definition. */
+  private[graft] object MinHashBands { val nBands = 12; val nRows = 2 }
+
+  /** The j2 candidate production over the minhash signature frame — split
+    * out (r19, VERDICT r18 task 2) so PlanShapeSpec can pin the band
+    * equi-join's physical shape (inside the key the verified pair frame
+    * is localCheckpointed, hiding this subtree from the key's plan).
+    * The band join shuffles only (doc_id, band, bval) — 24 bytes/row;
+    * shingle sets attach to the (few) candidates afterwards. The band
+    * value folds the band's r minhashes into one 64-bit key. */
+  private[graft] def minhashBandCandidatesRaw(sigs: DataFrame): DataFrame = {
+    import MinHashBands.{nBands, nRows}
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until nBands).map { b =>
+        xxhash64((0 until nRows).map(r => col(s"m${b * nRows + r}")): _*)
+      }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   private[graft] def shingleRows(s: SparkSession, d: String): DataFrame = {
     val ws = filter(split(lower(col("text")), "[^a-z]+"), x => x =!= "")
     t(s, d, "documents")
@@ -250,8 +278,7 @@ object LlmOps {
       // and minhashes never carry text
       val shingles = shingleRows(s, d)
         .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      val nBands = 12
-      val nRows = 2 // minhashes per band; band value = hash of the r-tuple
+      import MinHashBands.{nBands, nRows}
       // materialized once, consumed 4× below (both sides of the band
       // self-join + the two candidate set lookups) — without it the whole
       // shingle pipeline re-executes per consumer. localCheckpoint, NOT
@@ -266,20 +293,7 @@ object LlmOps {
           (0 until nBands * nRows)
             .map(h => min(xxhash64(lit(h), col("sh"))).as(s"m$h")): _*)
         .localCheckpoint(eager = false)
-      // the band join shuffles only (doc_id, band, value) — 24 bytes/row;
-      // shingle sets attach to the (few) candidates afterwards. The band
-      // value folds the band's r minhashes into one 64-bit key.
-      val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until nBands).map { b =>
-          xxhash64((0 until nRows).map(r => col(s"m${b * nRows + r}")): _*)
-        }: _*)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bval"))
-      val cand = banded.as("a")
-        .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-            col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
+      val cand = minhashBandCandidatesRaw(sigs)
       val pairs = cand
         .join(sigs.select(col("doc_id").as("a_id"), col("set").as("sa")), "a_id")
         .join(sigs.select(col("doc_id").as("b_id"), col("set").as("sb")), "b_id")

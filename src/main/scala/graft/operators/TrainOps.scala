@@ -172,7 +172,7 @@ object TrainOps {
     * (digest-bytes → long, no hex-string round-trip — ~6.5× the SQL
     * chain, measured at its Scaladoc), so the oracle-motivated family
     * switch costs ~nothing in the scan. */
-  private def simhashed(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashed(s: SparkSession, d: String): DataFrame = {
     val toks = LlmOps.tokens(s, d).select(col("doc_id"),
       graft.functions.Md5Low64.md5Low64(col("term")).as("h"))
     // branch-free vote: count the ONES per bit and test majority as
@@ -187,6 +187,39 @@ object TrainOps {
     }.reduce(_ + _) // bits are disjoint, so the sum assembles the signature
     toks.groupBy("doc_id").agg(count(lit(1)).as("n"), bitOnes: _*)
       .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** The l1 candidate-pair production over the (checkpointed) signature
+    * frame — split out (r19, VERDICT r18 task 2) so PlanShapeSpec can pin
+    * the band equi-join's physical shape: inside the key the resulting
+    * pair frame is localCheckpointed (it feeds n_dups AND the closure
+    * loop), and a checkpoint scan hides this subtree from the key's
+    * executed plan. Band key = (16-bit signature slice)·4 + position, so
+    * equal slice values in different band positions never collide.
+    *
+    * Stage order is MEASURED, not assumed (r17 A/B, SURVEY §7.5):
+    * distinct-THEN-gate wins over gate-then-distinct by ~8–13% at
+    * sf0.1 (3.90/3.95 s vs 4.14/4.51 s, same-interval alternation) —
+    * a banded pair surfaces in up to 4 bands, so pre-distinct gating
+    * evaluates bit_count per COLLISION while post-distinct evaluates
+    * it once per PAIR, and on this tiny-vocab corpus the Hamming gate
+    * is not selective enough to pay that back. (A token-LENGTH
+    * pre-filter — l9's idiom — is rejected on semantics, not cost:
+    * it is not lossless for Hamming-over-simhash, so it would change
+    * the oracled relation.) */
+  private[graft] def simhashBandPairsRaw(sigs: DataFrame): DataFrame = {
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
+          * 4 + k): _*)).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .filter(expr("bit_count(ha ^ hb) <= 3"))
+      .select("a_id", "b_id")
   }
 
   /** 128 fixed signed-random-projection hyperplanes for l12 (seeded —
@@ -640,28 +673,7 @@ object TrainOps {
       // and the final output join — the 64-bit-vote aggregation over every
       // token is the expensive part and must not re-run per consumer
       val sigs = simhashed(s, d).localCheckpoint(eager = false)
-      val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(k =>
-          shiftright(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
-            * 4 + k): _*)).as("band"))
-      // Stage order is MEASURED, not assumed (r17 A/B, SURVEY §7.5):
-      // distinct-THEN-gate wins over gate-then-distinct by ~8–13% at
-      // sf0.1 (3.90/3.95 s vs 4.14/4.51 s, same-interval alternation) —
-      // a banded pair surfaces in up to 4 bands, so pre-distinct gating
-      // evaluates bit_count per COLLISION while post-distinct evaluates
-      // it once per PAIR, and on this tiny-vocab corpus the Hamming gate
-      // is not selective enough to pay that back. (A token-LENGTH
-      // pre-filter — l9's idiom — is rejected on semantics, not cost:
-      // it is not lossless for Hamming-over-simhash, so it would change
-      // the oracled relation.)
-      val pairs = banded.as("a")
-        .join(banded.as("b"), col("a.band") === col("b.band") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-        .distinct()
-        .filter(expr("bit_count(ha ^ hb) <= 3"))
-        .select("a_id", "b_id")
+      val pairs = simhashBandPairsRaw(sigs)
         .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
       val nDups = pairs.groupBy(col("a_id").as("doc_id"))
         .agg(count(lit(1)).as("n_dups"))

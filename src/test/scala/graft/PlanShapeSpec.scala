@@ -582,6 +582,98 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ranks.values.sum <= 1000000000L, "rank mass exceeded the budget")
   }
 
+  // ---- r19 pins (VERDICT r18 task 2): the expensive tail's hand-audited
+  // plan properties, promoted from verdict prose to regression tests ----
+
+  test("l22: the one-sided containment length gate survives into the plan") {
+    // C(A→B) >= 9/10 forces 10·|B| >= 9·|A| — the lossless size gate that
+    // kills incompatible candidates on two integer joins BEFORE the
+    // shingle sets attach. Catalyst may keep it as a Filter node or fold
+    // it into the second size-join's condition; both render the
+    // (nb * 10) >= (na * 9) comparison — its absence means the gate was
+    // dropped and every candidate pair carries its full sets.
+    val p = plan("l22_containment_ngram")
+    assert(p.linesIterator.exists(l => l.contains("* 10) >= ") && l.contains("* 9)")),
+      s"the 10*nb >= 9*na length gate is gone from the plan:\n$p")
+  }
+
+  test("l42: per-round lineage truncation — the final plan is a checkpoint scan, not 10 stacked joins") {
+    // pageRankInt localCheckpoints every round; losing that stacks 10
+    // rounds of join/agg into one plan (analysis blowup + a lineage the
+    // scheduler re-executes on task retry). The key's executed plan must
+    // be sort-over-checkpoint-scan with ZERO join nodes.
+    val p = plan("l42_pagerank_hubs")
+    assert(p.contains("ExistingRDD"),
+      s"l42's result is not checkpoint-backed:\n$p")
+    assert(!p.contains("Join"),
+      s"a join survived into l42's final plan — per-round truncation lost:\n$p")
+  }
+
+  test("l1: banded self-join keys on the 16-bit band; only signatures cross the shuffle") {
+    // the key's pair frame is checkpointed (it feeds n_dups and the
+    // closure loop), which hides the producing subtree from the key's
+    // plan — pin the extracted producer directly, composed exactly as
+    // the key composes it (signature frame checkpointed first)
+    val sigs = operators.TrainOps.simhashed(spark, sfTiny)
+      .localCheckpoint(eager = false)
+    val p = operators.TrainOps.simhashBandPairsRaw(sigs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"l1's band join degenerated to all-pairs:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("HashJoin"))
+      .getOrElse(fail(s"no equi join planned in l1's pair production:\n$p"))
+    assert(joinLine.contains("band"), s"band is not a join key: $joinLine")
+    // the shuffle carries (doc_id, simhash, band) — 24 bytes — never text
+    assert(!p.contains("text#"), s"document text crossed into the pair shuffle:\n$p")
+  }
+
+  test("j2: the minhash band join keys on (band, bval) — folded 64-bit band values") {
+    // the key's verified pair frame is checkpointed (it feeds n_dups and
+    // the closure loop), hiding the candidate subtree from the key's
+    // plan — pin the extracted producer over a signature-shaped frame
+    import org.apache.spark.sql.functions.col
+    val sigs = spark.range(50).select(col("id").as("doc_id") +:
+      (0 until 24).map(h => (col("id") * (h + 1)).as(s"m$h")): _*)
+    val p = operators.LlmOps.minhashBandCandidatesRaw(sigs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"j2's band join degenerated to all-pairs:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => (l.contains("SortMergeJoin") || l.contains("HashJoin")) &&
+        l.contains("bval"))
+      .getOrElse(fail(s"no equi join on the folded band value:\n$p"))
+    assert(joinLine.contains("band"), s"band position is not a join key: $joinLine")
+  }
+
+  test("sharedFrame builds once per (session, dir, tag) — l18 times the probe, not the index build") {
+    // l18's claim is the INCREMENTAL probe against a persistent corpus
+    // prefix index; the index (sharedPrefix45) must build once per
+    // session. Pin the memo machinery: a second lookup must return the
+    // SAME frame without re-invoking its builder.
+    var builds = 0
+    val a = Tables.sharedFrame(spark, sfTiny, "r19_memo_pin") {
+      builds += 1; spark.range(5).toDF("doc_id")
+    }
+    val b = Tables.sharedFrame(spark, sfTiny, "r19_memo_pin") {
+      fail("sharedFrame re-invoked its builder — the once-per-session memo is broken")
+    }
+    assert(a eq b, "sharedFrame returned a different frame on the second lookup")
+    assert(builds == 1)
+  }
+
+  test("l35: the maintenance report materializes once — consumers read the checkpoint, not the lakes") {
+    // the report is lang-count-sized and feeds BOTH the in-key require
+    // gates and the returned result; without the checkpoint each consumer
+    // re-scans the fragmented and compacted lakes (two full file listings
+    // + reads per consumer at production file counts)
+    val p = plan("l35_compact_small_files")
+    assert(p.contains("ExistingRDD"),
+      s"l35's report is not checkpoint-backed:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+      s"l35's returned report re-scans the lake:\n$p")
+  }
+
   test("e7: global rank is range-partitioned, not a single-task window") {
     val p = plan("e7_win_distribution").toLowerCase
     assert(p.contains("rangepartitioning"), s"no range partitioning:\n$p")
