@@ -94,6 +94,37 @@ object Tables {
     s"$base/${tag}_${Integer.toHexString(dir.hashCode)}"
   }
 
+  /** CONTENT-strengthened file signature (r19, VERDICT r18 task 4),
+    * shared by every fixture/run cache that must invalidate on an
+    * in-place source regeneration: length + mtime + an md5 over the
+    * file's first and last 4 KiB. A parquet footer carries row-group
+    * offsets and per-column min/max stats, so any content change
+    * perturbs the tail bytes — a collision therefore requires identical
+    * size, timestamp AND boundary content, closing the same-length
+    * same-millisecond regeneration hazard that length+mtime keys carry.
+    * (A change confined strictly to the interior 8 KiB..n-4 KiB window
+    * with byte-identical boundaries is the documented residual blind
+    * spot; no parquet writer produces one, because the footer encodes
+    * the interior's statistics and offsets.) */
+  private[graft] def contentSig(f: java.io.File): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head)
+      md.update(head)
+      if (n > 4096L) {
+        val tail = new Array[Byte](math.min(4096L, n - 4096L).toInt)
+        raf.seek(n - tail.length)
+        raf.readFully(tail)
+        md.update(tail)
+      }
+    } finally raf.close()
+    val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+    s"${f.length}:${f.lastModified}:$hex"
+  }
+
   /** In-session memo for DataFrames SHARED ACROSS query keys (the r11
     * VERDICT trim levers): a real pipeline materializes its verified-pair
     * graph or feature frame ONCE and feeds every downstream consumer —
@@ -120,8 +151,11 @@ object Tables {
     * the key count grows.
     *
     * The cache key binds the SOURCE DATA, not just its path: the dir name
-    * carries a signature over the sf dir's file names/lengths/mtimes, so
-    * regenerating a dataset in place invalidates every fixture derived
+    * carries a signature over the sf dir's file names + [[contentSig]]
+    * (length/mtime/boundary-content — r19: content-strengthened alongside
+    * the streaming shared-run caches, so a same-length same-millisecond
+    * in-place regeneration invalidates too), so regenerating a dataset in
+    * place invalidates every fixture derived
     * from the old files instead of serving them stale. Stale trees (older
     * FixtureVersion, or same sf path with an outdated signature) are
     * evicted on sight — tmpfs is RAM; they must not outlive a bump.
@@ -147,7 +181,7 @@ object Tables {
       (build: String => Unit): String = {
     val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(f => s"${f.getName}:${contentSig(f)}")
     val sig = java.util.UUID.nameUUIDFromBytes(
       (d + files.mkString("|")).getBytes("UTF-8")).toString.take(8)
     val pathHash = Integer.toHexString(d.hashCode)

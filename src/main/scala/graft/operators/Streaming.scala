@@ -169,32 +169,16 @@ object Streaming {
   private val tumblingAppendCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SharedRun]()
 
-  /** CONTENT-strengthened source signature (r19, VERDICT r18 task 4): the
-    * r18 caches keyed on length+ms-mtime alone, so a same-length
-    * same-millisecond in-place regeneration was indistinguishable and
-    * served stale results. Fold in an md5 over the file's first and last
-    * 4 KiB — a parquet footer carries row-group offsets and per-column
-    * min/max stats, so any content change perturbs the tail bytes — and a
-    * collision now requires identical size, timestamp AND boundary
-    * content (the [[graft.Tables.cachedFixture]] invalidation strength). */
-  private def contentSig(f: java.io.File): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val raf = new java.io.RandomAccessFile(f, "r")
-    try {
-      val n = raf.length()
-      val head = new Array[Byte](math.min(4096L, n).toInt)
-      raf.readFully(head)
-      md.update(head)
-      if (n > 4096L) {
-        val tail = new Array[Byte](math.min(4096L, n - 4096L).toInt)
-        raf.seek(n - tail.length)
-        raf.readFully(tail)
-        md.update(tail)
-      }
-    } finally raf.close()
-    val hex = md.digest().take(8).map(b => f"$b%02x").mkString
-    s"${f.length}:${f.lastModified}:$hex"
-  }
+  // CONTENT-strengthened source signature (r19, VERDICT r18 task 4): the
+  // r18 caches here keyed on length+ms-mtime alone, so a same-length
+  // same-millisecond in-place regeneration was indistinguishable and
+  // served stale results. The shared [[graft.Tables.contentSig]] (in scope
+  // via the Tables wildcard import) folds in an md5 over the file's first
+  // and last 4 KiB — a parquet footer carries row-group offsets and
+  // per-column min/max stats, so any content change perturbs the tail
+  // bytes — and a collision now requires identical size, timestamp AND
+  // boundary content. The same helper strengthens cachedFixture's
+  // per-file signature.
 
   private def tumblingAppendShared(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r19 content-strengthened cache-invalidation contract
+  * (VERDICT r18 task 4): [[Tables.contentSig]] must discriminate a
+  * same-length same-millisecond in-place regeneration — the hazard the
+  * r18 length+mtime signatures could not see — and
+  * [[Tables.cachedFixture]] (which now folds contentSig into its
+  * per-file signature) must REBUILD on such a regeneration instead of
+  * serving the stale tree. */
+class FixtureCacheSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def tmpFile(name: String, bytes: Array[Byte]): java.io.File = {
+    val dir = new java.io.File(Tables.scratch(spark, "fixsig", "spec"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.write(f.toPath, bytes)
+    f
+  }
+
+  test("contentSig: same length+mtime, different boundary content => different sig") {
+    // 10 KiB payload: head window [0,4096), tail window [n-4096,n)
+    val base = Array.tabulate[Byte](10240)(i => (i % 251).toByte)
+    val a = tmpFile("sig_a.bin", base)
+
+    def variant(name: String, mutate: Array[Byte] => Unit): java.io.File = {
+      val bytes = base.clone(); mutate(bytes)
+      val v = tmpFile(name, bytes)
+      assert(v.setLastModified(a.lastModified), s"mtime pin failed for $name")
+      v
+    }
+    val headFlip = variant("sig_head.bin", b => b(100) = (b(100) ^ 0xff).toByte)
+    val tailFlip = variant("sig_tail.bin", b => b(10239) = (b(10239) ^ 0xff).toByte)
+    val copy = variant("sig_copy.bin", _ => ())
+
+    assert(a.length == headFlip.length && a.lastModified == headFlip.lastModified)
+    assert(Tables.contentSig(a) != Tables.contentSig(headFlip),
+      "a head-window content change under identical length+mtime must change the sig")
+    assert(Tables.contentSig(a) != Tables.contentSig(tailFlip),
+      "a tail-window content change under identical length+mtime must change the sig")
+    assert(Tables.contentSig(a) == Tables.contentSig(copy),
+      "a byte-identical copy at identical length+mtime must collide (cache reuse)")
+  }
+
+  test("contentSig: sub-window and exact-window file sizes hash cleanly") {
+    // < 4 KiB (head covers all, no tail read), exactly 4 KiB (boundary:
+    // n > 4096 is false), and 4 KiB + 1 (tail reads exactly 1 byte) —
+    // the RandomAccessFile seek/readFully edge cases.
+    for (n <- Seq(10, 4096, 4097)) {
+      val f = tmpFile(s"sig_n$n.bin", Array.fill[Byte](n)(7))
+      val sig = Tables.contentSig(f)
+      assert(sig.startsWith(s"$n:"), s"sig must lead with the length: $sig")
+      // a last-byte flip is always visible, whichever window covers it
+      val g = tmpFile(s"sig_n${n}_flip.bin",
+        Array.fill[Byte](n)(7).updated(n - 1, 9.toByte))
+      assert(g.setLastModified(f.lastModified))
+      assert(Tables.contentSig(f) != Tables.contentSig(g),
+        s"last-byte flip invisible at n=$n")
+    }
+  }
+
+  test("cachedFixture: a content-only in-place regeneration rebuilds the fixture") {
+    // source dir with one file; the fixture records a build counter, so
+    // serving a stale tree is observable as a stale counter value
+    val srcDir = new java.io.File(Tables.scratch(spark, "fixrebuild", "src"))
+    srcDir.mkdirs()
+    val src = new java.io.File(srcDir, "data.bin")
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(1))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Int = {
+      val dir = Tables.cachedFixture(spark, srcDir.getPath, "fixspec") { p =>
+        val n = builds.incrementAndGet()
+        java.nio.file.Files.write(
+          new java.io.File(p, "counter").toPath, n.toString.getBytes)
+      }
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "counter").toPath)).toInt
+    }
+    val first = run()
+    assert(run() == first, "unchanged source must serve the cached tree")
+    // regenerate in place: same length, same mtime, different content
+    val mtime = src.lastModified
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(2))
+    assert(src.setLastModified(mtime), "mtime pin failed")
+    assert(src.length == 64 && src.lastModified == mtime)
+    val second = run()
+    assert(second != first,
+      "same-length same-mtime content change served a STALE fixture tree")
+    assert(run() == second, "the rebuilt tree must then be served warm")
+  }
+}

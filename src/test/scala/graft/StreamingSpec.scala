@@ -343,6 +343,14 @@ class StreamingSpec extends AnyFunSuite {
     val n9b = memTable("i9_stream_tumbling_append")
     assert(n9b != n9,
       "the shared-run memo served a stale table after the events file changed")
+    // r19 eviction cleanup (r18 ADVICE): the superseded run's checkpoint
+    // scratch dir must be DELETED (tmpfs is RAM) and its memory-sink temp
+    // view dropped, not left to accumulate within the session
+    val oldCkpt = new java.io.File(Tables.scratch(spark, n9, "ckpt"))
+    assert(!oldCkpt.exists(),
+      s"superseded shared-run checkpoint dir leaked: $oldCkpt")
+    assert(!spark.catalog.tableExists(n9),
+      s"superseded memory-sink table leaked: $n9")
   }
 
   test("i17 transformWithState: state continues across batches on RocksDB") {
