@@ -125,6 +125,17 @@ object Tables {
     s"${f.length}:${f.lastModified}:$hex"
   }
 
+  /** Directory-level [[contentSig]]: one line per regular file, sorted by
+    * name — the signature [[cachedFixture]] and [[sharedFrame]] bind so an
+    * in-place regeneration of ANY source table invalidates derived
+    * artifacts. ~8 KiB of boundary IO per file per call (the sf dirs hold
+    * ~10 parquet files), negligible next to the builds it guards. */
+  private[graft] def dirSig(d: String): String =
+    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${contentSig(f)}")
+      .mkString("|")
+
   /** In-session memo for DataFrames SHARED ACROSS query keys (the r11
     * VERDICT trim levers): a real pipeline materializes its verified-pair
     * graph or feature frame ONCE and feeds every downstream consumer —
@@ -136,13 +147,22 @@ object Tables {
     * methodology note: within a min-of-N bench the FIRST run of the
     * first consuming key pays the materialization and later runs time a
     * warm read — the same disclosed warm-cache semantics as
-    * [[cachedFixture]] (BASELINE.md, bench-methodology paragraph). */
+    * [[cachedFixture]] (BASELINE.md, bench-methodology paragraph).
+    * r19: the entry binds [[dirSig]] (the value, not the key — the r17
+    * shared-run eviction idiom), so an in-place regeneration of the
+    * source dir mid-session rebuilds the frame instead of serving the
+    * stale checkpoint; the superseded entry is dereferenced and its
+    * cached RDD reclaimed by Spark's ContextCleaner once unreferenced. */
   private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
   def sharedFrame(spark: SparkSession, dir: String, tag: String)
-      (build: => DataFrame): DataFrame =
-    frameCache.computeIfAbsent((spark, s"$dir#$tag"),
-      _ => build.localCheckpoint(eager = false))
+      (build: => DataFrame): DataFrame = {
+    val sig = dirSig(dir)
+    frameCache.compute((spark, s"$dir#$tag"), { (_, old) =>
+      if (old != null && old._1 == sig) old
+      else (sig, build.localCheckpoint(eager = false))
+    })._2
+  }
 
   /** Cross-run fixture cache. Side-effect fixtures (sink roundtrips,
     * bucketed tables) are DETERMINISTIC functions of (source data, tag,
@@ -179,11 +199,8 @@ object Tables {
   val FixtureVersion = 2 // v2: fragmented_lake shard count scales with rows
   def cachedFixture(spark: SparkSession, d: String, tag: String)
       (build: String => Unit): String = {
-    val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${contentSig(f)}")
     val sig = java.util.UUID.nameUUIDFromBytes(
-      (d + files.mkString("|")).getBytes("UTF-8")).toString.take(8)
+      (d + dirSig(d)).getBytes("UTF-8")).toString.take(8)
     val pathHash = Integer.toHexString(d.hashCode)
     val cur = s"fixcache_v${FixtureVersion}_${pathHash}_$sig"
     val root = new java.io.File("/dev/shm/graft_tmp")

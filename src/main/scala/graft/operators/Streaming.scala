@@ -75,8 +75,11 @@ object Streaming {
     * pure function of the file, and every i-key's every bench run was
     * re-listing + re-reading the footer just to learn it (≈20 i-keys ×
     * N passes of pure fixed cost). The key folds in the file's
-    * length+mtime signature (one cheap stat per call — the
-    * [[graft.Tables.cachedFixture]] idiom), so an in-place regeneration
+    * [[graft.Tables.contentSig]] signature (one stat + an 8 KiB boundary
+    * read per call — r19: content-strengthened with the other source-
+    * bound caches, since a same-length same-millisecond regeneration
+    * that flips the ts ENCODING is precisely the drift this probe
+    * guards), so an in-place regeneration
     * of events.parquet during a live session (the r12 µs/ns hazard this
     * footer probe exists to catch) invalidates the memo instead of
     * serving the stale encoding silently. */
@@ -86,7 +89,7 @@ object Streaming {
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
     val fileSchema = schemaCache.computeIfAbsent(
-      (s, s"$d#${f.length}:${f.lastModified}"),
+      (s, s"$d#${contentSig(f)}"),
       _ => s.read.parquet(s"$d/events.parquet").schema)
     val raw = s.readStream.schema(fileSchema)
       // events.parquet is a single FILE: a non-glob path makes

@@ -90,4 +90,28 @@ class FixtureCacheSpec extends AnyFunSuite {
       "same-length same-mtime content change served a STALE fixture tree")
     assert(run() == second, "the rebuilt tree must then be served warm")
   }
+
+  test("sharedFrame: rebinds on a content-only source regeneration, else serves warm") {
+    val srcDir = new java.io.File(Tables.scratch(spark, "framerebind", "src"))
+    srcDir.mkdirs()
+    val src = new java.io.File(srcDir, "data.bin")
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(1))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Long = {
+      val df = Tables.sharedFrame(spark, srcDir.getPath, "framespec") {
+        spark.range(builds.incrementAndGet().toLong, 100L).toDF("id")
+      }
+      df.agg(org.apache.spark.sql.functions.min("id")).collect()(0).getLong(0)
+    }
+    val first = run()
+    assert(run() == first, "unchanged source must serve the memoized frame")
+    assert(builds.get == 1, s"build ran ${builds.get}x for an unchanged source")
+    val mtime = src.lastModified
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(2))
+    assert(src.setLastModified(mtime), "mtime pin failed")
+    val second = run()
+    assert(second != first && builds.get == 2,
+      s"same-length same-mtime content change served a STALE shared frame " +
+        s"(got $second after ${builds.get} builds)")
+  }
 }
