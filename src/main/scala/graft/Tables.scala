@@ -105,8 +105,23 @@ object Tables {
     * (A change confined strictly to the interior 8 KiB..n-4 KiB window
     * with byte-identical boundaries is the documented residual blind
     * spot; no parquet writer produces one, because the footer encodes
-    * the interior's statistics and offsets.) */
+    * the interior's statistics and offsets.)
+    *
+    * A DIRECTORY (Spark writes parquet tables as directories — the spec
+    * fixtures' events.parquet shape) signs as the md5 over its sorted
+    * children's names + recursive contentSigs, so a change to any part
+    * file, or an added/removed/renamed child, perturbs the signature.
+    * A missing path stays FAIL-LOUD (the caller is about to read it
+    * anyway; a silent "0:0" key would just defer the error). */
   private[graft] def contentSig(f: java.io.File): String = {
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(kids.map(k => s"${k.getName}:${contentSig(k)}")
+        .mkString("|").getBytes("UTF-8"))
+      val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+      return s"dir:${kids.length}:$hex"
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
@@ -125,14 +140,16 @@ object Tables {
     s"${f.length}:${f.lastModified}:$hex"
   }
 
-  /** Directory-level [[contentSig]]: one line per regular file, sorted by
-    * name — the signature [[cachedFixture]] and [[sharedFrame]] bind so an
-    * in-place regeneration of ANY source table invalidates derived
-    * artifacts. ~8 KiB of boundary IO per file per call (the sf dirs hold
-    * ~10 parquet files), negligible next to the builds it guards. */
+  /** Directory-level [[contentSig]]: one line per child (regular files
+    * AND directory-shaped tables — Spark writes parquet tables as
+    * directories in the spec fixtures), sorted by name — the signature
+    * [[cachedFixture]] and [[sharedFrame]] bind so an in-place
+    * regeneration of ANY source table invalidates derived artifacts.
+    * ~8 KiB of boundary IO per file per call (the sf dirs hold ~10
+    * parquet files), negligible next to the builds it guards. */
   private[graft] def dirSig(d: String): String =
     Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-      .filter(_.isFile).sortBy(_.getName)
+      .sortBy(_.getName)
       .map(f => s"${f.getName}:${contentSig(f)}")
       .mkString("|")
 

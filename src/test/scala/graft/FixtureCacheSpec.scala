@@ -61,6 +61,39 @@ class FixtureCacheSpec extends AnyFunSuite {
     }
   }
 
+  test("contentSig: directory-shaped tables sign over their children") {
+    // Spark writes parquet tables as DIRECTORIES (part files + _SUCCESS);
+    // the spec fixtures' events.parquet takes that shape, so contentSig
+    // must handle it (r19 regression: RandomAccessFile on a directory
+    // threw FileNotFoundException) and must see through to child content
+    val root = new java.io.File(Tables.scratch(spark, "dirsig", "spec"))
+    def mkTable(name: String, payload: Byte): java.io.File = {
+      val t = new java.io.File(root, name); t.mkdirs()
+      java.nio.file.Files.write(new java.io.File(t, "part-00000").toPath,
+        Array.fill[Byte](256)(payload))
+      java.nio.file.Files.write(new java.io.File(t, "_SUCCESS").toPath,
+        Array.empty[Byte])
+      t
+    }
+    val a = mkTable("tbl_a.parquet", 1)
+    val b = mkTable("tbl_b.parquet", 1)
+    val sigA = Tables.contentSig(a)
+    assert(sigA.startsWith("dir:2:"), s"directory sig shape: $sigA")
+    assert(sigA == Tables.contentSig(a), "the dir sig must be stable")
+    // a part-file content change (same length) must perturb the dir sig
+    val part = new java.io.File(a, "part-00000")
+    val mtime = part.lastModified
+    java.nio.file.Files.write(part.toPath, Array.fill[Byte](256)(9))
+    assert(part.setLastModified(mtime))
+    assert(Tables.contentSig(a) != sigA,
+      "a child content change under pinned length+mtime must change the dir sig")
+    // an added child must perturb it too
+    java.nio.file.Files.write(new java.io.File(b, "part-00001").toPath,
+      Array.fill[Byte](16)(3))
+    assert(!Tables.contentSig(b).startsWith("dir:2:"),
+      "child count must be visible in the dir sig")
+  }
+
   test("cachedFixture: a content-only in-place regeneration rebuilds the fixture") {
     // source dir with one file; the fixture records a build counter, so
     // serving a stale tree is observable as a stale counter value
