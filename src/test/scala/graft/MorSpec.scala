@@ -14,7 +14,7 @@ class MorSpec extends AnyFunSuite {
   import TestSpark._
 
   private def seed(tag: String): (String, File) = {
-    val root = s"/dev/shm/graft_tmp/morspec_${spark.sparkContext.applicationId}_$tag"
+    val root = Tables.scratch(spark, tag, "morspec")
     val tbl = new File(root, "t"); tbl.mkdirs()
     java.nio.file.Files.write(new File(tbl, "part-0-1-3.csv").toPath,
       java.util.Arrays.asList("1,a,1.5", "2,a,2.5", "3,a,3.5"))

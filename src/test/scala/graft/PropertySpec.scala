@@ -203,7 +203,7 @@ class PropertySpec extends AnyFunSuite {
           row
         }
       }.toSet
-      val dir = s"/dev/shm/graft_tmp/packtest_${spark.sparkContext.applicationId}_$iter"
+      val dir = Tables.scratch(spark, iter.toString, "packtest")
       docs.toDF("doc_id", "source", "text", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val got = SparkEntry.queries("l13_pack_sequences")(spark, dir)
@@ -232,7 +232,7 @@ class PropertySpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3))))
         .toMap
       // drive the e7 operator over the same data via a scratch table dir
-      val dir = s"/dev/shm/graft_tmp/proptest_${spark.sparkContext.applicationId}_$n"
+      val dir = Tables.scratch(spark, n.toString, "proptest")
       df.write.mode("overwrite").parquet(s"$dir/customer.parquet")
       val ours = SparkEntry.queries("e7_win_distribution")(spark, dir)
         .collect()
@@ -515,7 +515,7 @@ class PropertySpec extends AnyFunSuite {
       val docs = (base ++ dups ++ uniq).map { case (id, t) =>
         (id, "src0", t, "en", t.length.toLong)
       }
-      val dir = s"/dev/shm/graft_tmp/l46test_${spark.sparkContext.applicationId}_$iter"
+      val dir = Tables.scratch(spark, iter.toString, "l46test")
       docs.toDF("doc_id", "source", "text", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // sequential reference
@@ -559,7 +559,7 @@ class PropertySpec extends AnyFunSuite {
         (i.toLong, "src0",
           List.fill(words)("w" + rnd.nextInt(12)).mkString(" "), "en", 0L)
       }
-      val dir = s"/dev/shm/graft_tmp/l45test_${spark.sparkContext.applicationId}_$iter"
+      val dir = Tables.scratch(spark, iter.toString, "l45test")
       docs.toDF("doc_id", "source", "text", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       // sequential reference with the same quantization arithmetic

@@ -13,7 +13,7 @@ class SinkSpec extends AnyFunSuite {
   import TestSpark._
 
   private def freshDir(tag: String): String = {
-    val d = s"/dev/shm/graft_tmp/sinkspec_${spark.sparkContext.applicationId}_$tag"
+    val d = Tables.scratch(spark, tag, "sinkspec")
     new File(d).mkdirs()
     d
   }
