@@ -302,8 +302,7 @@ class PropertySpec extends AnyFunSuite {
         (0L, d0, "en"), (1L, d0, "en"), // byte-identical copy
         (2L, doc(alphabets(1), 20 + rnd.nextInt(20)), "en"),
         (3L, doc(alphabets(2), 20 + rnd.nextInt(20)), "en"))
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_l29_prop_$iter").toString
+      val dir = TestSpark.tmpDir(s"graft_l29_prop_$iter")
       fixture.toDF("doc_id", "text", "lang")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val out = SparkEntry.queries("l29_dedup_cdc_chunks")(spark, dir)

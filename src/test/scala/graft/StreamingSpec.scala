@@ -156,7 +156,7 @@ class StreamingSpec extends AnyFunSuite {
       (3L, ns("2024-01-01 08:30:00"), 2L, "click", 1.0, "{}"),
       (4L, ns("2024-01-01 08:31:00"), 3L, "click", 1.0, "{}"),
       (5L, ns("2024-01-01 10:00:00"), 9L, "click", 1.0, "{}"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_i15_fixture").toString
+    val dir = TestSpark.tmpDir("graft_i15_fixture")
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = SparkEntry.queries("i15_stream_stream_left_join")(spark, dir)
@@ -550,7 +550,7 @@ class StreamingSpec extends AnyFunSuite {
     import s2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val input = MemoryStream[Long]
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_rescale_ckpt").toString
+    val ckpt = TestSpark.tmpDir("graft_rescale_ckpt")
     // foreachBatch sink: the memory sink refuses checkpoint recovery
     // (the i23 finding), and this test exists to RESTART from the
     // checkpoint
@@ -597,7 +597,7 @@ class StreamingSpec extends AnyFunSuite {
     s2.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
     import s2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_evo_ckpt").toString
+    val ckpt = TestSpark.tmpDir("graft_evo_ckpt")
     val input = MemoryStream[(Long, Long)]
     val q1 = input.toDS().groupByKey(_._1)
       .transformWithState(new EvoV1Processor,
@@ -636,7 +636,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("i25 CDF resume: a restarted feed emits only versions committed after the checkpoint") {
-    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val root = TestSpark.tmpDir("graft_cdf")
     val tbl = new java.io.File(root, "t"); tbl.mkdirs()
     java.nio.file.Files.write(new java.io.File(tbl, "part-0-1-2.csv").toPath,
       java.util.Arrays.asList("1,a,1.5", "2,b,2.5"))
@@ -647,7 +647,7 @@ class StreamingSpec extends AnyFunSuite {
     graft.sources.CowVersions.enable(tbl) // v0
     spark.sql(s"DELETE FROM $cat.t WHERE k = 1") // v1
     spark.sql(s"INSERT INTO $cat.t VALUES (5, 'x', 1.0)") // v2
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_ckpt").toString
+    val ckpt = TestSpark.tmpDir("graft_cdf_ckpt")
     def drain(): Seq[(String, Long, Long)] = {
       val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       val q = spark.readStream.format("graft.sources.CowChangeFeed")
@@ -672,7 +672,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("i28 MoR CDF resume: a restarted feed emits only post-checkpoint versions; a checkpoint below the compaction floor refuses") {
-    val root = java.nio.file.Files.createTempDirectory("graft_mcdf").toString
+    val root = TestSpark.tmpDir("graft_mcdf")
     val tbl = new java.io.File(root, "t"); tbl.mkdirs()
     java.nio.file.Files.write(new java.io.File(tbl, "part-0-1-2.csv").toPath,
       java.util.Arrays.asList("1,a,1.5", "2,b,2.5"))
@@ -682,7 +682,7 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     spark.sql(s"DELETE FROM $cat.t WHERE k = 1")                 // v1
     spark.sql(s"UPDATE $cat.t SET total = 9.0 WHERE k = 2")     // v2
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_mcdf_ck").toString
+    val ckpt = TestSpark.tmpDir("graft_mcdf_ck")
     def drain(): Seq[(String, Long, Long)] = {
       val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
       val q = spark.readStream.format("graft.sources.MorChangeFeed")

@@ -19,4 +19,17 @@ object TestSpark {
     s
   }
   val sfTiny = "/root/testdata/sf0.001"
+
+  /** Fresh per-call scratch dir UNDER the app-keyed tmpfs tree (so the
+    * session shutdown hook reclaims it) — the spec replacement for
+    * `Files.createTempDirectory`, whose /tmp dirs outlived the JVM and
+    * accumulated on the throttled virtio disk across test runs. */
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  def tmpDir(prefix: String): String = {
+    val d = new java.io.File(
+      Tables.scratch(spark, prefix, "spectmp"),
+      s"${prefix}_${tmpSeq.incrementAndGet()}")
+    d.mkdirs()
+    d.getPath
+  }
 }

@@ -321,7 +321,7 @@ class TrainOpsSpec extends AnyFunSuite {
       (12L, "wo shi xue sheng ni hao ma zhe ge ren zai jia men kou", "zh"),
       (13L, "ni men hao wo zai zhe ge cheng shi bu xiang hui jia ma", "zh"),
       (14L, "zhe ge dong xi hao bu hao wo men shi zai kan ni de shu ma", "zh"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_l4_fixture").toString
+    val dir = TestSpark.tmpDir("graft_l4_fixture")
     fixture.toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("l4_text_langid")(spark, dir).collect()
@@ -376,7 +376,7 @@ class TrainOpsSpec extends AnyFunSuite {
     def run(deltaText: String): Map[String, (Long, Long)] = {
       val fixture = Seq(0L, 1L, 2L, 4L, 6L, 7L).map((_, corpusText, "en")) ++
         Seq(3L, 5L, 34L).map((_, deltaText, "en"))
-      val dir = java.nio.file.Files.createTempDirectory("graft_l25_fixture").toString
+      val dir = TestSpark.tmpDir("graft_l25_fixture")
       fixture.toDF("doc_id", "text", "lang")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       SparkEntry.queries("l25_token_drift")(spark, dir).collect()
@@ -459,7 +459,7 @@ class TrainOpsSpec extends AnyFunSuite {
       (3L, base.replace("valley", "canyon"), "en"),
       (4L, base.replace("river", "stream"), "en"),
       (5L, base.replace("meadow", "forest"), "en"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_l24_fixture").toString
+    val dir = TestSpark.tmpDir("graft_l24_fixture")
     fixture.toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val f = SparkEntry.queries("l24_filter_funnel")(spark, dir)
@@ -494,7 +494,7 @@ class TrainOpsSpec extends AnyFunSuite {
     val text2 = "a ant at ax bee cat cow dog eel elm em fog fox hen ice id " +
       "io jam koi map oak owl ox pig run sky sun the un"
     val fixture = Seq((0L, text0, "en"), (1L, text1, "en"), (2L, text2, "en"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_l27_fixture").toString
+    val dir = TestSpark.tmpDir("graft_l27_fixture")
     fixture.toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -545,7 +545,7 @@ class TrainOpsSpec extends AnyFunSuite {
       (0L, s"golf india $passage kilo", "en"),
       (1L, s"lima mike november oscar papa $passage quebec", "en"),
       (2L, "romeo sierra tango uniform victor", "en"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_l29_fixture").toString
+    val dir = TestSpark.tmpDir("graft_l29_fixture")
     fixture.toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("l29_dedup_cdc_chunks")(spark, dir)
@@ -587,7 +587,7 @@ class TrainOpsSpec extends AnyFunSuite {
     val fixture = Seq(
       (10L, base, "en"), (11L, mid, "en"), (12L, far, "en"),
       (13L, "zebra yak wolf vole toad", "en")) // singleton control
-    val dir = java.nio.file.Files.createTempDirectory("graft_l32_fixture").toString
+    val dir = TestSpark.tmpDir("graft_l32_fixture")
     fixture.toDF("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("l32_dedup_cluster_cc")(spark, dir)
