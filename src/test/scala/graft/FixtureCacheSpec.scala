@@ -122,6 +122,15 @@ class FixtureCacheSpec extends AnyFunSuite {
     assert(second != first,
       "same-length same-mtime content change served a STALE fixture tree")
     assert(run() == second, "the rebuilt tree must then be served warm")
+    // self-clean: this spec's source dir is app-keyed (dead once the JVM
+    // exits), so its fixcache trees would never be signature-evicted —
+    // unlike real callers, whose sf paths are stable across runs
+    val ph = Integer.toHexString(srcDir.getPath.hashCode)
+    Option(new java.io.File("/dev/shm/graft_tmp").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("fixcache_") &&
+        f.getName.contains(s"_${ph}_"))
+      .foreach(Tables.deleteRec)
   }
 
   test("sharedFrame: rebinds on a content-only source regeneration, else serves warm") {
