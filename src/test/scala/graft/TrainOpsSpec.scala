@@ -64,7 +64,7 @@ class TrainOpsSpec extends AnyFunSuite {
   }
 
   test("l12: planted cosine near-dups cluster with high recall; chains close; strangers stay apart") {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // exact geometry via plane rotation: A = u, B = rot(t), C = rot(2t) in
@@ -122,7 +122,7 @@ class TrainOpsSpec extends AnyFunSuite {
   }
 
   test("l3: trained quantizer recovers recall on clustered data where first-16 init fails") {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // The real IVF failure mode is a DOMINANT UNPROBED CELL, and it is
@@ -212,7 +212,7 @@ class TrainOpsSpec extends AnyFunSuite {
   }
 
   test("l31: SemDeDup catches same-cell near-dups, misses the cross-cell pair — the recall trade-off, measured") {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     // Geometry: 16 mutually orthogonal init directions d_0..d_15 (ids
