@@ -111,14 +111,28 @@ object Tables {
     * fixtures' events.parquet shape) signs as the md5 over its sorted
     * children's names + recursive contentSigs, so a change to any part
     * file, or an added/removed/renamed child, perturbs the signature.
+    * Each (name, sig) pair is fed to the digest as separately-delimited
+    * fields (NUL-terminated — NUL cannot occur in a file name), not a
+    * ':'/'|'-joined string: two distinct listings can never collide by
+    * a delimiter character appearing inside a name (r19 ADVICE; the
+    * helper is generic even though parquet part names are delimiter-free).
     * A missing path stays FAIL-LOUD (the caller is about to read it
-    * anyway; a silent "0:0" key would just defer the error). */
+    * anyway; a silent "0:0" key would just defer the error) but names
+    * the signing context, so the failure points at the cache-signature
+    * probe and its regeneration hazard rather than surfacing as a bare
+    * stream-open error from this helper's RandomAccessFile. */
   private[graft] def contentSig(f: java.io.File): String = {
+    if (!f.exists()) sys.error(
+      s"cache-signature source missing: $f — a fixture/run cache tried to " +
+        "sign this path before reading it; if the source was regenerated " +
+        "in place, the regeneration is incomplete or removed the file")
     if (f.isDirectory) {
       val kids = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(kids.map(k => s"${k.getName}:${contentSig(k)}")
-        .mkString("|").getBytes("UTF-8"))
+      kids.foreach { k =>
+        md.update(k.getName.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(contentSig(k).getBytes("UTF-8")); md.update(0.toByte)
+      }
       val hex = md.digest().take(8).map(b => f"$b%02x").mkString
       return s"dir:${kids.length}:$hex"
     }
@@ -146,12 +160,22 @@ object Tables {
     * [[cachedFixture]] and [[sharedFrame]] bind so an in-place
     * regeneration of ANY source table invalidates derived artifacts.
     * ~8 KiB of boundary IO per file per call (the sf dirs hold ~10
-    * parquet files), negligible next to the builds it guards. */
-  private[graft] def dirSig(d: String): String =
-    Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${contentSig(f)}")
-      .mkString("|")
+    * parquet files), negligible next to the builds it guards. Entries
+    * are digested as NUL-delimited (name, sig) fields — the same
+    * delimiter-collision-proof framing as [[contentSig]]'s directory
+    * branch (r19 ADVICE) — and the result is a fixed-width hex digest,
+    * so [[cachedFixture]] hashes a canonical value rather than a
+    * concatenation that a ':' or '|' inside a file name could forge. */
+  private[graft] def dirSig(d: String): String = {
+    val kids = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    kids.foreach { f =>
+      md.update(f.getName.getBytes("UTF-8")); md.update(0.toByte)
+      md.update(contentSig(f).getBytes("UTF-8")); md.update(0.toByte)
+    }
+    s"dir:${kids.length}:${md.digest().map(b => f"$b%02x").mkString}"
+  }
 
   /** In-session memo for DataFrames SHARED ACROSS query keys (the r11
     * VERDICT trim levers): a real pipeline materializes its verified-pair
@@ -168,17 +192,32 @@ object Tables {
     * r19: the entry binds [[dirSig]] (the value, not the key — the r17
     * shared-run eviction idiom), so an in-place regeneration of the
     * source dir mid-session rebuilds the frame instead of serving the
-    * stale checkpoint; the superseded entry is dereferenced and its
-    * cached RDD reclaimed by Spark's ContextCleaner once unreferenced. */
+    * stale checkpoint. r20 (r19 ADVICE): the entry also keeps a handle
+    * to the checkpointed RDD (the `LogicalRDD` the lazy localCheckpoint
+    * wraps) and EAGERLY unpersists it when superseded — matching
+    * tumblingAppendShared's eager-cleanup idiom — instead of waiting on
+    * GC + ContextCleaner, so a mid-session regeneration never holds two
+    * checkpointed copies in storage memory longer than the swap. */
+  private case class SharedEntry(sig: String, df: DataFrame,
+      rdd: Option[org.apache.spark.rdd.RDD[_]])
   private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SharedEntry]()
   def sharedFrame(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val sig = dirSig(dir)
     frameCache.compute((spark, s"$dir#$tag"), { (_, old) =>
-      if (old != null && old._1 == sig) old
-      else (sig, build.localCheckpoint(eager = false))
-    })._2
+      if (old != null && old.sig == sig) old
+      else {
+        // drop the superseded checkpoint's cached blocks now (async —
+        // the blocks are dead; nothing re-reads a dereferenced entry)
+        if (old != null) old.rdd.foreach(_.unpersist(blocking = false))
+        val ckpt = build.localCheckpoint(eager = false)
+        val rdd = ckpt.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+        SharedEntry(sig, ckpt, rdd)
+      }
+    }).df
   }
 
   /** Cross-run fixture cache. Side-effect fixtures (sink roundtrips,

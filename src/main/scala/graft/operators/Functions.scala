@@ -287,8 +287,18 @@ object Functions {
     // guard predicate, not try_*. All legs stay codegen'd expressions
     // fused into the scan (TryEval wraps the child's generated code in
     // try/catch — no interpreter fallback).
+    // r20 (VERDICT r19 task 1, the h4 lesson): the five derived try_*
+    // columns are projected AFTER the contract sort, so the range
+    // exchange moves four narrow source columns instead of keys + five
+    // derived payloads, and the try legs (caught-exception tails
+    // included) evaluate post-shuffle in the final stage. Catalyst keeps
+    // expression-adding Projects above a Sort, so the placement is
+    // stable (pinned in PlanShapeSpec).
     "h14_try_funcs" -> ((s, d) =>
       t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"),
           try_divide(col("l_extendedprice"), col("l_quantity") - 1)
             .as("per_extra_unit"),
@@ -306,8 +316,7 @@ object Functions {
           epochUs(try_to_timestamp(concat(lit("2024-01-"),
             lpad(pmod(col("l_orderkey") + col("l_linenumber"), lit(32))
               .cast(StringType), 2, "0")), lit("yyyy-MM-dd")))
-            .as("slot_day_us"))
-        .orderBy("l_orderkey", "l_linenumber")),
+            .as("slot_day_us"))),
 
     // h15: EDIT-DISTANCE KERNELS — the scalar backbone of fuzzy matching
     // (l37's blocked linkage uses a native Jaro-Winkler; this is the

@@ -74,23 +74,28 @@ object Streaming {
   /** Footer-probe memo: the physical schema of `$d/events.parquet` is a
     * pure function of the file, and every i-key's every bench run was
     * re-listing + re-reading the footer just to learn it (≈20 i-keys ×
-    * N passes of pure fixed cost). The key folds in the file's
+    * N passes of pure fixed cost). The entry binds the file's
     * [[graft.Tables.contentSig]] signature (one stat + an 8 KiB boundary
     * read per call — r19: content-strengthened with the other source-
     * bound caches, since a same-length same-millisecond regeneration
     * that flips the ts ENCODING is precisely the drift this probe
-    * guards), so an in-place regeneration
-    * of events.parquet during a live session (the r12 µs/ns hazard this
-    * footer probe exists to catch) invalidates the memo instead of
-    * serving the stale encoding silently. */
+    * guards) INSIDE the value, keyed by dir — the value-embedded-
+    * signature idiom shared with tumblingAppendCache/frameCache (r19
+    * ADVICE: a signature-in-the-key memo grows an entry per in-place
+    * regeneration and never evicts the stale ones) — so an in-place
+    * regeneration of events.parquet during a live session (the r12
+    * µs/ns hazard this footer probe exists to catch) REPLACES the memo
+    * instead of serving the stale encoding silently. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, StructType)]()
 
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val f = new java.io.File(s"$d/events.parquet")
-    val fileSchema = schemaCache.computeIfAbsent(
-      (s, s"$d#${contentSig(f)}"),
-      _ => s.read.parquet(s"$d/events.parquet").schema)
+    val sig = contentSig(f)
+    val fileSchema = schemaCache.compute((s, d), { (_, old) =>
+      if (old != null && old._1 == sig) old
+      else (sig, s.read.parquet(s"$d/events.parquet").schema)
+    })._2
     val raw = s.readStream.schema(fileSchema)
       // events.parquet is a single FILE: a non-glob path makes
       // FileStreamSource force basePath to the file itself (then reject it

@@ -681,4 +681,23 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-partition count table, never the customer scan directly
     assert(!p.contains("window [ntile"), s"ntile window crept back:\n$p")
   }
+
+  test("h14: try_* derived columns are projected AFTER the contract sort (h4 idiom)") {
+    // r20 (VERDICT r19 task 1): the range exchange must carry the four
+    // narrow base columns, never the five derived try_* payloads — the
+    // reorder measured 3.24 s → 1.54 s min-of-3 at sf0.1. Pin (a) the
+    // expression-adding Project sits ABOVE the Sort and (b) the scan is
+    // pruned to exactly the base columns, so nothing wide exists below
+    // the exchange to begin with.
+    val p = plan("h14_try_funcs")
+    val lines = p.linesIterator.toVector
+    val proj = lines.indexWhere(l => l.contains("Project") && l.contains("per_extra_unit"))
+    val sort = lines.indexWhere(l => l.contains("Sort [l_orderkey"))
+    assert(proj >= 0 && sort >= 0, s"expected a derived Project and the contract Sort:\n$p")
+    assert(proj < sort,
+      s"derived try_* projection sits below the sort — the range exchange carries wide payloads:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"),
+      s"scan not pruned to the 4 base columns:\n$p")
+  }
 }
