@@ -156,4 +156,74 @@ class FixtureCacheSpec extends AnyFunSuite {
       s"same-length same-mtime content change served a STALE shared frame " +
         s"(got $second after ${builds.get} builds)")
   }
+
+  test("sharedFrame: a superseded entry's checkpointed RDD is eagerly unpersisted (r20)") {
+    // r19 ADVICE: eviction used to only dereference the old entry,
+    // leaving its localCheckpoint blocks to GC + ContextCleaner — a
+    // mid-session regeneration could transiently hold two checkpointed
+    // copies in storage memory. The entry now keeps the LogicalRDD
+    // handle and unpersists it on supersede; pin that by watching
+    // sparkContext.getPersistentRDDs across a rebind.
+    val srcDir = new java.io.File(Tables.scratch(spark, "frameunpersist", "src"))
+    srcDir.mkdirs()
+    val src = new java.io.File(srcDir, "data.bin")
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(1))
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted
+    val df1 = Tables.sharedFrame(spark, srcDir.getPath, "unpersistspec") {
+      spark.range(100L).toDF("id")
+    }
+    df1.count() // materialize the lazy checkpoint (persists its RDD)
+    val firstIds = persisted -- before
+    assert(firstIds.nonEmpty,
+      "the lazy localCheckpoint must persist an RDD once materialized")
+    val mtime = src.lastModified
+    java.nio.file.Files.write(src.toPath, Array.fill[Byte](64)(2))
+    assert(src.setLastModified(mtime), "mtime pin failed")
+    val df2 = Tables.sharedFrame(spark, srcDir.getPath, "unpersistspec") {
+      spark.range(50L).toDF("id")
+    }
+    df2.count()
+    val now = persisted
+    assert(firstIds.forall(id => !now.contains(id)),
+      s"superseded checkpoint RDD(s) ${firstIds.filter(now.contains)} still " +
+        "persisted after the rebind — eager unpersist regressed to GC-reclaim")
+  }
+
+  test("dirSig/contentSig: delimiter characters in file names cannot forge a merge (r20)") {
+    // r19 ADVICE: the signatures used to join entries as 'name:sig'
+    // strings with '|', so a ':' or '|' INSIDE a name shifted field
+    // boundaries; entries are now NUL-framed into the digest. Pin the
+    // canonical shape and that delimiter-bearing names stay distinct
+    // from their split-apart lookalikes.
+    val root = new java.io.File(Tables.scratch(spark, "delimsig", "spec"))
+    def mk(name: String, files: (String, Byte)*): java.io.File = {
+      val d = new java.io.File(root, name); d.mkdirs()
+      files.foreach { case (fn, b) =>
+        java.nio.file.Files.write(new java.io.File(d, fn).toPath,
+          Array.fill[Byte](32)(b))
+      }
+      d
+    }
+    val joined = mk("d_joined", ("a|b", 1))          // ONE file named "a|b"
+    val split = mk("d_split", ("a", 1), ("b", 1))    // TWO files "a", "b"
+    assert(Tables.contentSig(joined) != Tables.contentSig(split),
+      "a '|' inside a file name merged two distinct listings")
+    val colonName = mk("d_colon", ("x:32", 2))       // ':' inside the name
+    val plainName = mk("d_plain", ("x", 2))
+    assert(Tables.contentSig(colonName) != Tables.contentSig(plainName),
+      "a ':' inside a file name merged two distinct listings")
+    // dirSig emits the fixed-width digest form, never a raw concatenation
+    val ds = Tables.dirSig(split.getPath)
+    assert(ds.matches("dir:2:[0-9a-f]{32}"), s"dirSig shape: $ds")
+  }
+
+  test("contentSig: a missing source fails loud naming the signing context (r20)") {
+    val ghost = new java.io.File(
+      Tables.scratch(spark, "ghostsig", "spec"), "never_written.parquet")
+    val e = intercept[RuntimeException](Tables.contentSig(ghost))
+    assert(e.getMessage.contains("cache-signature source missing") &&
+      e.getMessage.contains("never_written.parquet"),
+      s"missing-source error must name the signing context and path: ${e.getMessage}")
+  }
 }
