@@ -208,13 +208,22 @@ object Tables {
     frameCache.compute((spark, s"$dir#$tag"), { (_, old) =>
       if (old != null && old.sig == sig) old
       else {
-        // drop the superseded checkpoint's cached blocks now (async —
-        // the blocks are dead; nothing re-reads a dereferenced entry)
-        if (old != null) old.rdd.foreach(_.unpersist(blocking = false))
+        // build the REPLACEMENT first, then drop the superseded
+        // checkpoint's blocks (r21, r20 ADVICE): unpersisting before the
+        // build means a throwing build (e.g. a half-regenerated dir)
+        // retains the old mapping with its blocks already dropped, and a
+        // later call whose dirSig reverts would serve a dead checkpoint —
+        // a locally-checkpointed RDD cannot recompute after unpersist.
+        // Built-then-failed entries are safe either way: on throw the
+        // compute() keeps the OLD mapping, and the new lazy checkpoint
+        // has materialized nothing yet.
         val ckpt = build.localCheckpoint(eager = false)
         val rdd = ckpt.queryExecution.analyzed.collectFirst {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
         }
+        // async — the old blocks are dead; nothing re-reads a
+        // dereferenced entry (the documented sharedFrame caller contract)
+        if (old != null) old.rdd.foreach(_.unpersist(blocking = false))
         SharedEntry(sig, ckpt, rdd)
       }
     }).df

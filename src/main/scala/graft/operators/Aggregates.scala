@@ -263,11 +263,13 @@ object Aggregates {
       val li = t(s, d, "lineitem")
       val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(count(lit(1)).as("cnt"))
-      val mx = counts.groupBy(col("l_returnflag")).agg(max(col("cnt")).as("mx"))
-      val md = counts.join(mx, "l_returnflag")
-        .filter(col("cnt") === col("mx"))
-        .groupBy(col("l_returnflag"))
-        .agg(min(col("l_quantity")).as("mode_qty"))
+      // argmax in ONE aggregate (r21): max_by on the lexicographic pair
+      // (cnt, −quantity) == highest count, smallest-value tie-break —
+      // replaces the max-then-rejoin-then-min form (2 extra Exchanges +
+      // a join) with a single map-side-combinable pass over `counts`
+      val md = counts.groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"),
+          struct(col("cnt"), (-col("l_quantity")).as("neg"))).as("mode_qty"))
       li.groupBy(col("l_returnflag"))
         .agg(
           count_if(col("l_discount") > 0.05).as("n_disc"),

@@ -331,6 +331,15 @@ object Streaming {
         .orderBy("w_start_us", "event_type")
     }),
 
+    // (r21 machinery A/Bs, both NEGATIVE — measured via temporary twin
+    // keys, same-interval alternation, min-of-6 at sf0.1, then removed:
+    // disabling no-data micro-batches on the Complete-mode keys moved
+    // nothing (i1 1.343 vs 1.446, i3 1.947 vs 1.995 — the finalization
+    // batch is not where Complete-mode cost lives), and RocksDB changelog
+    // checkpointing on i11 was a wash (2.526 vs 2.590) — at 8 partitions
+    // × ~12.5 k events the snapshot upload a changelog would avoid is
+    // already tmpfs-cheap. Details in OPTIMIZATION_r21.md.)
+
     // i2: 1-hour windows sliding every 30 minutes (each event in 2 windows)
     "i2_stream_sliding" -> ((s, d) => {
       val agg = eventsStream(s, d)

@@ -175,18 +175,60 @@ object TrainOps {
   private[graft] def simhashed(s: SparkSession, d: String): DataFrame = {
     val toks = LlmOps.tokens(s, d).select(col("doc_id"),
       graft.functions.Md5Low64.md5Low64(col("term")).as("h"))
-    // branch-free vote: count the ONES per bit and test majority as
-    // 2·ones > n — identical signatures to the ±1-vote form (a tie is a
-    // 0 bit either way; verified bit-for-bit at sf0.1), measured ~20%
-    // faster on the 64-lane aggregate (the key's dominant stage)
-    val bitOnes = (0 until 64).map { i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i")
+    // branch-free vote, PACKED 4-to-an-accumulator (r21, VERDICT r20
+    // task 1): count the ONES per bit and test majority as 2·ones > n —
+    // identical signatures to the ±1-vote form (a tie is a 0 bit either
+    // way; verified bit-for-bit at sf0.1). Packing: lane j of packed sum
+    // p_j accumulates bits j, j+16, j+32, j+48 of h at field offsets
+    // 0/16/32/48 — one shift + one mask places all four, so the
+    // aggregation runs 16 packed sums instead of 64 scalar ones (the
+    // key's dominant stage). Each token adds ≤ 1 per 16-bit field, so
+    // the packing is exact while n < 2^16 per doc; guarded FAIL-LOUD on
+    // n (computed in the same aggregation) rather than assumed — a
+    // ≥ 65536-token doc raises instead of silently corrupting lanes.
+    val fieldMask = lit(0x0001000100010001L)
+    val packedOnes = (0 until 16).map { j =>
+      sum(shiftrightunsigned(col("h"), j).bitwiseAND(fieldMask)).as(s"p$j")
     }
+    def ones(i: Int): Column = // vote count for bit i: field i/16 of p_(i%16)
+      shiftrightunsigned(col(s"p${i % 16}"), 16 * (i / 16)).bitwiseAND(lit(0xFFFFL))
     val sig = (0 until 64).map { i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)): Column
+      when(ones(i) * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)): Column
     }.reduce(_ + _) // bits are disjoint, so the sum assembles the signature
-    toks.groupBy("doc_id").agg(count(lit(1)).as("n"), bitOnes: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+    val overflowGuard = when(col("n") < lit(65536L), lit(0L))
+      .otherwise(raise_error(concat(
+        lit("l1 simhash: packed vote lanes overflow — doc "),
+        col("doc_id"), lit(" has >= 65536 tokens"))).cast(LongType))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n"), packedOnes: _*)
+      .select(col("doc_id"), (sig + overflowGuard).as("simhash"))
+  }
+
+  // (The retired 64-scalar-lane vote form was measured against the packed
+  // form in r21 via temporary twin bench keys — signature stage 0.617 s →
+  // 0.499 s min-of-6 same-interval, outputs bit-identical at sf0.1; see
+  // OPTIMIZATION_r21.md. The twins were removed after the measurement.)
+
+  /** The l1 pipeline over a signature frame (split from the key entry for
+    * the r21 vote-packing A/B — both signature forms feed the identical
+    * downstream): band-join candidates, Hamming-gate, n_dups + transitive
+    * closure, contract sort. */
+  private[graft] def l1Pipeline(s: SparkSession, rawSigs: DataFrame): DataFrame = {
+    // materialized once: consumed by the band join, the closure seed,
+    // and the final output join — the 64-bit-vote aggregation over every
+    // token is the expensive part and must not re-run per consumer
+    val sigs = rawSigs.localCheckpoint(eager = false)
+    val pairs = simhashBandPairsRaw(sigs)
+      .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
+    val nDups = pairs.groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    // transitive component id via min-label propagation (shared with j2):
+    // one-hop min-neighbour mislabels chain-shaped clusters
+    val clusters = LlmOps.minLabelClosure(sigs.select("doc_id"), pairs)
+    sigs.join(clusters, Seq("doc_id"))
+      .join(nDups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"), col("cluster_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("doc_id")
   }
 
   /** The l1 candidate-pair production over the (checkpointed) signature
@@ -668,24 +710,7 @@ object TrainOps {
     // qualifying pair shares >= 1 intact band) — the banded join is a pure
     // optimization of all-pairs, and the oracle brute-forces it exactly.
     // TrainOpsSpec additionally pins exact duplicates + pair sanity.
-    "l1_dedup_simhash" -> ((s, d) => {
-      // materialized once: consumed by the band join, the closure seed,
-      // and the final output join — the 64-bit-vote aggregation over every
-      // token is the expensive part and must not re-run per consumer
-      val sigs = simhashed(s, d).localCheckpoint(eager = false)
-      val pairs = simhashBandPairsRaw(sigs)
-        .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
-      val nDups = pairs.groupBy(col("a_id").as("doc_id"))
-        .agg(count(lit(1)).as("n_dups"))
-      // transitive component id via min-label propagation (shared with j2):
-      // one-hop min-neighbour mislabels chain-shaped clusters
-      val clusters = LlmOps.minLabelClosure(sigs.select("doc_id"), pairs)
-      sigs.join(clusters, Seq("doc_id"))
-        .join(nDups, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("simhash"), col("cluster_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
-        .orderBy("doc_id")
-    }),
+    "l1_dedup_simhash" -> ((s, d) => l1Pipeline(s, simhashed(s, d))),
 
     // l2: embedding-space near-dup — per-vector nearest neighbour by
     // cosine + dup flag at 0.95. Exact all-pairs argmax is the correctness
@@ -2593,12 +2618,17 @@ object TrainOps {
     * deterministic rounding leak is part of the pinned contract. */
   private[graft] def pageRankInt(nodes: DataFrame, edges: DataFrame,
       rounds: Int, mass: Long = 1000000000L, damp: Long = 85L): DataFrame = {
-    val od = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    // out-degree attached to the edge list ONCE, outside the loop (r21):
+    // od is loop-invariant, so the per-round edges⋈od join was pure
+    // re-planning/shuffle machinery × rounds — the hoisted frame is
+    // checkpointed and each round joins only ranks against it
+    val outEdges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .localCheckpoint(true)
     val n = nodes.count() // one scalar — the only driver-side value
     var ranks = nodes.withColumn("r", lit(mass / n))
     for (_ <- 1 to rounds) {
-      val inflow = edges.join(od, "src")
+      val inflow = outEdges
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
