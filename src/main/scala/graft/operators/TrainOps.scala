@@ -459,8 +459,20 @@ object TrainOps {
     * l51's hybrid fusion: per-doc (n_hit, score_u) with every (doc,
     * term) contribution quantized to integer micro-units so ordering
     * is an exact integer comparison on both engines. Constants and
-    * plan shape documented at the l26 key. */
-  private def bm25ScoreU(s: SparkSession, d: String): DataFrame = {
+    * plan shape documented at the l26 key.
+    *
+    * r21: computed ONCE per (session, corpus) via [[Tables.sharedFrame]]
+    * — the verified-pairs/qualityFeatures production pattern applied to
+    * the retrieval stack: a real pipeline scores its corpus against the
+    * query once and derives the lexical top-k (l26), the fused ranking
+    * (l51) and the evaluation metrics (l52) from that one artifact. The
+    * frame is expensive-tiny (one row per hit doc), exactly the
+    * share-don't-recompute side of the r13 rule. PlanShapeSpec pins the
+    * RAW producer's shape (broadcast idf/stats, no pairwise stage). */
+  private def bm25ScoreU(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "bm25u")(bm25ScoreURaw(s, d))
+
+  private[graft] def bm25ScoreURaw(s: SparkSession, d: String): DataFrame = {
     val qterms = Seq("dup", "vector", "query")
     val ftoks = LlmOps.tokens(s, d).select("doc_id", "term")
       .localCheckpoint(eager = false) // feeds dl, stats, df, tf
@@ -489,8 +501,13 @@ object TrainOps {
 
   /** l51's fused top-10 (doc_id, r_lex, r_dense, rrf_u) — shared with
     * l52's metric computation. Determinism and plan shape documented
-    * at the l51 key. */
-  private def hybridFused(s: SparkSession, d: String): DataFrame = {
+    * at the l51 key. r21: memoized like [[bm25ScoreU]] (a 10-row frame —
+    * the extreme of expensive-tiny); l51 reports it, l52 scores it, and
+    * the dense leg + fusion run once per (session, corpus). */
+  private def hybridFused(s: SparkSession, d: String): DataFrame =
+    sharedFrame(s, d, "hybridfused")(hybridFusedRaw(s, d))
+
+  private[graft] def hybridFusedRaw(s: SparkSession, d: String): DataFrame = {
     val wLex = Window.orderBy(col("score_u").desc, col("doc_id"))
     val lex = bm25ScoreU(s, d)
       .orderBy(col("score_u").desc, col("doc_id")).limit(20)
@@ -517,6 +534,15 @@ object TrainOps {
           .as("rrf_u"))
       .orderBy(col("rrf_u").desc, col("doc_id"))
       .limit(10)
+  }
+
+  /** Bench hook (r21, the `_shared_stream_prime` accounting convention):
+    * force the shared retrieval frames cold — materializing the fused
+    * ranking materializes the bm25 score frame in its lineage — so the
+    * bench times the shared build as its own record entry exactly once
+    * and l26/l51/l52 time their distinct claims warm by construction. */
+  private[graft] def primeSharedRetrieval(s: SparkSession, d: String): Unit = {
+    hybridFused(s, d).queryExecution.toRdd.count(); ()
   }
 
   private def qualityFeatures(s: SparkSession, d: String): DataFrame =

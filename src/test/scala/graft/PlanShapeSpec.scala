@@ -485,9 +485,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // the top-k must NOT be a global sort + limit — TakeOrderedAndProject
     // keeps it a per-partition heap + driver merge at any corpus size
     assert(p.contains("TakeOrderedAndProject"), s"l26 lost the top-k pushdown:\n$p")
-    // the ≤|query|-row idf side and one-row stats frame broadcast — the
+    // r21: l26/l51/l52 consume the SHARED bm25 score frame, whose memoized
+    // plan is a checkpoint scan — pin the PRODUCING subtree's broadcast
+    // shape on the raw builder (the qualityFeaturesRaw idiom): the
+    // ≤|query|-row idf side and one-row stats frame broadcast — the
     // corpus-sized tf/dl side never reshuffles for them
-    assert(p.contains("BroadcastHashJoin"), s"l26 lost the idf broadcast:\n$p")
+    val raw = operators.TrainOps.bm25ScoreURaw(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+    assert(raw.contains("BroadcastHashJoin"), s"l26 lost the idf broadcast:\n$raw")
+    assert(!raw.contains("CartesianProduct") && !raw.contains("SortMergeJoin"),
+      s"bm25 scorer degenerated from its broadcast shape:\n$raw")
+  }
+
+  test("l51/l52: the shared retrieval frames equal their raw producers") {
+    // the r21 memoization must be a pure warm-read: the memoized frames
+    // (first consumer pays the build) and a fresh raw build agree row-
+    // for-row — the cache can reorder nothing and stale nothing
+    val fused = SparkEntry.queries("l51_hybrid_rrf")(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    val raw = operators.TrainOps.hybridFusedRaw(spark, sfTiny)
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == raw, "memoized hybridFused diverged from its raw producer")
   }
 
   test("l27: the vocab join broadcasts — the token scan never shuffles for it") {
