@@ -256,12 +256,16 @@ object Bench {
     // commits the copy — r8 onward)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    // LAST stdout line is a compact record that fits WHOLLY inside a
-    // 2000-char tail (the full line above is ~15 KB and arrives truncated
-    // mid-line there — BENCH_r01..r14 all recorded "parsed": null). It
-    // carries the suite total, per-key count, error map, the 10 slowest
-    // keys, and the path of the full record. Combined with build.sbt's
-    // showSuccess := false this line is the final line of the sbt run.
+    // LAST stdout line is the compact record (suite total, per-key count,
+    // error map, 10 slowest, full-record path) PLUS, since r22, the full
+    // per-query min-of-N map (VERDICT r21 task 2: the driver's r20
+    // capture kept only this last line, so PERF_r21 had no per-query
+    // history to diff — n_common was 0 and the geomean null; the last
+    // line must be self-contained for the round-over-round diff). The
+    // ~9 KB queries map still truncates inside a 2000-char LOG tail, but
+    // the tail is display-only — the driver parses the whole line.
+    // Combined with build.sbt's showSuccess := false this line is the
+    // final line of the sbt run.
     val slowest = results.collect { case (k, v, _) if v.nonEmpty => (k, v.min) }
       .sortBy(-_._2).take(10)
       .map { case (k, s) => s"\"" + k + "\":" + f3(s) }.mkString("{", ",", "}")
@@ -274,7 +278,7 @@ object Bench {
     val errsCompact = (errPairs.take(10).map { case (k, f) => s"\"" + k + s"\":$f" } ++
       (if (errPairs.size > 10) Seq(s"\"_more_failed_keys\":${errPairs.size - 10}") else Nil))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"errors":$errsCompact,"calib":$calib,"slowest":$slowest,"queries_file":"$out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,"queries":$qs,"errors":$errsCompact,"calib":$calib,"slowest":$slowest,"queries_file":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

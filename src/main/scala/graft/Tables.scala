@@ -120,7 +120,21 @@ object Tables {
     * anyway; a silent "0:0" key would just defer the error) but names
     * the signing context, so the failure points at the cache-signature
     * probe and its regeneration hazard rather than surfacing as a bare
-    * stream-open error from this helper's RandomAccessFile. */
+    * stream-open error from this helper's RandomAccessFile.
+    *
+    * r22 (VERDICT r20 task 3, carried through r21): the documented
+    * interior-bytes blind spot can be CLOSED on demand — running with
+    * `-Dgraft.contentSig.full=true` digests every byte of every signed
+    * file instead of the 8 KiB boundary window. Paranoid mode for
+    * sources whose writers might rewrite interiors with byte-identical
+    * boundaries (no parquet writer does; the default stays the cheap
+    * boundary probe, ~8 KiB of IO per file per cache check vs a full
+    * re-read of the corpus). The mode changes signature VALUES in both
+    * modes' overlap, which is fine: a mode flip simply invalidates all
+    * derived caches once. */
+  private def fullSigMode: Boolean =
+    sys.props.get("graft.contentSig.full").exists(v =>
+      v.equalsIgnoreCase("true") || v == "1")
   private[graft] def contentSig(f: java.io.File): String = {
     if (!f.exists()) sys.error(
       s"cache-signature source missing: $f — a fixture/run cache tried to " +
@@ -139,19 +153,26 @@ object Tables {
     val md = java.security.MessageDigest.getInstance("MD5")
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
-      val n = raf.length()
-      val head = new Array[Byte](math.min(4096L, n).toInt)
-      raf.readFully(head)
-      md.update(head)
-      if (n > 4096L) {
-        val tail = new Array[Byte](math.min(4096L, n - 4096L).toInt)
-        raf.seek(n - tail.length)
-        raf.readFully(tail)
-        md.update(tail)
+      if (fullSigMode) {
+        val buf = new Array[Byte](1 << 20)
+        var read = raf.read(buf)
+        while (read > 0) { md.update(buf, 0, read); read = raf.read(buf) }
+      } else {
+        val n = raf.length()
+        val head = new Array[Byte](math.min(4096L, n).toInt)
+        raf.readFully(head)
+        md.update(head)
+        if (n > 4096L) {
+          val tail = new Array[Byte](math.min(4096L, n - 4096L).toInt)
+          raf.seek(n - tail.length)
+          raf.readFully(tail)
+          md.update(tail)
+        }
       }
     } finally raf.close()
     val hex = md.digest().take(8).map(b => f"$b%02x").mkString
-    s"${f.length}:${f.lastModified}:$hex"
+    val mode = if (fullSigMode) "F" else ""
+    s"$mode${f.length}:${f.lastModified}:$hex"
   }
 
   /** Directory-level [[contentSig]]: one line per child (regular files
@@ -202,11 +223,28 @@ object Tables {
       rdd: Option[org.apache.spark.rdd.RDD[_]])
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SharedEntry]()
+  // one monitor per frame key: the build runs OUTSIDE any
+  // ConcurrentHashMap.compute (r22, r21 ADVICE high). The previous form
+  // built inside frameCache.compute, and a build that itself calls
+  // sharedFrame (hybridFused's build memoizes bm25ScoreU) nested a second
+  // compute on the SAME map — ConcurrentHashMap forbids the remapping
+  // function from updating other mappings, so two keys landing in one bin
+  // would throw IllegalStateException("Recursive update") or corrupt the
+  // bin, intermittently (bin placement varies with the SparkSession's
+  // identity hash per JVM). Per-key monitors serialize build/publish per
+  // frame; nested sharedFrame calls take a DIFFERENT key's monitor, and
+  // the dependency graph between frames is acyclic (a frame never builds
+  // itself), so lock order is consistent and deadlock-free.
+  private val frameMonitors =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
   def sharedFrame(spark: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val sig = dirSig(dir)
-    frameCache.compute((spark, s"$dir#$tag"), { (_, old) =>
-      if (old != null && old.sig == sig) old
+    val key = (spark, s"$dir#$tag")
+    val monitor = frameMonitors.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val old = frameCache.get(key)
+      if (old != null && old.sig == sig) old.df
       else {
         // build the REPLACEMENT first, then drop the superseded
         // checkpoint's blocks (r21, r20 ADVICE): unpersisting before the
@@ -214,9 +252,9 @@ object Tables {
         // retains the old mapping with its blocks already dropped, and a
         // later call whose dirSig reverts would serve a dead checkpoint —
         // a locally-checkpointed RDD cannot recompute after unpersist.
-        // Built-then-failed entries are safe either way: on throw the
-        // compute() keeps the OLD mapping, and the new lazy checkpoint
-        // has materialized nothing yet.
+        // Built-then-failed entries are safe either way: on throw the OLD
+        // mapping stays (no put has happened), and the new lazy
+        // checkpoint has materialized nothing yet.
         val ckpt = build.localCheckpoint(eager = false)
         val rdd = ckpt.queryExecution.analyzed.collectFirst {
           case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -224,9 +262,10 @@ object Tables {
         // async — the old blocks are dead; nothing re-reads a
         // dereferenced entry (the documented sharedFrame caller contract)
         if (old != null) old.rdd.foreach(_.unpersist(blocking = false))
-        SharedEntry(sig, ckpt, rdd)
+        frameCache.put(key, SharedEntry(sig, ckpt, rdd))
+        ckpt
       }
-    }).df
+    }
   }
 
   /** Cross-run fixture cache. Side-effect fixtures (sink roundtrips,

@@ -147,11 +147,27 @@ object LlmOps {
     // of them — the edge list is symmetric): at corpus scale the duplicate
     // subgraph is orders of magnitude smaller than the corpus, so each
     // round shuffles O(dup docs), not O(corpus); everything else is a
-    // singleton component handled by the final left join
-    var labels = e.select(col("a_id").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // singleton component handled by the final left join.
+    //
+    // ROUND 1 SPECIALIZED (r22, VERDICT r21 task 3): with every node
+    // initially labelled by its own id, round 1's neighbour-min is just
+    // min(b_id) per a_id — ONE groupBy straight off the edge list, no
+    // init-distinct frame, no label join. And round 1 is PROVABLY never
+    // the fixpoint on a nonempty symmetric edge list: any edge appears
+    // in both directions, and the direction (a, b) with b < a lowers
+    // a's label — so its convergence count is a job that can only say
+    // "continue" and is skipped. (Empty edge list: labels is empty, the
+    // loop's first iteration counts 0 changes over an empty frame and
+    // exits — same fixpoint, one trivially-empty round.) Net per call:
+    // one fewer Spark job and two fewer exchanges than the generic
+    // round-1 the r21 form ran.
+    var labels = e.groupBy(col("a_id").as("doc_id"))
+      .agg(min(col("b_id")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+      .localCheckpoint(eager = false)
     var changed = 1L
-    var rounds = 0
+    var rounds = 1
     val maxRounds = 30 // 30 rounds of chain diameter — unreachable in practice
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = e.join(labels, e("b_id") === labels("doc_id"))
@@ -200,10 +216,24 @@ object LlmOps {
     * the observable the log-convergence spec pins. */
   private[graft] def minLabelClosureLog(ids: DataFrame, edges: DataFrame): (DataFrame, Int) = {
     val e = edges
-    var labels = e.select(col("a_id").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // round 1 specialized like [[minLabelClosure]] (r22): the hook over
+    // self-labels is min(b_id) per a_id straight off the edge list, the
+    // shortcut then jumps through that hooked table as usual, and the
+    // convergence count is skipped — round 1 always changes a label on a
+    // nonempty symmetric edge list (see the plain closure's proof).
+    val hooked1 = e.groupBy(col("a_id").as("doc_id"))
+      .agg(min(col("b_id")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+    val ptr1 = hooked1
+      .select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+    var labels = hooked1.join(ptr1, hooked1("cluster_id") === ptr1("p_id"), "left")
+      .select(col("doc_id"),
+        least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id")))
+          .as("cluster_id"))
+      .localCheckpoint(eager = false)
     var changed = 1L
-    var rounds = 0
+    var rounds = 1
     val maxRounds = 20 // log2(diameter) + slack; 2^20-hop paths don't happen
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = e.join(labels, e("b_id") === labels("doc_id"))

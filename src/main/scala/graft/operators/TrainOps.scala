@@ -115,10 +115,19 @@ object TrainOps {
   private[graft] def bpeMerges(s: SparkSession, toks: DataFrame,
       nRounds: Int): DataFrame = {
     val eow = "#"
+    // LAZY checkpoints throughout the trainer (r22, VERDICT r21 task 5):
+    // each round's 1-row argmax collect is the materializing action for
+    // the PREVIOUS round's merge application — the per-round plan is
+    // "scan cached words ▸ apply last rule ▸ persist ▸ pair-count ▸
+    // argmax", ONE Spark job per round where the r21 eager form paid two
+    // (apply+checkpoint, then count), and the final round's application
+    // (which nothing reads) is never computed. Lineage stays one round
+    // deep: round r's blocks are persisted inside round r+1's job before
+    // anything builds on them.
     var words = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
       .withColumn("syms", concat(split(col("term"), ""), array(lit(eow))))
       .select("cnt", "syms")
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to nRounds if !exhausted) {
@@ -142,7 +151,7 @@ object TrainOps {
         val (lS, rS, f) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((r, lS, rS, f))
       words = words.withColumn("syms", applyMerge(col("syms"), lS, rS))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
       }
     }
     import s.implicits._
@@ -172,33 +181,45 @@ object TrainOps {
     * (digest-bytes → long, no hex-string round-trip — ~6.5× the SQL
     * chain, measured at its Scaladoc), so the oracle-motivated family
     * switch costs ~nothing in the scan. */
-  private[graft] def simhashed(s: SparkSession, d: String): DataFrame = {
-    val toks = LlmOps.tokens(s, d).select(col("doc_id"),
-      graft.functions.Md5Low64.md5Low64(col("term")).as("h"))
-    // branch-free vote, PACKED 4-to-an-accumulator (r21, VERDICT r20
-    // task 1): count the ONES per bit and test majority as 2·ones > n —
-    // identical signatures to the ±1-vote form (a tie is a 0 bit either
-    // way; verified bit-for-bit at sf0.1). Packing: lane j of packed sum
-    // p_j accumulates bits j, j+16, j+32, j+48 of h at field offsets
-    // 0/16/32/48 — one shift + one mask places all four, so the
-    // aggregation runs 16 packed sums instead of 64 scalar ones (the
-    // key's dominant stage). Each token adds ≤ 1 per 16-bit field, so
-    // the packing is exact while n < 2^16 per doc; guarded FAIL-LOUD on
-    // n (computed in the same aggregation) rather than assumed — a
-    // ≥ 65536-token doc raises instead of silently corrupting lanes.
-    val fieldMask = lit(0x0001000100010001L)
-    val packedOnes = (0 until 16).map { j =>
+  private[graft] def simhashed(s: SparkSession, d: String): DataFrame =
+    simhashVotes(LlmOps.tokens(s, d).select(col("doc_id"),
+      graft.functions.Md5Low64.md5Low64(col("term")).as("h")))
+
+  /** The packed per-bit majority vote over `(doc_id, h)` token-hash rows
+    * — split from [[simhashed]] (r22) so the spec can drive it with a
+    * synthetic ≥2^16-token doc, the envelope r21's 4×16-bit packing
+    * raised on. */
+  private[graft] def simhashVotes(toks: DataFrame): DataFrame = {
+    // branch-free vote, PACKED 2-to-an-accumulator (r22, VERDICT r21
+    // task 1 — widened from r21's 4×16-bit packing): count the ONES per
+    // bit and test majority as 2·ones > n — identical signatures to the
+    // ±1-vote form (a tie is a 0 bit either way; verified bit-for-bit at
+    // sf0.1). Packing: lane j of packed sum p_j accumulates bits j and
+    // j+32 of h at field offsets 0/32 — one shift + one mask places
+    // both, so the aggregation runs 32 packed sums instead of 64 scalar
+    // ones. Envelope: each token adds ≤ 1 per 32-bit field, so fields
+    // are exact while n < 2^32, and the SIGNED packed sum (worst case
+    // n·(2^32+1)) stays below 2^63 — no ANSI overflow — while
+    // n ≤ (2^63−1) div (2^32+1) = 2^31−2. That bound is UNREACHABLE for
+    // a real document: n_tokens ≤ length(text), and a Spark string is
+    // < 2^31 chars — so unlike r21's 2^16 envelope (a long web page or
+    // concatenated code file genuinely exceeds 65536 tokens), no
+    // admissible input can hit this guard. It stays FAIL-LOUD anyway:
+    // an impossible-by-construction doc raises instead of silently
+    // corrupting lanes.
+    val fieldMask = lit(0x0000000100000001L)
+    val packedOnes = (0 until 32).map { j =>
       sum(shiftrightunsigned(col("h"), j).bitwiseAND(fieldMask)).as(s"p$j")
     }
-    def ones(i: Int): Column = // vote count for bit i: field i/16 of p_(i%16)
-      shiftrightunsigned(col(s"p${i % 16}"), 16 * (i / 16)).bitwiseAND(lit(0xFFFFL))
+    def ones(i: Int): Column = // vote count for bit i: field i/32 of p_(i%32)
+      shiftrightunsigned(col(s"p${i % 32}"), 32 * (i / 32)).bitwiseAND(lit(0xFFFFFFFFL))
     val sig = (0 until 64).map { i =>
       when(ones(i) * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)): Column
     }.reduce(_ + _) // bits are disjoint, so the sum assembles the signature
-    val overflowGuard = when(col("n") < lit(65536L), lit(0L))
+    val overflowGuard = when(col("n") < lit(2147483646L), lit(0L))
       .otherwise(raise_error(concat(
         lit("l1 simhash: packed vote lanes overflow — doc "),
-        col("doc_id"), lit(" has >= 65536 tokens"))).cast(LongType))
+        col("doc_id"), lit(" has >= 2^31-2 tokens"))).cast(LongType))
     toks.groupBy("doc_id").agg(count(lit(1)).as("n"), packedOnes: _*)
       .select(col("doc_id"), (sig + overflowGuard).as("simhash"))
   }
@@ -207,6 +228,13 @@ object TrainOps {
   // form in r21 via temporary twin bench keys — signature stage 0.617 s →
   // 0.499 s min-of-6 same-interval, outputs bit-identical at sf0.1; see
   // OPTIMIZATION_r21.md. The twins were removed after the measurement.)
+
+  // (The retired 4×16-bit packing was A/B'd against the 2×32-bit form in
+  // r22 via temporary twin bench keys — signature stage 0.678 vs 0.750 s
+  // min-of-6 same-interval: the widened envelope costs ~0.07 s at the
+  // stage, ~2% of the l1 key, accepted to remove the fail-loud-at-2^16
+  // semantics hazard; see OPTIMIZATION_r22.md. Twins removed after the
+  // measurement.)
 
   /** The l1 pipeline over a signature frame (split from the key entry for
     * the r21 vote-packing A/B — both signature forms feed the identical

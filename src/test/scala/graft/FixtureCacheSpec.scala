@@ -190,6 +190,76 @@ class FixtureCacheSpec extends AnyFunSuite {
         "persisted after the rebind — eager unpersist regressed to GC-reclaim")
   }
 
+  test("sharedFrame: a build may itself call sharedFrame (r22, r21 ADVICE high)") {
+    // hybridFused's build memoizes bm25ScoreU — a NESTED sharedFrame
+    // call. The r21 form built inside ConcurrentHashMap.compute, which
+    // forbids the remapping function from touching other mappings: two
+    // keys landing in one hash bin threw IllegalStateException
+    // ("Recursive update") or corrupted the bin, intermittently (bin
+    // placement varies with the SparkSession identity hash per JVM).
+    // Builds now run under per-key monitors outside any compute. Pin by
+    // exercising MANY nested (outer → inner) pairs — enough entries that
+    // the old form's same-bin nesting was near-certain — and re-reading
+    // them warm.
+    val srcDir = new java.io.File(Tables.scratch(spark, "framenested", "src"))
+    srcDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(srcDir, "data.bin").toPath,
+      Array.fill[Byte](64)(7))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def outer(i: Int): Long = {
+      val df = Tables.sharedFrame(spark, srcDir.getPath, s"nest_outer_$i") {
+        val inner = Tables.sharedFrame(spark, srcDir.getPath, s"nest_inner_$i") {
+          builds.incrementAndGet()
+          spark.range(i.toLong, i + 10L).toDF("id")
+        }
+        inner.agg(org.apache.spark.sql.functions.sum("id")).toDF("s")
+      }
+      df.collect()(0).getLong(0)
+    }
+    val cold = (0 until 32).map(outer)
+    val warm = (0 until 32).map(outer)
+    assert(cold == warm, "nested shared frames drifted between cold and warm reads")
+    assert(builds.get == 32, s"inner builds ran ${builds.get}x for 32 keys")
+    (0 until 32).foreach { i =>
+      assert(cold(i) == (i until i + 10).map(_.toLong).sum,
+        s"nested build $i computed ${cold(i)}")
+    }
+  }
+
+  test("contentSig: -Dgraft.contentSig.full=true closes the interior-bytes blind spot (r22)") {
+    // The default signature reads only the first/last 4 KiB (plus
+    // length+mtime) — a change confined to the interior with identical
+    // boundaries is the DOCUMENTED residual blind spot (no parquet
+    // writer produces one; the footer encodes interior stats/offsets).
+    // VERDICT r20 task 3: a paranoid opt-in must digest every byte.
+    val dir = new java.io.File(Tables.scratch(spark, "fullsig", "spec"))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "blob.bin")
+    val bytes = Array.tabulate[Byte](16384)(i => (i % 251).toByte)
+    java.nio.file.Files.write(f.toPath, bytes)
+    val mtime = f.lastModified
+    val sigDefault1 = Tables.contentSig(f)
+    System.setProperty("graft.contentSig.full", "true")
+    val sigFull1 = try Tables.contentSig(f)
+      finally System.clearProperty("graft.contentSig.full")
+    // interior-only mutation: byte 8000 flips, boundaries/length/mtime pinned
+    bytes(8000) = (bytes(8000) ^ 0x7f).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    assert(f.setLastModified(mtime), "mtime pin failed")
+    val sigDefault2 = Tables.contentSig(f)
+    System.setProperty("graft.contentSig.full", "true")
+    val sigFull2 = try Tables.contentSig(f)
+      finally System.clearProperty("graft.contentSig.full")
+    assert(sigDefault1 == sigDefault2,
+      "boundary-window mode unexpectedly saw an interior-only change — " +
+        "blind-spot documentation (and this pin) need updating")
+    assert(sigFull1 != sigFull2,
+      "full-hash mode MISSED an interior-only content change")
+    assert(sigFull1 != sigDefault1,
+      "full-mode signatures must not collide with boundary-mode ones " +
+        "(a mode flip must invalidate derived caches)")
+  }
+
   test("dirSig/contentSig: delimiter characters in file names cannot forge a merge (r20)") {
     // r19 ADVICE: the signatures used to join entries as 'name:sig'
     // strings with '|', so a ':' or '|' INSIDE a name shifted field

@@ -51,6 +51,36 @@ class TrainOpsSpec extends AnyFunSuite {
         "threshold changed without recalibrating this band")
   }
 
+  test("l1: a >=65536-token doc computes a signature (r22 — the r21 envelope raised here)") {
+    // VERDICT r21 task 1: the 4×16-bit packed vote raise_error'd on any
+    // doc with >= 2^16 tokens (and ANSI-overflowed from 2^15 — r21
+    // ADVICE), yet a 65k-token document is entirely plausible at corpus
+    // scale. The 2×32-bit packing must return the exact majority-vote
+    // signature instead. Drive the vote kernel with one synthetic
+    // 70,000-token doc (plus a small sibling, so the aggregation sees
+    // more than one group) and compare against a bit-by-bit reference
+    // computed in plain Scala from the same hash stream.
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xb16d0cL)
+    val hashes = Array.fill(70000)(rnd.nextLong())
+    def referenceSig(hs: Array[Long]): Long = {
+      val n = hs.length
+      (0 until 64).map { i =>
+        val ones = hs.count(h => ((h >>> i) & 1L) == 1L)
+        if (2L * ones > n) 1L << i else 0L
+      }.sum // disjoint bits
+    }
+    val small = Array.fill(37)(rnd.nextLong())
+    val toks = (hashes.map(h => (1L, h)) ++ small.map(h => (2L, h)))
+      .toSeq.toDF("doc_id", "h")
+    val got = operators.TrainOps.simhashVotes(toks)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == referenceSig(hashes),
+      f"70k-token doc signature ${got(1L)}%x != reference ${referenceSig(hashes)}%x")
+    assert(got(2L) == referenceSig(small),
+      f"37-token doc signature ${got(2L)}%x != reference ${referenceSig(small)}%x")
+  }
+
   test("broadcast guard fails loudly past MaxBroadcastRows, passes under it") {
     val big = spark.range(operators.LlmOps.MaxBroadcastRows + 1).toDF("vec_id")
     val ex = intercept[IllegalArgumentException] {
