@@ -391,6 +391,44 @@ object TrainOps {
       .select("doc_id", "shingle")
   }
 
+  /** The l22 containment pipeline over a (materialized) shingle frame —
+    * split from the key entry for the r22 share-vs-recompute A/B (the
+    * key passes its per-run localCheckpoint'd build; the plan and the
+    * comments are unchanged from the inline r21 form). */
+  private def containmentNgram(shing: DataFrame): DataFrame = {
+    val cand = prefixIndex(shing, 9, 10).as("a")
+      .join(shing.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
+    val sets = shing.join(
+        cand.select(col("a_id").as("doc_id"))
+          .union(cand.select(col("b_id"))).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
+      .localCheckpoint(eager = false) // joined under two aliases below
+    // one-sided containment length filter (the verifyJaccard AllPairs
+    // idea, asymmetric form): C(A→B) = |A∩B|/|A| ≥ 9/10 and
+    // |A∩B| ≤ |B| force 10·|B| ≥ 9·|A| — size-incompatible candidates
+    // die losslessly on two integer joins before the sets attach
+    val sizes = sets.select(col("doc_id"), size(col("sset")).as("n"))
+    val lenOk = cand
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .filter(col("nb") * 10 >= col("na") * 9)
+      .select("a_id", "b_id")
+    lenOk
+      .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .filter(col("common") * 10 >= size(col("sa")).cast(LongType) * 9)
+      .select(col("a_id"), col("b_id"),
+        (floor(col("common").cast(DoubleType) / size(col("sa")) * 1e4 + 0.5) / 1e4)
+          .as("containment"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Exact-Jaccard verification of candidate `(a_id, b_id)` pairs: full
     * shingle sets materialize for CANDIDATE docs only (near-dups are rare
     * at corpus scale); threshold compares as integers (5·common ≥
@@ -572,6 +610,14 @@ object TrainOps {
   private[graft] def primeSharedRetrieval(s: SparkSession, d: String): Unit = {
     hybridFused(s, d).queryExecution.toRdd.count(); ()
   }
+
+  /** ScaleSmoke hook (r22, VERDICT r21 task 6): the shared retrieval
+    * frames' FOOTPRINT observables — (bm25 score-frame rows, fused
+    * ranking rows). The bm25 checkpoint must stay per-HIT-doc-sized
+    * (docs containing a query term — a corpus fraction, linear in the
+    * clone factor) and the fused frame k-sized (10) at every factor. */
+  private[graft] def retrievalFootprint(s: SparkSession, d: String): (Long, Long) =
+    (bm25ScoreU(s, d).count(), hybridFused(s, d).count())
 
   private def qualityFeatures(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "qfeat")(qualityFeaturesRaw(s, d))
@@ -1552,41 +1598,19 @@ object TrainOps {
     // canonical order) — hub shingles never enter a prefix, so the
     // candidate join is df(rare)-bounded, never corpus². Threshold as
     // integers (10·common ≥ 9·|A|); exact verification on candidates.
-    "l22_containment_ngram" -> ((s, d) => {
-      val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16/l18)
-        .localCheckpoint(eager = false) // feeds df, prefixes, verification
-      val cand = prefixIndex(shing, 9, 10).as("a")
-        .join(shing.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .localCheckpoint(eager = false) // feeds the doc-id semi-join AND the output
-      val sets = shing.join(
-          cand.select(col("a_id").as("doc_id"))
-            .union(cand.select(col("b_id"))).distinct(),
-          Seq("doc_id"), "left_semi")
-        .groupBy("doc_id").agg(collect_set(col("shingle")).as("sset"))
-        .localCheckpoint(eager = false) // joined under two aliases below
-      // one-sided containment length filter (the verifyJaccard AllPairs
-      // idea, asymmetric form): C(A→B) = |A∩B|/|A| ≥ 9/10 and
-      // |A∩B| ≤ |B| force 10·|B| ≥ 9·|A| — size-incompatible candidates
-      // die losslessly on two integer joins before the sets attach
-      val sizes = sets.select(col("doc_id"), size(col("sset")).as("n"))
-      val lenOk = cand
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .filter(col("nb") * 10 >= col("na") * 9)
-        .select("a_id", "b_id")
-      lenOk
-        .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa")), "a_id")
-        .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb")), "b_id")
-        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
-        .filter(col("common") * 10 >= size(col("sa")).cast(LongType) * 9)
-        .select(col("a_id"), col("b_id"),
-          (floor(col("common").cast(DoubleType) / size(col("sa")) * 1e4 + 0.5) / 1e4)
-            .as("containment"))
-        .orderBy("a_id", "b_id")
-    }),
+    // r22 share-vs-recompute A/B (VERDICT r21 task 4), measured with a
+    // temporary `x_l22_shared` twin (containmentNgram over a sharedFrame'd
+    // shingle checkpoint), min-of-6 pass-interleaved same-interval at
+    // sf0.1: recompute 2.135 s vs shared 1.720 s warm + ~1.31 s one-time
+    // cold build (first-run 3.033 s). l22 is the checkpoint's ONLY
+    // consumer, so with the prime-entry accounting the shared form totals
+    // ~3.03 s vs 2.14 s — sharing LOSES. At scale it is also the wrong
+    // trade: the full shingle materialization is O(corpus tokens) of
+    // storage memory, while the per-run build streams (guide §5). Kept:
+    // per-run localCheckpoint'd build.
+    "l22_containment_ngram" -> ((s, d) =>
+      containmentNgram(LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16/l18)
+        .localCheckpoint(eager = false))), // feeds df, prefixes, verification
 
     // l19: sliding-window chunking — the long-document complement of
     // l13's packing: split each doc's token stream into fixed-size
