@@ -202,12 +202,18 @@ object LlmOps {
     * Kiveris et al.] viable on path-shaped components. PropertySpec pins
     * equality with union-find on random graphs AND ≤15 rounds on a planted
     * 256-node path — the graph the plain closure's 30-round cap fail-louds
-    * on (also pinned). Trade-off, and why j2/l1/l12 keep the plain
-    * closure: the shortcut costs a SECOND shuffle per round, which buys
-    * nothing on the clique/hub components banded near-dup candidates form
-    * (1–2 rounds either way); it pays off when component diameter is
-    * unknown — exactly the contract of the user-facing clustering key
-    * (l32), which takes an ARBITRARY verified-pair graph.
+    * on (also pinned). Trade-off: the shortcut costs a SECOND shuffle per
+    * round, which buys nothing on clique/hub components (1–2 rounds either
+    * way); it pays off when component diameter is unknown or grows with
+    * scale. Consumers: l32 (user-facing clustering — ARBITRARY verified-
+    * pair graph) and, since r22, l1 (the Hamming-≤3 simhash graph was
+    * MEASURED chain-shaped: 13/15/26 plain rounds at sf0.1/8×/32× — one
+    * clone step from the 30-round cap — vs 8/12/10 pointer-doubling; see
+    * OPTIMIZATION_r22.md). j2/l12/l50 keep the plain closure: their
+    * graphs are gated on EXACT similarity (Jaccard/cosine), whose
+    * bimodal scores yield cliquey components (j2's whole key runs 22
+    * jobs vs l1's 98 under the same kernel — JobCount r22), so the
+    * second shuffle would be pure overhead there.
     *
     * Label values are always ids of nodes inside the label table (own ids
     * initially, mins of those afterwards), so the shortcut join always

@@ -240,7 +240,8 @@ object TrainOps {
     * the r21 vote-packing A/B — both signature forms feed the identical
     * downstream): band-join candidates, Hamming-gate, n_dups + transitive
     * closure, contract sort. */
-  private[graft] def l1Pipeline(s: SparkSession, rawSigs: DataFrame): DataFrame = {
+  private[graft] def l1Pipeline(s: SparkSession, rawSigs: DataFrame,
+      logClosure: Boolean = true): DataFrame = {
     // materialized once: consumed by the band join, the closure seed,
     // and the final output join — the 64-bit-vote aggregation over every
     // token is the expensive part and must not re-run per consumer
@@ -249,9 +250,21 @@ object TrainOps {
       .localCheckpoint(eager = false) // consumed by n_dups AND the closure loop
     val nDups = pairs.groupBy(col("a_id").as("doc_id"))
       .agg(count(lit(1)).as("n_dups"))
-    // transitive component id via min-label propagation (shared with j2):
-    // one-hop min-neighbour mislabels chain-shaped clusters
-    val clusters = LlmOps.minLabelClosure(sigs.select("doc_id"), pairs)
+    // transitive component id via min-label propagation — the POINTER-
+    // DOUBLING variant since r22: the Hamming-≤3 simhash graph is NOT
+    // cliquey (unlike j2's exact-Jaccard-gated graph) — its coarse
+    // 64-bit signature space chains distinct near-identical docs, and
+    // the plain O(diameter) closure was MEASURED (RoundProbe, committed
+    // numbers in OPTIMIZATION_r22.md) at 13 rounds on sf0.1 / 15 at 8× /
+    // 26 at 32× — one clone step from the 30-round fail-loud cap, i.e.
+    // the declared query would ABORT at scale. Pointer doubling stays
+    // bounded (8/12/10 rounds at 1×/8×/32×) and shuffles the full edge
+    // list correspondingly fewer times; same fixpoint (min label per
+    // component — PropertySpec union-find equality pins both kernels),
+    // oracle-verified identical output at sf0.1.
+    val clusters =
+      if (logClosure) LlmOps.minLabelClosureLog(sigs.select("doc_id"), pairs)._1
+      else LlmOps.minLabelClosure(sigs.select("doc_id"), pairs)
     sigs.join(clusters, Seq("doc_id"))
       .join(nDups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("simhash"), col("cluster_id"),
@@ -810,6 +823,12 @@ object TrainOps {
     // qualifying pair shares >= 1 intact band) — the banded join is a pure
     // optimization of all-pairs, and the oracle brute-forces it exactly.
     // TrainOpsSpec additionally pins exact duplicates + pair sanity.
+    // (closure-variant A/B, r22: temporary x_l1_plain/x_l1_log twins
+    // measured min-of-6 same-interval at sf0.1 — plain 3.024 s vs log
+    // 2.705 s (−10.5%) — and min-of-2 on one 32× ScaleSmoke clone —
+    // plain 39.72 s vs log 29.51 s (−26%). Twins removed after the
+    // measurement; see l1Pipeline's closure comment and
+    // OPTIMIZATION_r22.md.)
     "l1_dedup_simhash" -> ((s, d) => l1Pipeline(s, simhashed(s, d))),
 
     // l2: embedding-space near-dup — per-vector nearest neighbour by
