@@ -209,11 +209,12 @@ object LlmOps {
     * pair graph) and, since r22, l1 (the Hamming-≤3 simhash graph was
     * MEASURED chain-shaped: 13/15/26 plain rounds at sf0.1/8×/32× — one
     * clone step from the 30-round cap — vs 8/12/10 pointer-doubling; see
-    * OPTIMIZATION_r22.md). j2/l12/l50 keep the plain closure: their
-    * graphs are gated on EXACT similarity (Jaccard/cosine), whose
-    * bimodal scores yield cliquey components (j2's whole key runs 22
-    * jobs vs l1's 98 under the same kernel — JobCount r22), so the
-    * second shuffle would be pure overhead there.
+    * OPTIMIZATION_r22.md); l50 (arbitrary verified-pair graph, like
+    * l32). j2/l12 keep the plain closure: their graphs are gated on
+    * EXACT similarity (Jaccard/cosine), whose bimodal scores yield
+    * cliquey components (j2's whole key runs 22 jobs vs l1's 98 under
+    * the same kernel — JobCount r22), so the second shuffle would be
+    * pure overhead there.
     *
     * Label values are always ids of nodes inside the label table (own ids
     * initially, mins of those afterwards), so the shortcut join always

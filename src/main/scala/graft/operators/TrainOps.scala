@@ -551,6 +551,14 @@ object TrainOps {
   private def bm25ScoreU(s: SparkSession, d: String): DataFrame =
     sharedFrame(s, d, "bm25u")(bm25ScoreURaw(s, d))
 
+  // (r22 negative A/B, kept form: a variant checkpointing the (doc_id,
+  // term, tf) AGGREGATE instead of this raw token stream — smaller
+  // checkpoint, no df-distinct Exchange — was measured SLOWER both at
+  // sf0.1 (0.787 vs 0.655 s min-of-6 same-interval twin keys) and on one
+  // 32× ScaleSmoke clone (7.77 vs 5.60 s, same run): the extra
+  // string-keyed hash aggregation over the full token stream costs more
+  // than four scans of the cached checkpoint save, at every measured
+  // scale. Twins removed after the measurement; see OPTIMIZATION_r22.md.)
   private[graft] def bm25ScoreURaw(s: SparkSession, d: String): DataFrame = {
     val qterms = Seq("dup", "vector", "query")
     val ftoks = LlmOps.tokens(s, d).select("doc_id", "term")
@@ -2053,9 +2061,17 @@ object TrainOps {
             transform(array_sort(col("ts")), x => x.getField("term")))
             .cast(BinaryType)).as("h"))
         .localCheckpoint(eager = false) // feeds both canonical aggs + the mark join
-      val cd = occ.groupBy("h").agg(min(col("doc_id")).as("cd"))
-      val cs = occ.join(cd, "h").filter(col("doc_id") === col("cd"))
-        .groupBy("h", "cd").agg(min(col("chunk_id")).as("co"))
+      // canonical occurrence per content hash = lexicographic min of
+      // (doc_id, chunk_id): ONE struct-min aggregation (r22 — the d20
+      // max_by idiom; guide §2 fewer shuffles) instead of the former
+      // min(doc)→rejoin→filter→min(chunk) chain, which cost an extra
+      // hash join + Exchange over the chunk-hash frame. min(struct) is
+      // a DeclarativeAggregate — map-side combinable, codegen'd; its
+      // lexicographic order ≡ (min doc, then min chunk within that doc)
+      // because chunk rows are unique per (h, doc_id, chunk_id).
+      val cs = occ.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+        .select(col("h"), col("m.doc_id").as("cd"), col("m.chunk_id").as("co"))
       occ.join(cs, "h")
         .select(col("doc_id"),
           (!(col("doc_id") === col("cd") && col("chunk_id") === col("co"))).as("dup"))
