@@ -2085,6 +2085,13 @@ object TrainOps {
         .orderBy("doc_id")
     }),
 
+    // (l29 canonical-selection A/B, r22: temporary x_l29_old/x_l29_new
+    // twins sharing the occ build, min-of-6 pass-interleaved
+    // same-interval at sf0.1 — old chain 1.139 s vs struct-min 1.141 s,
+    // a tie; the win is plan-structural (12→8 Exchange, 4→2 joins) and
+    // scales with the chunk-hash frame. Twins removed after the
+    // measurement; plans/r22/l29_ab_r22.json.)
+
     // l30: multimodal FRAME SAMPLING — the remaining plumbing op of the
     // brief's multimodal family (decode = l7, join = j10): pull every
     // 4th frame (capped at 8) out of an opaque media blob by pure byte

@@ -585,4 +585,32 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"iter=$iter")
     }
   }
+
+  test("l29 canonical-chunk struct-min == the min(doc)/rejoin/min(chunk) chain") {
+    // r22: l29's canonical occurrence per content hash collapsed from a
+    // two-aggregation rejoin chain to ONE min(struct(doc_id, chunk_id)).
+    // The semantic claim — lexicographic struct-min ≡ (min doc, then min
+    // chunk within that doc) on rows unique per (h, doc, chunk) — is
+    // pinned here on random frames (the key itself is hash-oracled at
+    // every SF, which pins the end-to-end output but not the claim in
+    // isolation).
+    val rnd = new Random(4177)
+    import spark.implicits._
+    (1 to 5).foreach { iter =>
+      val occ = Seq.fill(60 + rnd.nextInt(120))(
+          (s"h${rnd.nextInt(12)}", rnd.nextInt(8).toLong, rnd.nextInt(6).toLong))
+        .distinct.toDF("h", "doc_id", "chunk_id")
+      val oldChain = {
+        val cd = occ.groupBy("h").agg(min(col("doc_id")).as("cd"))
+        occ.join(cd, "h").filter(col("doc_id") === col("cd"))
+          .groupBy("h", "cd").agg(min(col("chunk_id")).as("co"))
+          .select("h", "cd", "co")
+      }.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val structMin = occ.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_id"))).as("m"))
+        .select(col("h"), col("m.doc_id").as("cd"), col("m.chunk_id").as("co"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(structMin == oldChain, s"iter=$iter")
+    }
+  }
 }
