@@ -442,6 +442,52 @@ object TrainOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** l18's incremental-probe pipeline (split from the key entry for the
+    * r22 checkpoint-vs-stream A/B). The shingle frame here is NOT
+    * checkpointed (r22): unlike l22/l9, where it feeds prefixes AND
+    * verification, in THIS key the prefixes come from the session-shared
+    * pref45 index and the shingle frame has a single consumer (the
+    * verification sets) — a checkpoint materialized the full exploded
+    * frame (O(corpus shingles) of storage memory, guide §5) for one
+    * read, and the A/B measured streaming 9% faster (numbers at the
+    * key). */
+  private def l18Impl(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpusIds = docs.filter(idBelow("e0")).select("doc_id")
+    val delta = docs.filter(!idBelow("e0"))
+    val exact = delta.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
+      .join(docs.filter(idBelow("e0"))
+          .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("c_id"))
+          .groupBy("dig").agg(min("c_id").as("exact_of")),
+        Seq("dig"), "left")
+      .select("doc_id", "exact_of")
+    val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
+    // the persistent corpus artifact, built once per session — this key
+    // times the incremental PROBE against it, not the index build
+    val pref = sharedPrefix45(s, d)
+    // bipartite candidates: delta prefixes (a) vs corpus prefixes (b)
+    val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
+      .join(pref.join(corpusIds, Seq("doc_id"), "left_semi").as("b"),
+        col("a.shingle") === col("b.shingle"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val best = verifyJaccard(cand, shing)
+      // argmax via map-side max_by on (jaccard, -b_id), the l2/l3 idiom —
+      // lexicographic max == (jaccard desc, b_id asc), the oracle's ordering
+      .groupBy("a_id")
+      .agg(max_by(struct(col("b_id"), col("jaccard")),
+        struct(col("jaccard"), (-col("b_id")).as("neg"))).as("m"))
+      .select(col("a_id").as("doc_id"), col("m.b_id").as("near_of"),
+        col("m.jaccard").as("jaccard"))
+    exact.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_of"), lit(-1L)).as("exact_of"),
+        coalesce(col("near_of"), lit(-1L)).as("near_of"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-Jaccard verification of candidate `(a_id, b_id)` pairs: full
     * shingle sets materialize for CANDIDATE docs only (near-dups are rare
     * at corpus scale); threshold compares as integers (5·common ≥
@@ -1398,43 +1444,13 @@ object TrainOps {
     // corpus-only counts (refreshed on a slow cadence) and appends delta
     // prefixes under that frozen order; any one consistent order
     // preserves the prefix theorem, so results are identical either way.
-    "l18_dedup_incremental" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val corpusIds = docs.filter(idBelow("e0")).select("doc_id")
-      val delta = docs.filter(!idBelow("e0"))
-      val exact = delta.select(col("doc_id"), sha2(col("text"), 256).as("dig"))
-        .join(docs.filter(idBelow("e0"))
-            .select(sha2(col("text"), 256).as("dig"), col("doc_id").as("c_id"))
-            .groupBy("dig").agg(min("c_id").as("exact_of")),
-          Seq("dig"), "left")
-        .select("doc_id", "exact_of")
-      val shing = LlmOps.shingleRows(s, d) // one tokenizer (j2/l9/l16)
-        .localCheckpoint(eager = false) // feeds the verification sets
-      // the persistent corpus artifact, built once per session — this key
-      // times the incremental PROBE against it, not the index build
-      val pref = sharedPrefix45(s, d)
-      // bipartite candidates: delta prefixes (a) vs corpus prefixes (b)
-      val cand = pref.join(delta.select("doc_id"), Seq("doc_id"), "left_semi").as("a")
-        .join(pref.join(corpusIds, Seq("doc_id"), "left_semi").as("b"),
-          col("a.shingle") === col("b.shingle"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-        .localCheckpoint(eager = false)
-      val best = verifyJaccard(cand, shing)
-        // argmax via map-side max_by on (jaccard, -b_id), the l2/l3 idiom —
-        // lexicographic max == (jaccard desc, b_id asc), the oracle's ordering
-        .groupBy("a_id")
-        .agg(max_by(struct(col("b_id"), col("jaccard")),
-          struct(col("jaccard"), (-col("b_id")).as("neg"))).as("m"))
-        .select(col("a_id").as("doc_id"), col("m.b_id").as("near_of"),
-          col("m.jaccard").as("jaccard"))
-      exact.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("exact_of"), lit(-1L)).as("exact_of"),
-          coalesce(col("near_of"), lit(-1L)).as("near_of"),
-          coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
-        .orderBy("doc_id")
-    }),
+    // (shingle-checkpoint A/B, r22: temporary x_l18_ckpt/x_l18_nockpt
+    // twins, min-of-6 pass-interleaved same-interval at sf0.1 —
+    // checkpoint 2.214 s vs streaming 2.017 s (−9%). The checkpoint had
+    // a single consumer here, so it materialized the full exploded
+    // shingle frame for one read; removed. Twins deleted after the
+    // measurement; plans/r22/l18_ab_r22.json.)
+    "l18_dedup_incremental" -> ((s, d) => l18Impl(s, d)),
 
     // l20: apply l15's source-mix weights — the MATERIALIZATION step of
     // data mixing: each doc is replicated floor(w) times plus one more
