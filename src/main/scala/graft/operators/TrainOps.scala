@@ -2732,6 +2732,11 @@ object TrainOps {
     // reason). Dangling hubs leak their mass by design (deterministic,
     // documented) — PageRank variants differ here; the oracle pins OUR
     // variant exactly.
+    // (round-checkpoint A/B, r22: temporary x_l42_eager/x_l42_lazy
+    // twins, min-of-6 pass-interleaved same-interval at sf0.1 — eager
+    // 2.716 s vs lazy 2.476 s (−8.8%), jobs 66 → 56 (one dispatched
+    // job per round removed). Twins deleted after the measurement;
+    // plans/r22/l42_ab_r22.json.)
     "l42_pagerank_hubs" -> ((s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "source", "lang")
       val srcHub = docs.groupBy("source").agg(min("doc_id").as("dst"))
@@ -2753,7 +2758,8 @@ object TrainOps {
     * random graphs; dangling nodes leak their mass by design, and the
     * deterministic rounding leak is part of the pinned contract. */
   private[graft] def pageRankInt(nodes: DataFrame, edges: DataFrame,
-      rounds: Int, mass: Long = 1000000000L, damp: Long = 85L): DataFrame = {
+      rounds: Int, mass: Long = 1000000000L, damp: Long = 85L,
+      eagerRounds: Boolean = false): DataFrame = {
     // out-degree attached to the edge list ONCE, outside the loop (r21):
     // od is loop-invariant, so the per-round edges⋈od join was pure
     // re-planning/shuffle machinery × rounds — the hoisted frame is
@@ -2768,11 +2774,19 @@ object TrainOps {
         .join(ranks.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"), expr("r div od").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      // per-round checkpoint = lineage truncation (the iterative-Spark
+      // rule), LAZY since r22 (the wave-1 BPE lever): the plan stays one
+      // round deep either way (a lazy localCheckpoint is already a
+      // LogicalRDD node), but eager ran one extra dispatched job PER
+      // ROUND while nothing reads a round before the next — lazy lets
+      // the consumer's action materialize each round's RDD inside the
+      // normal stage flow (l42 jobs 66 → 56, key −8.8% min-of-6
+      // same-interval; A/B in OPTIMIZATION_r22.md).
       ranks = nodes.join(inflow, nodes("doc_id") === inflow("dst"), "left")
         .select(nodes("doc_id"),
           (lit(mass * (100 - damp) / 100 / n) +
             expr(s"coalesce(inflow, 0L) * $damp div 100")).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = eagerRounds)
     }
     ranks
   }
